@@ -1,0 +1,103 @@
+"""Sinks (SURVEY.md §2.2).
+
+The reference's load path is: CSV into a StringIO → boto3 PUT to S3 →
+Redshift DELETE window + CREATE TABLE IF NOT EXISTS + COPY FROM s3
+(/root/reference/lime_survey_nps.py:82-151). In Spark those five steps
+collapse into writers:
+
+- ``write_csv`` — header CSV straight to any URI (s3a:// on a cluster);
+  no in-memory buffer, no separate upload step (K2+K3).
+- ``write_json_raw`` — raw-zone landing (K1).
+- ``write_parquet`` — the engine's native warehouse zone, partitioned.
+- ``idempotent_reload`` — the DELETE-window + append pattern (K4-K6)
+  as a parquet-partition overwrite (``replaceWhere`` semantics via
+  dynamic partition overwrite), or via JDBC preactions when a JDBC URL
+  is configured.
+
+Scale notes: writers inherit the upstream plan's partitioning;
+``write_parquet`` exposes ``partition_by`` so downstream reads get
+partition pruning (the reference's filename-date munging,
+lime_survey_nps.py:78, becomes real partition columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = False) -> None:
+    """Header CSV (K2/K3 parity). ``single_file`` coalesces to 1 part —
+    only for small parity exports; never at scale."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_json_raw(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Raw-zone landing (K1 parity, lime_survey_nps.py:45-46)."""
+    df.write.mode(mode).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def idempotent_reload(
+    df: DataFrame,
+    path: str,
+    partition_column: str,
+) -> None:
+    """Idempotent delete+load, the K4-K6 pattern re-expressed.
+
+    Reference: ``DELETE FROM t WHERE start_date >= '2018-01-01'`` then
+    COPY (lime_survey_nps.py:109-151) — a full reload in disguise since
+    the cutoff predates all data. Engine version: dynamic partition
+    overwrite — only the partitions present in ``df`` are replaced, which
+    IS the delete-window semantics, done atomically per partition and
+    safe to re-run after failure (same guarantee the reference's
+    DELETE+COPY provides, without the cross-system transaction risk).
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_column)
+        .parquet(path)
+    )
+
+
+def write_jdbc_idempotent(
+    df: DataFrame,
+    url: str,
+    table: str,
+    delete_predicate: str,
+    create_ddl: str | None = None,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """JDBC variant of K4-K6 for warehouse targets (gated: needs a JDBC
+    driver jar on the cluster; not exercised in the offline test env).
+
+    Runs DELETE + optional CREATE TABLE IF NOT EXISTS via a driver-side
+    connection, then appends with df.write.jdbc — exactly the reference's
+    transaction order (lime_survey_nps.py:109-151).
+    """
+    props = properties or {}
+    jvm_props = df.sparkSession._jvm.java.util.Properties()  # type: ignore[attr-defined]
+    for k, v in props.items():
+        jvm_props.setProperty(k, v)
+    conn = df.sparkSession._jvm.java.sql.DriverManager.getConnection(url, jvm_props)  # type: ignore[attr-defined]
+    try:
+        stmt = conn.createStatement()
+        if create_ddl:
+            stmt.execute(create_ddl)
+        stmt.execute(f"DELETE FROM {table} WHERE {delete_predicate}")
+        stmt.close()
+    finally:
+        conn.close()
+    df.write.jdbc(url, table, mode="append", properties=props)

@@ -1,0 +1,145 @@
+"""Source readers.
+
+Covers the reference's source surface (SURVEY.md §2.1) re-expressed as
+Spark scans:
+
+- S3 JSON file scan (pandas.read_json, /root/reference/lime_survey_nps.py:48)
+  → ``read_survey_export_json`` (explode of the nested payload replaces
+  the O(n²) transpose+append flatten loop at lime_survey_nps.py:50-53).
+- S4 TSV scan with header on the SECOND line
+  (/root/reference/limesurvey.py:151-164, the "Esto no funciona!" one)
+  → ``read_tsv_header_line2`` — fixed and distributed.
+- Parquet testdata tables (TESTDATA.md) → ``read_table`` / ``load_tables``.
+
+Scale notes: all readers are plain ``spark.read`` scans, so predicate
+pushdown / column pruning / partition pruning apply untouched. Schemas
+are always supplied — schema inference is a full extra pass over 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lime_etl_spark import schemas
+
+# ---------------------------------------------------------------------------
+# Parquet fixture tables
+# ---------------------------------------------------------------------------
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table with its registered schema asserted.
+
+    The explicit schema makes contract drift a plan-time error and keeps
+    the vectorized parquet reader on the fast path.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    expected = schemas.TESTDATA_TABLES.get(name)
+    if expected is not None:
+        missing = set(expected.fieldNames()) - set(df.columns)
+        if missing:
+            raise ValueError(f"table {name} at {path} missing columns {sorted(missing)}")
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several testdata tables at once; all if no names given."""
+    names = names or tuple(schemas.TESTDATA_TABLES)
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+# ---------------------------------------------------------------------------
+# LimeSurvey export payload (nested JSON) — replaces the flatten loop
+# ---------------------------------------------------------------------------
+
+
+# Explicit read schema: without it, Spark's JSON inference fans the
+# single-key response maps out into one struct field PER RESPONSE ID —
+# schema width O(row count), catastrophic at scale. Arbitrary-key JSON
+# objects must be read as MapType.
+_EXPORT_SCHEMA = "responses ARRAY<MAP<STRING, MAP<STRING, STRING>>>"
+
+
+def flatten_responses(raw: DataFrame, field_names: list[str] | None = None) -> DataFrame:
+    """Flatten ``{"responses": [{"<respId>": {field: val}}, ...]}``.
+
+    Replaces the reference's per-row ``DataFrame(...).transpose()`` +
+    ``df.append`` loop (/root/reference/lime_survey_nps.py:50-53, O(n²))
+    with two distributed explodes: array → single-key map → (key, fields).
+    The response id (the map key) lands in the ``index`` column, matching
+    the reference's ``reset_index(drop=False)`` (lime_survey_nps.py:51).
+    """
+    if field_names is None:
+        field_names = [f.name for f in schemas.SURVEY_RESPONSE.fields if f.name != "index"]
+    exploded = raw.select(F.explode("responses").alias("resp"))
+    entry = exploded.select(F.explode("resp").alias("index", "fields"))
+    return entry.select(
+        F.col("index").cast("string"),
+        *[F.col("fields").getItem(name).alias(name) for name in field_names],
+    )
+
+
+def read_survey_export_json(spark: SparkSession, path: str) -> DataFrame:
+    """Read a raw LimeSurvey export JSON file and flatten it.
+
+    ``multiLine=True`` because the export is one JSON document, not
+    JSON-lines (the reference json.dump's a single object,
+    lime_survey_nps.py:45-46). The explicit map schema keeps schema
+    width constant regardless of row count.
+    """
+    raw = (
+        spark.read.schema(_EXPORT_SCHEMA)
+        .option("multiLine", "true")
+        .option("mode", "PERMISSIVE")
+        .json(path)
+    )
+    return flatten_responses(raw)
+
+
+def responses_payload_to_df(spark: SparkSession, payload: dict) -> DataFrame:
+    """Build a flattened DataFrame directly from a decoded RPC payload.
+
+    Used by the RPC source (io/limesurvey.py): the driver fetches pages
+    of the export, each page becomes a small JSON dataset distributed to
+    executors — no intermediate local file, unlike the reference's
+    land-raw-then-reload step (lime_survey_nps.py:45-48).
+    """
+    import json
+
+    raw = spark.createDataFrame([{"payload": json.dumps(payload)}]).select(
+        F.from_json("payload", f"STRUCT<{_EXPORT_SCHEMA}>").alias("doc")
+    ).select("doc.responses")
+    return flatten_responses(raw)
+
+
+# ---------------------------------------------------------------------------
+# TSV with header on line 2 (reference's broken importer, fixed)
+# ---------------------------------------------------------------------------
+
+
+def read_tsv_header_line2(spark: SparkSession, path: str) -> DataFrame:
+    """TSV whose first line is junk, second line is the header.
+
+    The reference reads ``datos[1]`` as the header and data from
+    ``datos[2:]`` and injects an empty ``id`` column
+    (/root/reference/limesurvey.py:159-163) — and is marked broken.
+    Here: grab the header from line 2 on the driver (O(1) — first file
+    block only), then drop the two physical header lines by line number.
+    zipWithIndex is the one justified RDD use in the repo: physical line
+    position is inherently imperative and Catalyst has no notion of it.
+    """
+    lines = spark.read.text(path)
+    first_two = [r.value for r in lines.limit(2).collect()]
+    if len(first_two) < 2:
+        raise ValueError(f"TSV at {path} has no header line 2")
+    header = first_two[1].split("\t")
+    numbered = lines.rdd.zipWithIndex().filter(lambda t: t[1] >= 2).map(lambda t: t[0])
+    data = lines.sparkSession.createDataFrame(numbered, lines.schema).select(
+        F.split("value", "\t").alias("parts")
+    )
+    cols = [F.col("parts").getItem(i).alias(name) for i, name in enumerate(header)]
+    return data.select(*cols).withColumn("id", F.lit(""))

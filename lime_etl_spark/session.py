@@ -1,0 +1,64 @@
+"""SparkSession factory.
+
+Replaces the reference's ad-hoc single-process pandas runtime
+(/root/reference/lime_survey_nps.py:48-83) with one configured
+SparkSession builder. Every knob here exists for 100 TB posture:
+
+- AQE on: runtime partition coalescing, skew-join splitting, and
+  dynamic join-strategy switching replace hand-tuned shuffle counts.
+- Arrow on: any pandas_udf / applyInPandas path moves columnar batches,
+  not pickled rows.
+- Session timezone pinned to UTC: parquet timestamps compare identically
+  across engines (and against the DuckDB correctness oracle).
+- Broadcast threshold left at default (10 MB) — small dims (region,
+  nation, supplier) broadcast automatically; explicit broadcast() hints
+  are still applied in the operators where the dimension is known-small.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "lime_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    On a real cluster, ``master`` comes from spark-submit; locally we
+    default to ``local[N]`` with N from $SPARK_GRAFT_CPUS (driver
+    contract) so tests and bench share one sizing.
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        # --- correctness-critical ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- scale posture ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # --- python<->jvm data path ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # keep the UI off for test/bench runs (driver JVM churn)
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{DEFAULT_SHUFFLE_PARTITIONS}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

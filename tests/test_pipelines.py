@@ -1,0 +1,87 @@
+"""Golden tests for the three reference-parity pipelines (SURVEY.md §5.1).
+
+The expected values are hand-derived from the reference's semantics
+(cited in lime_etl_spark/pipelines/surveys.py), computed over the
+deterministic fixture in conftest.make_survey_payload.
+"""
+
+from __future__ import annotations
+
+from lime_etl_spark.io.sources import read_survey_export_json
+from lime_etl_spark.pipelines import surveys
+
+RUN_TS = "2024-04-01 12:00:00"
+
+
+def test_flatten_shape(spark, survey_json_path):
+    flat = read_survey_export_json(spark, survey_json_path)
+    rows = flat.count()
+    assert rows == 51
+    assert "index" in flat.columns and "q01" in flat.columns
+    # response id from the dict key (lime_survey_nps.py:51 parity)
+    ids = {r["index"] for r in flat.select("index").collect()}
+    assert "1000" in ids and "1050" in ids
+
+
+def test_nps_pipeline(spark, survey_json_path):
+    flat = read_survey_export_json(spark, survey_json_path)
+    out = surveys.nps(flat, RUN_TS)
+    rows = {r.id_answer: r for r in out.collect()}
+    # dropna subset=[email, nps]: drops q03=None (id 40) and q01=None (id 41)
+    assert "1040" not in rows and "1041" not in rows
+    # empty string is NOT null → kept (parity pin); "" cleans to null double
+    assert "1043" in rows
+    assert rows["1043"].nps is None  # float(re.sub(..., "")) would raise; cast gives null
+    # regex A|N strip: A3 → 3.0, N10 → 10.0
+    assert rows["1002"].nps == 3.0
+    assert rows["1045"].nps == 10.0
+    # audit ts pinned
+    assert rows["1000"].updated_ts == RUN_TS
+    # id comes from the dict key, not the payload id field
+    assert rows["1050"].email == "joão.señor@exämple.com"
+
+
+def test_returns_pipeline(spark, survey_json_path):
+    flat = read_survey_export_json(spark, survey_json_path)
+    out = surveys.returns(flat, RUN_TS)
+    rows = {r.id_answer: r for r in out.collect()}
+    # dropna ALL pre-rename cols: 40 (q03), 41 (q01), 42 (q12) all dropped
+    assert {"40", "41", "42"}.isdisjoint(rows)
+    # id_answer from payload id field (lime_survey_returns.py:55 parity)
+    assert "0" in rows
+    # literal "A" strip (not N): A2 → 2.0 ; N10 → NaN-ish? "N10"→"N10" cast → null
+    assert rows["1"].grade == 2.0
+    assert rows["45"].grade is None  # "N10" keeps N under replace("A","")
+    assert out.columns == [
+        "id_answer", "date_sent", "grade", "email", "order_number",
+        "return_order_number", "language", "updated_ts", "return_channel",
+    ]
+
+
+def test_orders_shipped_pipeline(spark, survey_json_path):
+    flat = read_survey_export_json(spark, survey_json_path)
+    out = surveys.orders_shipped(flat, RUN_TS)
+    rows = {r.id_answer: r for r in out.collect()}
+    # dedup keep-latest per order_number: ORD-DUP01 keeps id 47 (later datestamp)
+    dup = [r for r in rows.values() if r.order_number == "ORD-DUP01"]
+    assert len(dup) == 1 and dup[0].id_answer == "47"
+    # exact tie → deterministic tiebreak id_answer desc → 49
+    tie = [r for r in rows.values() if r.order_number == "ORD-TIE01"]
+    assert len(tie) == 1 and tie[0].id_answer == "49"
+    # whitelist rejects A6, N10, ""
+    assert "44" not in rows and "45" not in rows and "43" not in rows
+    # grade cleaned to float
+    assert tie[0].grade == 4.0
+    assert out.columns == [
+        "id_answer", "date_sent", "grade", "email", "order_number", "updated_ts",
+    ]
+
+
+def test_stringly_landing(spark, survey_json_path):
+    from lime_etl_spark.ops.core import to_stringly
+
+    flat = read_survey_export_json(spark, survey_json_path)
+    out = to_stringly(surveys.orders_shipped(flat, RUN_TS))
+    assert all(t == "string" for _, t in out.dtypes)
+    row = out.filter(out.order_number == "ORD-TIE01").collect()[0]
+    assert row.grade == "4.0"  # pandas-style float formatting parity
