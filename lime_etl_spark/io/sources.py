@@ -37,9 +37,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the vectorized parquet reader on the fast path.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    # Parquet TIMESTAMP(NANOS) columns arrive as nano-epoch longs under
+    # nanosAsLong (Spark has no nanos timestamp type); convert to
+    # microsecond timestamps — lossless for this fixture (values are
+    # micro-precision) and the same truncation DuckDB-vs-Spark-safe rule
+    # a production ingest would document.
     expected = schemas.TESTDATA_TABLES.get(name)
     if expected is not None:
+        for field in expected.fields:
+            if (
+                field.dataType.typeName() == "timestamp"
+                and dict(df.dtypes).get(field.name) == "bigint"
+            ):
+                df = df.withColumn(
+                    field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
+                )
         missing = set(expected.fieldNames()) - set(df.columns)
         if missing:
             raise ValueError(f"table {name} at {path} missing columns {sorted(missing)}")

@@ -1,0 +1,209 @@
+"""Relational analytics operators (SURVEY.md §2.7).
+
+The reference has no joins/aggregations/windows/set-ops at all (its
+three pipelines are single-table); this module supplies the full
+analytics surface a user of a query engine expects, as thin declarative
+wrappers that keep Catalyst in charge of physical strategy.
+
+Scale rules baked in:
+- joins take an optional ``broadcast_right`` hint; dimension tables in
+  schemas.BROADCAST_TABLES should always be broadcast — a 100-row
+  region table must never cause a shuffle of a 100 TB fact table;
+- aggregations rely on hash-agg partial/final (map-side combine is
+  automatic); ``approx_count_distinct`` is exposed next to the exact
+  version because exact distinct over 100 TB is a full shuffle of keys;
+- top-k per group uses row_number over a window, NOT a global sort —
+  one hash-partition shuffle, in-partition sort only;
+- global top-n (``sort_topn``) is orderBy+limit, which Spark executes
+  as TakeOrderedAndProject — per-partition heaps + driver merge of k
+  rows, no global sort shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+JOIN_TYPES = {
+    "inner", "left", "right", "full", "left_semi", "left_anti", "cross",
+}
+
+
+def join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Standard equi/non-equi join with an explicit broadcast knob.
+
+    ``broadcast_right=True`` pins a broadcast-hash-join; otherwise
+    Catalyst/AQE picks (sort-merge for large-large, broadcast when the
+    build side is under the threshold, runtime-switched by AQE).
+    """
+    if how not in JOIN_TYPES:
+        raise ValueError(f"unknown join type {how!r}")
+    if broadcast_right:
+        right = F.broadcast(right)
+    return left.join(right, on, how)
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    left_id: str,
+    right_tiebreak: str | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right_ts <= left_ts (backward) or earliest with >= (forward),
+    per key. ``left_id`` must uniquely identify left rows (window
+    partition key); ``right_tiebreak`` pins ties on right_ts.
+
+    Spark lacks a native as-of join; this is the composition path
+    (SURVEY.md §2.7): range-join on key + ts inequality, then keep the
+    closest match per left row via row_number. At scale the range join
+    is a sort-merge on the key; skewed keys fall to AQE skew handling.
+    """
+    lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (F.col(f"l.{key}") == F.col(f"r.{key}")) & (
+        rt <= lt if direction == "backward" else rt >= lt
+    )
+    joined = left.alias("l").join(right.alias("r"), cond, "left")
+    order = [rt.desc() if direction == "backward" else rt.asc()]
+    if right_tiebreak:
+        order.append(F.col(f"r.{right_tiebreak}").desc())
+    w = Window.partitionBy(F.col(f"l.{left_id}")).orderBy(*order)
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+def group_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    """groupBy().agg() — hash aggregate with automatic partial/final."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    return df.rollup(*keys).agg(*aggs)
+
+
+def cube_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    return df.cube(*keys).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Windows
+# ---------------------------------------------------------------------------
+
+
+def running_agg(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    agg: Column,
+    out: str,
+) -> DataFrame:
+    """Cumulative aggregate (unbounded preceding → current row)."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out, agg.over(w))
+
+
+def moving_agg(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    agg: Column,
+    out: str,
+    preceding: int,
+    following: int = 0,
+) -> DataFrame:
+    """Sliding row-frame aggregate (e.g. 3-row moving average)."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(-preceding, following)
+    )
+    return df.withColumn(out, agg.over(w))
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Top-k rows per group via row_number — one shuffle, no global sort.
+
+    ``order_by`` must totally order rows within each group (append a key
+    tiebreak) or results are nondeterministic.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def lag_lead_delta(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    col: str,
+    out_prefix: str = "",
+) -> DataFrame:
+    """lag/lead + delta against the previous row per partition."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    p = out_prefix
+    return (
+        df.withColumn(f"{p}prev", F.lag(col).over(w))
+        .withColumn(f"{p}next", F.lead(col).over(w))
+        .withColumn(f"{p}delta", F.col(col) - F.col(f"{p}prev"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / sorts / limits
+# ---------------------------------------------------------------------------
+
+
+def union_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+def union_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.unionByName(b, allowMissingColumns=True).distinct()
+
+
+def intersect(a: DataFrame, b: DataFrame, keep_dups: bool = False) -> DataFrame:
+    return a.intersectAll(b) if keep_dups else a.intersect(b)
+
+
+def except_rows(a: DataFrame, b: DataFrame, keep_dups: bool = True) -> DataFrame:
+    return a.exceptAll(b) if keep_dups else a.subtract(b)
+
+
+def sort_topn(df: DataFrame, order_by: Sequence[Column], n: int) -> DataFrame:
+    """Global top-n: Spark plans TakeOrderedAndProject (per-partition
+    heap + driver merge), not a full sort shuffle. order_by needs a
+    total-order tiebreak for determinism."""
+    return df.orderBy(*order_by).limit(n)

@@ -1,0 +1,268 @@
+"""Deduplication operators — exact and near-duplicate (north-star set).
+
+The reference's only dedup is keep-latest-per-key
+(/root/reference/lime_survey_orders_shipped.py:69-70 → ops.core.dedup_latest).
+This module adds the content-dedup family a training-data pipeline
+needs, each designed scale-first and each with an exact DuckDB-SQL twin
+(registry.py) so correctness is oracle-checked, not eyeballed:
+
+- exact_dedup: md5-of-token-stream groupBy — one shuffle on a 128-bit
+  key; canonical row = min(doc_id) (deterministic).
+- ngram_jaccard_pairs: exact Jaccard over token-shingle sets via
+  shingle-inverted-index self-join. Quadratic in docs-per-shingle; at
+  100 TB you run it ONLY on LSH candidate pairs (below), never raw.
+- minhash_signatures / minhash_lsh_candidates: MinHash (portable
+  md5-derived shingle hashes, 16 perms) + banded LSH (4 bands × 4 rows)
+  — the scale path: candidate generation is a groupBy on band keys, so
+  cost is ~linear in corpus size instead of quadratic.
+- simhash64: 32-bit SimHash via bit-position explode + sign aggregation
+  (pure JVM exprs, no UDF); hamming-near pairs via band-bucketing.
+
+Hash portability contract (shared with the oracle): shingle hash is the
+first 15 hex digits of md5 parsed as a base-16 integer — identical in
+Spark (``conv(hex,16,10) → bigint``) and DuckDB (``('0x'||hex)::UBIGINT``).
+Permutation j is ``(A[j]*h + B[j]) mod P`` with P=1e9+7; A,B are
+deterministic constants derived below, small enough that a*h never
+overflows int64 (h < 2^28 after the 7-hex-digit truncation used for
+permutations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lime_etl_spark.ops.text import shingles, tokens
+
+MINHASH_PERMS = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+LSH_ROWS = MINHASH_PERMS // LSH_BANDS
+MOD_P = 1_000_000_007
+
+# Deterministic permutation constants (odd multipliers, fixed offsets).
+# Derived from a fixed linear recurrence so the oracle SQL can inline
+# the same literals (registry.py generates them from these functions).
+PERM_A = [2 * j + 1 for j in range(1, MINHASH_PERMS + 1)]  # 3,5,...,33
+PERM_B = [7919 * (j + 1) % MOD_P for j in range(MINHASH_PERMS)]
+
+
+def _hash60(col: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex digits of md5 → bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _hash28(col: Column) -> Column:
+    """Portable 28-bit hash (7 hex digits) — safe for a*h in int64."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group exact duplicates by content fingerprint.
+
+    Returns one row per duplicated fingerprint: canonical (min) id,
+    duplicate count. Fingerprint = md5 of the canonical token stream
+    (whitespace/case-insensitive equality — see text.with_fingerprint).
+    """
+    fp = F.md5(F.concat_ws(" ", tokens(text_col)))
+    return (
+        df.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct content fingerprint (min id wins).
+
+    One shuffle on the fingerprint (window min), survivors keep all
+    original columns.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__fp")
+    return (
+        df.withColumn("__fp", F.md5(F.concat_ws(" ", tokens(text_col))))
+        .withColumn("__keep", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__fp", "__keep")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingle inverted index + exact Jaccard (verification path)
+# ---------------------------------------------------------------------------
+
+
+def shingle_index(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingle) inverted index, distinct per doc."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact pairwise Jaccard over n-gram shingle sets, pairs ≥ threshold.
+
+    Plan: inverted index → self-join on shingle (id_a < id_b) → count
+    common shingles per pair → join per-doc set sizes → jaccard.
+    Shuffles: one per groupBy/join, all on bounded keys. Scale note: run
+    on LSH candidates (minhash_lsh_candidates) beyond ~1M docs; the raw
+    self-join is quadratic in docs-per-shingle.
+    """
+    idx = shingle_index(df, id_col, text_col, n)
+    sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = idx.alias("a"), idx.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH (scale path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: columns m0..m{15}.
+
+    min over shingles of (A[j]*h28(shingle)+B[j]) mod P per permutation
+    — a single groupBy(id) with 16 min() aggregates; map-side partial
+    aggregation keeps the shuffle tiny (16 longs per doc). Docs with no
+    shingles (< n tokens) are dropped.
+    """
+    idx = shingle_index(df, id_col, text_col, n)
+    h = _hash28(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(PERM_A[j]) * h + F.lit(PERM_B[j])) % F.lit(MOD_P)).alias(f"m{j}")
+        for j in range(MINHASH_PERMS)
+    ]
+    return idx.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over the MinHash signature.
+
+    Band key = md5 of the band's signature slice; pairs sharing ≥1 band
+    key are candidates (id_a < id_b, distinct). This is the ~linear
+    candidate generator; feed candidates to ngram_jaccard_pairs (or the
+    estimated signature similarity) for verification.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n)
+    bands = []
+    for band in range(LSH_BANDS):
+        cols = [F.col(f"m{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        bands.append(
+            sigs.select(
+                "id",
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws("-", *[c.cast("string") for c in cols])).alias("bkey"),
+            )
+        )
+    allbands = bands[0]
+    for b in bands[1:]:
+        allbands = allbands.unionByName(b)
+    a, c = allbands.alias("a"), allbands.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.bkey") == F.col("c.bkey"))
+            & (F.col("a.id") < F.col("c.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("c.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard — the full scale path:
+    ~linear candidate generation, exact verification only on candidates.
+    """
+    cands = minhash_lsh_candidates(df, id_col, text_col, n)
+    exact = ngram_jaccard_pairs(df, threshold=0.0, id_col=id_col, text_col=text_col, n=n)
+    return (
+        cands.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over distinct tokens, pure JVM expressions.
+
+    Per (doc, bit): sum of ±1 over token hashes' bit values; bit set iff
+    sum > 0 (ties → 0, deterministic). The bit explode multiplies rows
+    ×32 before a map-side-combined groupBy — fine for wide clusters; a
+    grouped pandas_udf variant would cut the explode if profiling ever
+    shows this shuffle dominating.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+        .distinct()
+        .withColumn("h", _hash28(F.col("tok")))
+    )
+    bits = toks.select(
+        "id", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit")
+    )
+    # expr() because the PySpark shiftright/shiftleft wrappers only
+    # accept an int literal for the shift amount, not a Column
+    contrib = bits.withColumn(
+        "c", F.expr("CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END")
+    )
+    bit_sums = contrib.groupBy("id", "bit").agg(F.sum("c").alias("s"))
+    return bit_sums.groupBy("id").agg(
+        F.sum(
+            F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END")
+        ).alias("simhash")
+    )

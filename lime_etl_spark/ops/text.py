@@ -1,0 +1,167 @@
+"""Text-analysis operators over the ``documents`` table (north-star set).
+
+The reference's only text processing is two regex cleanups
+(/root/reference/lime_survey_nps.py:73, lime_survey_returns.py:72);
+this module supplies the text surface a training-data pipeline needs:
+tokenization, token/char stats, quality scoring, language ID,
+fingerprinting, and shingling (feeding ops/dedup.py).
+
+Everything is built from JVM-side expressions (regexp_extract_all,
+higher-order array functions) — no Python UDF in any hot path — and
+every function has an exact ANSI-SQL twin used by the DuckDB
+correctness oracle (registry.py), so semantics are pinned, not
+approximate.
+
+Canonical tokenization: ``regexp_extract_all(lower(text), '[a-z0-9]+')``
+— deterministic, engine-portable, no empty tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = "[a-z0-9]+"
+
+# Small fixed stopword sets (kept tiny + frozen: they are part of the
+# oracle contract, not a linguistics claim).
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+# Marker words per language for the n-gram-free language-ID heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "de"],
+    "zh": ["de", "shi", "bu", "le", "wo"],
+}
+LANG_PRIORITY = ["en", "de", "fr", "es", "zh"]  # deterministic tie order
+
+
+def tokens(col: Column | str) -> Column:
+    """Token array — lowercase alnum runs."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_PATTERN), 0)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def char_class_count(col: Column | str, keep_pattern: str) -> Column:
+    """Count characters matching a class by deleting everything else."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, f"[^{keep_pattern}]", ""))
+
+
+def stopword_count(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or STOPWORDS_EN
+    return F.size(F.filter(tokens(col), lambda t: t.isin(sw)))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats: tokens, chars, punctuation/digit counts,
+    average token length, stopword ratio. All ratios rounded to pin the
+    oracle comparison."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    total_tok_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "n_chars_obs": F.length(text_col),
+            "n_punct": char_class_count(text_col, ".,!?;:"),
+            "n_digits": char_class_count(text_col, "0-9"),
+            "avg_token_len": F.round(
+                total_tok_len / F.nullif(n_tok.cast("double"), F.lit(0.0)), 4
+            ),
+            "stopword_ratio": F.round(
+                stopword_count(text_col) / F.nullif(n_tok.cast("double"), F.lit(0.0)), 4
+            ),
+        }
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1] (Gopher-style length/ratio
+    gates, simplified): penalize too-short docs, punctuation-free walls
+    of text, and stopword-free token soup. Deterministic + oracle-exact.
+    """
+    stats = with_text_stats(df, text_col)
+    # NOTE: no final round() — the three components are already derived
+    # from pinned (rounded) stats, and a trailing round at a .xxxx5
+    # boundary is engine-dependent (Spark HALF_UP on decimal expansion
+    # vs DuckDB multiply-shift). The raw IEEE double of this fixed-order
+    # weighted sum is bit-identical across engines; rounding would make
+    # it LESS comparable, not more.
+    score = (
+        F.when(F.col("n_tokens") < 10, 0.0)
+        .otherwise(
+            0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+            + 0.3 * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+            + 0.3
+            * F.when(
+                (F.col("avg_token_len") >= 3.0) & (F.col("avg_token_len") <= 10.0),
+                1.0,
+            ).otherwise(0.0)
+        )
+    )
+    return stats.withColumn("quality_score", score)
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID.
+
+    Counts marker hits per language over the token array and takes the
+    argmax with a fixed priority tie order (LANG_PRIORITY). At 100 TB
+    this stays a narrow projection — no shuffle, no UDF.
+    """
+    toks = tokens(text_col)
+
+    def _hits(words: list[str]):
+        # closure factory: a default-arg lambda would have TWO params,
+        # which PySpark's filter() interprets as (element, index)
+        return lambda t: t.isin(words)
+
+    hit_cols = {
+        f"__hits_{lang}": F.size(F.filter(toks, _hits(words)))
+        for lang, words in LANG_MARKERS.items()
+    }
+    out = df.withColumns(hit_cols)
+    best = F.greatest(*[F.col(c) for c in hit_cols])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_PRIORITY:
+        pred = pred.when(F.col(f"__hits_{lang}") == best, F.lit(lang))
+    return out.withColumn("lang_pred", pred).drop(*hit_cols.keys())
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Document fingerprint: md5 of the canonical token stream.
+
+    Token-stream (not raw-text) hashing makes the fingerprint robust to
+    whitespace/case-only differences — the useful notion of "same
+    document" for dedup at scale.
+    """
+    return df.withColumn(
+        out, F.md5(F.concat_ws(" ", tokens(text_col)))
+    )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Token n-gram shingle array (strings joined by single spaces).
+
+    slice() is 1-based; a doc with t tokens yields t-n+1 shingles,
+    empty array if t < n. Feeds MinHash/Jaccard dedup (ops/dedup.py).
+    """
+    toks = tokens(col)
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not [],
+    # so short docs must short-circuit to an empty array explicitly.
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -1,0 +1,1204 @@
+"""Query registry: every operator surface exposed as a named query with
+a DuckDB oracle twin (the driver's correctness gate, BASELINE.md t2).
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with
+an ANSI-SQL string DuckDB runs over the same parquet tables. The driver
+compares row count + schema + order-insensitive value hash, so:
+
+- every computed column is aliased identically on both sides;
+- double aggregates are ROUND()ed (2/4/6 dp) on both sides — partial
+  aggregation order differs between engines, rounding pins the value;
+- integer outputs are cast to BIGINT on both sides (Spark size()/
+  row_number() are int32, DuckDB len()/row_number() are int64);
+- rankings/limits order by (rounded value, unique key) — a total order
+  both engines agree on.
+
+Scale annotations live on the underlying ops modules; the queries here
+compose them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lime_etl_spark.io.sources import read_table
+from lime_etl_spark.ops import analytics, core, dedup, multimodal, similarity, text
+from lime_etl_spark.ops.dedup import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_PERMS,
+    MOD_P,
+    PERM_A,
+    PERM_B,
+)
+
+
+@dataclass
+class Query:
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+    headline: bool = False  # included in bench.py
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, headline: bool = False):
+    def deco(fn):
+        REGISTRY[name] = Query(fn, oracle, headline)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+def _dec2(col: str):
+    """Exact-decimal money column — see module docstring: double sums
+    round differently across engines at .xx5 boundaries, so money
+    aggregates run in DECIMAL (exact in BOTH engines) and only the final
+    rounded value is cast back to double."""
+    return F.col(col).cast("decimal(12,2)")
+
+
+def _dec4(col: str):
+    return F.col(col).cast("decimal(6,4)")
+
+
+def _one():
+    # function, not module constant: Column creation needs a live SparkContext
+    return F.lit(1).cast("decimal(1,0)")
+
+
+def _rev_sum():
+    """round(sum(extprice * (1-discount)), 2) in exact decimal."""
+    return F.round(F.sum(_dec2("l_extendedprice") * (_one() - _dec4("l_discount"))), 2).cast(
+        "double"
+    )
+
+
+def _dec_sum(col: str):
+    return F.round(F.sum(_dec2(col)), 2).cast("double")
+
+
+
+# ===========================================================================
+# TPC-H-shaped relational queries
+# ===========================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity::DECIMAL(12,2)), 2)::DOUBLE                                        AS sum_qty,
+           round(sum(l_extendedprice::DECIMAL(12,2)), 2)::DOUBLE                                   AS sum_base_price,
+           round(sum(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(1,0) - l_discount::DECIMAL(6,4))), 2)::DOUBLE                AS sum_disc_price,
+           round(sum(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(1,0) - l_discount::DECIMAL(6,4)) * (1::DECIMAL(1,0) + l_tax::DECIMAL(6,4))), 2)::DOUBLE  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: full-scan hash aggregate.
+
+    Plan check: parquet scan with PushedFilters on l_shipdate, partial
+    hash agg (map-side combine) → single exchange on the 2 low-card
+    group keys → final agg. No sort, no join.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2001-09-01")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity").alias("sum_qty"),
+            _dec_sum("l_extendedprice").alias("sum_base_price"),
+            _rev_sum().alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    _dec2("l_extendedprice")
+                    * (_one() - _dec4("l_discount"))
+                    * (_one() + _dec4("l_tax"))
+                ),
+                2,
+            ).cast("double").alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(1,0) - l_discount::DECIMAL(6,4))), 2)::DOUBLE AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-01'
+      AND l_shipdate  > TIMESTAMP '1997-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    headline=True,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective 3-way join + agg + global top-10.
+
+    customer is small relative to the facts → broadcast; orders⋈lineitem
+    stays a shuffle join on orderkey (both sides huge at scale — AQE may
+    still broadcast the filtered orders side at low SF). Top-10 via
+    orderBy+limit = TakeOrderedAndProject, no global sort.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1997-06-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1997-06-01"))
+    )
+    joined = analytics.join(
+        orders, cust, F.col("o_custkey") == F.col("c_custkey"), "inner", broadcast_right=True
+    ).join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        _rev_sum().alias("revenue")
+    )
+    return analytics.sort_topn(
+        agg.select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority"),
+        [F.col("revenue").desc(), F.col("l_orderkey").asc()],
+        10,
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS → left-semi join, then low-card agg."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    semi = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey")) & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(1,0) - l_discount::DECIMAL(6,4))), 2)::DOUBLE AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    headline=True,
+)
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table star join.
+
+    nation/region/supplier are broadcast (schemas.BROADCAST_TABLES);
+    only customer⋈orders⋈lineitem shuffle. Catalyst folds the
+    region filter into the broadcast build side.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    df = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return df.groupBy("n_name").agg(_rev_sum().alias("revenue"))
+
+
+@register(
+    "q6_revenue_forecast",
+    oracle="""
+    SELECT round(sum(l_extendedprice::DECIMAL(12,2) * l_discount::DECIMAL(6,4)), 2)::DOUBLE AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark, sf_dir):
+    """TPC-H Q6 shape: pure pushdown filter + scalar aggregate. The
+    .explain check: every predicate lands in PushedFilters."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(_dec2("l_extendedprice") * _dec4("l_discount")), 2)
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(1,0) - l_discount::DECIMAL(6,4))), 2)::DOUBLE AS revenue,
+           n_name
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: join + agg + top-20 by revenue."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-07-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    agg = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_rev_sum().alias("revenue"))
+    )
+    return analytics.sort_topn(
+        agg.select("c_custkey", "c_name", "revenue", "n_name"),
+        [F.col("revenue").desc(), F.col("c_custkey").asc()],
+        20,
+    )
+
+
+# ===========================================================================
+# Targeted join-type / aggregation / set-op queries
+# ===========================================================================
+
+
+@register(
+    "join_customer_order_stats",
+    oracle="""
+    SELECT c_custkey,
+           count(o_orderkey)                    AS n_orders,
+           coalesce(round(sum(o_totalprice::DECIMAL(12,2)), 2)::DOUBLE, 0.0) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_customer_order_stats(spark, sf_dir):
+    """LEFT join preserving order-less customers (count 0, spend 0)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        analytics.join(cust, orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(_dec_sum("o_totalprice"), F.lit(0.0)).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT n_name, count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY n_name
+    """,
+)
+def join_anti_customers_without_orders(spark, sf_dir):
+    """LEFT ANTI join → customers with zero orders, counted per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    idle = analytics.join(cust, orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return (
+        idle.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "join_semi_urgent_customers",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi_urgent_customers(spark, sf_dir):
+    """LEFT SEMI join → customers with ≥1 urgent order, per segment."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        analytics.join(cust, urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "range_join_shipped_30d",
+    oracle="""
+    SELECT o_orderkey, count(*) AS n_quick_lines
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate <  o_orderdate + INTERVAL 30 DAY
+    GROUP BY o_orderkey
+    """,
+)
+def range_join_shipped_30d(spark, sf_dir):
+    """Equi+range join: lineitems shipped within 30 days of order date.
+    The equi key keeps it a hash/sort-merge join; the range predicate is
+    evaluated post-match (no cross product)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_quick_lines"))
+    )
+
+
+@register(
+    "agg_rollup_region_nation",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_customers,
+           round(sum(c_acctbal::DECIMAL(12,2)), 2)::DOUBLE AS total_acctbal
+    FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup_region_nation(spark, sf_dir):
+    """ROLLUP hierarchy totals (nation → region → grand)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")).join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    return analytics.rollup_agg(
+        joined,
+        ["r_name", "n_name"],
+        [
+            F.count(F.lit(1)).alias("n_customers"),
+            _dec_sum("c_acctbal").alias("total_acctbal"),
+        ],
+    )
+
+
+@register(
+    "agg_cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice::DECIMAL(12,2)), 2)::DOUBLE AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_status_priority(spark, sf_dir):
+    """CUBE over two low-cardinality dimensions."""
+    orders = _t(spark, sf_dir, "orders")
+    return analytics.cube_agg(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum("o_totalprice").alias("total_price"),
+        ],
+    )
+
+
+@register(
+    "agg_distinct_parts",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_parts(spark, sf_dir):
+    """Exact multi-distinct aggregate (Catalyst expands to grouping-id
+    plan). approx_count_distinct is the 100 TB variant — exposed in
+    ops.analytics but not oracle-comparable (sketch-dependent)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@register(
+    "setop_active_segments",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000
+    UNION
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 7000
+    """,
+)
+def setop_active_segments(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 5000)).select(
+        "c_custkey"
+    )
+    b = cust.filter((F.col("c_mktsegment") == "MACHINERY") & (F.col("c_acctbal") > 7000)).select(
+        "c_custkey"
+    )
+    return analytics.union_distinct(a, b)
+
+
+@register(
+    "setop_repeat_customers",
+    oracle="""
+    SELECT o_custkey AS c_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    """,
+)
+def setop_repeat_customers(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    y97 = orders.filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return analytics.intersect(y96, y97)
+
+
+@register(
+    "setop_lapsed_customers",
+    oracle="""
+    SELECT DISTINCT o_custkey AS c_custkey FROM orders
+    EXCEPT
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def setop_lapsed_customers(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    all_c = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    return analytics.except_rows(all_c, urgent, keep_dups=False)
+
+
+@register(
+    "sort_topn_parts",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    ORDER BY p_retailprice DESC, p_partkey
+    LIMIT 20
+    """,
+)
+def sort_topn_parts(spark, sf_dir):
+    """Global top-n → TakeOrderedAndProject (no full sort shuffle)."""
+    part = _t(spark, sf_dir, "part")
+    return analytics.sort_topn(
+        part.select("p_partkey", "p_name", "p_retailprice"),
+        [F.col("p_retailprice").desc(), F.col("p_partkey").asc()],
+        20,
+    )
+
+
+# ===========================================================================
+# Window-function queries
+# ===========================================================================
+
+
+@register(
+    "window_running_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice::DECIMAL(12,2)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::DOUBLE AS running_spend
+    FROM orders
+    """,
+    headline=True,
+)
+def window_running_spend(spark, sf_dir):
+    """Cumulative sum per customer — one hash exchange on o_custkey,
+    in-partition sort, single window pass."""
+    orders = _t(spark, sf_dir, "orders")
+    out = analytics.running_agg(
+        orders,
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+        F.sum(_dec2("o_totalprice")),
+        "running_spend",
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("running_spend", 2).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "window_topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def window_topk_orders_per_customer(spark, sf_dir):
+    """Top-3 orders per customer via row_number (no global sort)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = analytics.topk_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    )
+    return out.withColumn("rnk", F.col("rnk").cast("bigint"))
+
+
+@register(
+    "window_event_gaps",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+    FROM events
+    """,
+)
+def window_event_gaps(spark, sf_dir):
+    """lag(): microsecond gap to the user's previous event (exact
+    integer arithmetic — no float rounding needed)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+
+
+@register(
+    "window_moving_avg_value",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+    FROM events
+    """,
+)
+def window_moving_avg_value(spark, sf_dir):
+    """Sliding 4-row frame average per user."""
+    ev = _t(spark, sf_dir, "events")
+    out = analytics.moving_agg(
+        ev, ["user_id"], ["ts", "event_id"], F.avg("value"), "moving_avg", preceding=3
+    )
+    return out.select("event_id", "user_id", F.round("moving_avg", 4).alias("moving_avg"))
+
+
+@register(
+    "dedup_latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, value FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+    headline=True,
+)
+def dedup_latest_event_per_user(spark, sf_dir):
+    """The reference's keep-latest dedup (ops.core.dedup_latest,
+    lime_survey_orders_shipped.py:69-70) applied to the events table."""
+    ev = _t(spark, sf_dir, "events")
+    out = core.dedup_latest(ev, key="user_id", order_by="ts", tiebreak="event_id")
+    return out.select("user_id", "event_id", "event_type", "value")
+
+
+@register(
+    "asof_last_click_before_purchase",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           (SELECT c.event_id FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def asof_last_click_before_purchase(spark, sf_dir):
+    """As-of (backward) join: latest click at-or-before each purchase,
+    per user — the composition-path custom operator
+    (ops.analytics.as_of_join)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    out = analytics.as_of_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        left_id="event_id",
+        right_tiebreak="event_id",
+    )
+    return out.select(
+        F.col("l.event_id").alias("purchase_id"), F.col("r.event_id").alias("click_id")
+    )
+
+
+# ===========================================================================
+# Event-stream analytics (batch twins of the streaming ops)
+# ===========================================================================
+
+
+@register(
+    "events_tumbling_5min",
+    oracle="""
+    SELECT event_type,
+           time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+           count(*) AS n_events,
+           round(sum(value::DECIMAL(12,2)), 2)::DOUBLE AS total_value
+    FROM events
+    GROUP BY event_type, bucket_start
+    """,
+    headline=True,
+)
+def events_tumbling_5min(spark, sf_dir):
+    """Tumbling 5-minute windows (batch twin of
+    streaming.events.tumbling_counts — same window semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(_dec2("value")), 2).cast("double").alias("total_value"),
+        )
+        .select("event_type", F.col("w.start").alias("bucket_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "events_sessionized",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM ordered),
+    sess AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           round(sum(value::DECIMAL(12,2)), 2)::DOUBLE AS total_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+    headline=True,
+)
+def events_sessionized(spark, sf_dir):
+    """30-minute-gap sessionization: lag → new-session flag → running
+    sum as session id → per-session aggregate. Batch twin of
+    streaming session_window; two window passes + one agg, all
+    partitioned by user (single exchange reused — same key)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(wrun))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum(_dec2("value")), 2).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           round(avg(regexp_extract(props, '"k": (\\d+)', 1)::INTEGER), 4) AS avg_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_props(spark, sf_dir):
+    """Semi-structured props column: extract numeric field, aggregate.
+    (regexp on both sides — engine-portable; Spark's get_json_object is
+    the production path and is exercised in unit tests.)"""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", '"k": (\\d+)', 1).cast("int")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# ===========================================================================
+# Text analysis (documents)
+# ===========================================================================
+
+_TOKS_CTE = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+@register(
+    "text_doc_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_CTE} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_tokens,
+           length(text)::BIGINT AS n_chars_obs,
+           round(list_sum(list_transform(toks, x -> length(x)))
+                 / nullif(len(toks), 0)::DOUBLE, 4) AS avg_token_len,
+           round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))
+                 / nullif(len(toks), 0)::DOUBLE, 4) AS stopword_ratio
+    FROM t
+    """,
+    headline=True,
+)
+def text_doc_stats(spark, sf_dir):
+    """Per-doc token/char stats — narrow projection, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text.with_text_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_chars_obs").cast("bigint").alias("n_chars_obs"),
+        "avg_token_len",
+        "stopword_ratio",
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_CTE} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             round(list_sum(list_transform(toks, x -> length(x)))
+                   / nullif(len(toks), 0)::DOUBLE, 4) AS avg_token_len,
+             round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))
+                   / nullif(len(toks), 0)::DOUBLE, 4) AS stopword_ratio
+      FROM t)
+    SELECT doc_id,
+           CASE WHEN n_tokens < 10 THEN 0.0::DOUBLE
+                ELSE 0.4::DOUBLE * least(n_tokens::DOUBLE / 100.0::DOUBLE, 1.0::DOUBLE)
+                   + 0.3::DOUBLE * least(stopword_ratio * 5.0::DOUBLE, 1.0::DOUBLE)
+                   + 0.3::DOUBLE * (CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 10.0
+                                         THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)
+           END AS quality_score
+    FROM s
+    """,
+)
+def text_quality_scores(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text.with_quality_score(docs).select("doc_id", "quality_score")
+
+
+def _langid_oracle() -> str:
+    hits = []
+    for lang, words in text.LANG_MARKERS.items():
+        inlist = ",".join(f"'{w}'" for w in words)
+        hits.append(f"len(list_filter(toks, x -> x IN ({inlist}))) AS h_{lang}")
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in text.LANG_MARKERS) + ")"
+    case = "CASE WHEN " + best + " <= 0 THEN 'und' "
+    for lang in text.LANG_PRIORITY:
+        case += f"WHEN h_{lang} = {best} THEN '{lang}' "
+    case += "END"
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_CTE} AS toks FROM documents),
+    h AS (SELECT doc_id, {', '.join(hits)} FROM t)
+    SELECT lang_pred, count(*) AS n_docs FROM (
+      SELECT doc_id, {case} AS lang_pred FROM h)
+    GROUP BY lang_pred
+    """
+
+
+@register("text_langid_distribution", oracle=_langid_oracle())
+def text_langid_distribution(spark, sf_dir):
+    """Marker-word language-ID heuristic, aggregated to a distribution."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        text.with_lang_id(docs)
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "text_fingerprints",
+    oracle=f"""
+    SELECT doc_id, md5(array_to_string({_TOKS_CTE}, ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text.with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+# ===========================================================================
+# Dedup family (documents)
+# ===========================================================================
+
+_SHINGLES_CTE = f"""
+    toks AS (SELECT doc_id, {_TOKS_CTE} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM toks, (SELECT unnest(range(1, 10000)) AS i) idx
+      WHERE len(t) >= 3 AND i <= len(t) - 2),
+    dsh AS (SELECT DISTINCT doc_id, shingle FROM sh)
+"""
+
+
+@register(
+    "dedup_exact_groups",
+    oracle=f"""
+    SELECT fingerprint, canonical_id, n_docs FROM (
+      SELECT md5(array_to_string({_TOKS_CTE}, ' ')) AS fingerprint,
+             min(doc_id) AS canonical_id,
+             count(*) AS n_docs
+      FROM documents GROUP BY 1)
+    WHERE n_docs > 1
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    """Exact content dedup: groups of identical token streams."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, n_common,
+           sa.n AS n_a, sb.n AS n_b,
+           round(n_common / (sa.n + sb.n - n_common)::DOUBLE, 6) AS jaccard
+    FROM common JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.n + sb.n - n_common)::DOUBLE >= 0.2
+    """,
+    headline=True,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs ≥ 0.2 via shingle inverted index."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+def _minhash_sig_sql() -> str:
+    mins = ", ".join(
+        f"min(({PERM_A[j]}*h + {PERM_B[j]}) % {MOD_P}) AS m{j}" for j in range(MINHASH_PERMS)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    h AS (SELECT doc_id AS id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h FROM dsh),
+    sig AS (SELECT id, {mins} FROM h GROUP BY id)
+    """
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=_minhash_sig_sql() + "SELECT * FROM sig",
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (16 perms) with portable md5-derived hashes —
+    fully oracle-checked, not just rows-counted."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs)
+
+
+def _lsh_band_sql() -> str:
+    bands = []
+    for band in range(LSH_BANDS):
+        cols = [f"m{band * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+        concat = " || '-' || ".join(cols)
+        bands.append(f"SELECT id, {band} AS band, md5({concat}) AS bkey FROM sig")
+    return " UNION ALL ".join(bands)
+
+
+@register(
+    "dedup_minhash_lsh_candidates",
+    oracle=_minhash_sig_sql()
+    + f""",
+    bands AS ({_lsh_band_sql()})
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+    """,
+    headline=True,
+)
+def dedup_minhash_lsh_candidates(spark, sf_dir):
+    """Banded-LSH candidate pairs (4 bands × 4 rows) — the ~linear
+    near-dup candidate generator."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(docs)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS id, tok FROM (
+        SELECT doc_id, unnest({_TOKS_CTE}) AS tok FROM documents)),
+    h AS (SELECT id, ('0x' || substr(md5(tok), 1, 7))::BIGINT AS h FROM toks),
+    bits AS (SELECT id, h, unnest(range(0, 32)) AS bit FROM h),
+    s AS (SELECT id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM bits GROUP BY id, bit)
+    SELECT id, sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+    FROM s GROUP BY id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash per document, pure JVM expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs)
+
+
+# ===========================================================================
+# Similarity search (embeddings)
+# ===========================================================================
+
+_NORMS_CTE = """
+    norms AS (
+      SELECT vec_id, sqrt(sum(e * e)) AS nrm FROM (
+        SELECT vec_id, unnest(list_transform(embedding, x -> x::DOUBLE)) AS e
+        FROM embeddings)
+      GROUP BY vec_id)
+"""
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> x::DOUBLE) AS qe
+               FROM embeddings WHERE vec_id < 32),
+    c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS ce
+          FROM embeddings),
+    {_NORMS_CTE},
+    dots AS (
+      SELECT qid, cid, sum(qe[i] * ce[i]) AS dot
+      FROM (SELECT qid, cid, qe, ce, unnest(range(1, 65)) AS i FROM q, c WHERE qid != cid)
+      GROUP BY qid, cid),
+    scored AS (
+      SELECT qid AS query_id, cid AS neighbor_id,
+             round(dot / (nq.nrm * nc.nrm), 6) AS score
+      FROM dots JOIN norms nq ON nq.vec_id = qid
+                JOIN norms nc ON nc.vec_id = cid)
+    SELECT query_id, neighbor_id, rank, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+    headline=True,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for a 32-vector probe set — the exact
+    baseline; lsh_bucketed_topk is the approximate scale path (checked
+    for recall in unit tests, not oracle-matched: approximation)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 32)
+    out = similarity.cosine_topk(queries, emb, k=5)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register(
+    "embedding_label_stats",
+    oracle=f"""
+    WITH {_NORMS_CTE}
+    SELECT label, count(*) AS n_vectors,
+           round(avg(round(nrm, 6)), 4) AS avg_norm
+    FROM embeddings JOIN norms USING (vec_id)
+    GROUP BY label
+    """,
+)
+def embedding_label_stats(spark, sf_dir):
+    """Vector-norm stats per label (norm rounded before avg so both
+    engines average identical inputs)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.with_norm(emb)
+    return out.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("norm"), 4).alias("avg_norm"),
+    )
+
+
+@register("ann_lsh_bucketed_topk", oracle=None)  # approximate → rows-only check
+def ann_lsh_bucketed_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (recall checked in tests against
+    the exact baseline; no SQL oracle by design — approximation)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 32)
+    out = similarity.lsh_bucketed_topk(queries, emb, dim=64, k=5)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# ===========================================================================
+# Multimodal plumbing (binary payloads synthesized from documents)
+# ===========================================================================
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text))::BIGINT AS byte_len,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark, sf_dir):
+    """Binary payload + JVM-side metadata (length, md5) — no Python in
+    the metadata path."""
+    docs = _t(spark, sf_dir, "documents")
+    out = multimodal.attach_binary_payload(docs, "doc_id", "text", "text/plain")
+    return out.select("media_id", "byte_len", "content_md5")
+
+
+@register(
+    "multimodal_byte_histogram",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, ascii(substr(text, i, 1)) % 16 AS bin
+      FROM documents, (SELECT unnest(range(1, 100000)) AS i) idx
+      WHERE i <= length(text))
+    SELECT doc_id AS media_id, bin::BIGINT AS bin, count(*) AS n_bytes
+    FROM chars GROUP BY doc_id, bin
+    """,
+)
+def multimodal_byte_histogram(spark, sf_dir):
+    """The mapInPandas (Arrow-batched) feature-extraction path, oracle-
+    checked: 16-bin byte histogram of the payload. ASCII text ⇒ the SQL
+    char-level twin sees identical bytes."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(docs, "doc_id", "text", "text/plain")
+    feats = multimodal.extract_features_histogram(media)
+    return feats.select(
+        "media_id", F.posexplode("bin_counts").alias("bin", "n_bytes")
+    ).filter(F.col("n_bytes") > 0).select(
+        "media_id", F.col("bin").cast("bigint").alias("bin"), F.col("n_bytes").cast("bigint").alias("n_bytes")
+    )
+
+
+# ===========================================================================
+# Structured Streaming (run as availableNow micro-batch over the fixture;
+# result equals the batch twin, so the tumbling one IS oracle-checkable)
+# ===========================================================================
+
+
+@register(
+    "streaming_tumbling_5min",
+    oracle="""
+    SELECT event_type,
+           time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+           count(*) AS n_events,
+           round(sum(value::DECIMAL(12,2)), 2)::DOUBLE AS total_value
+    FROM events
+    GROUP BY event_type, bucket_start
+    """,
+)
+def streaming_tumbling_5min(spark, sf_dir):
+    """Structured Streaming watermark + tumbling window, executed with
+    availableNow over the parquet fixture; on bounded input the final
+    state equals the batch aggregation, which is the oracle."""
+    from lime_etl_spark.streaming import events as sevents
+
+    return sevents.run_tumbling_batchlike(spark, sf_dir)

@@ -40,6 +40,9 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         # --- correctness-critical ---
         .config("spark.sql.session.timeZone", "UTC")
+        # Parquet TIMESTAMP(NANOS) (the events fixture) is unreadable by
+        # Spark natively; read as long and convert in io.sources.read_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- scale posture ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,191 @@
+"""Structured Streaming over the events stream (SURVEY.md §2.7).
+
+The reference's "streaming" is a cron re-run of a batch script; here the
+events table gets real incremental semantics:
+
+- watermarked tumbling / sliding / session windows,
+- dropDuplicatesWithinWatermark (streaming twin of core.dedup_latest's
+  exact-key intent),
+- a foreachBatch idempotent sink that reuses io.sinks.idempotent_reload
+  — the reference's DELETE-window + COPY pattern
+  (/root/reference/lime_survey_nps.py:109-151) becomes an exactly-once
+  partition overwrite per micro-batch.
+
+State-at-scale rules: every stateful op carries a watermark so state is
+bounded (late data beyond the watermark is dropped, the reference had no
+notion of late data); shuffle partitions for streaming stages follow the
+session config; checkpoint dirs are caller-provided (durable storage on
+a real cluster).
+
+Tests drive these with trigger(availableNow=True) over the parquet
+fixture — bounded input, so results equal the batch twins in
+registry.py (that equality IS the oracle for streaming_tumbling_5min).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lime_etl_spark import schemas
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files.
+
+    maxFilesPerTrigger bounds micro-batch size in continuous runs; the
+    explicit schema is mandatory for streaming sources.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the fixture's ts is parquet TIMESTAMP(NANOS) → read as nano-epoch
+    # long, convert to a microsecond timestamp (see io.sources.read_table)
+    nanos_schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            for f in schemas.EVENTS.fields
+        ]
+    )
+    raw = (
+        spark.readStream.schema(nanos_schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(events_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type", F.window("ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # exact-decimal sum → rounded double: bit-identical to the
+            # batch twin and the DuckDB oracle (see registry docstring)
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select("event_type", F.col("w.start").alias("bucket_start"), "n_events", "total_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked sliding-window counts (overlapping windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type", F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Native session windows per user (gap-merged, watermark-bounded
+    state) — streaming twin of registry.events_sessionized."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(
+    stream_df: DataFrame, checkpoint_dir: str | None = None, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming plan with availableNow → memory sink, return
+    the materialized result. Bounded-input helper for tests/oracle."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    checkpoint = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(), f"lime_ckpt_{name}"
+    )
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def stage_events_dir(sf_dir: str) -> str:
+    """The fixture is a single parquet file; the file stream source
+    wants a directory. Stage a copy into a temp dir (tiny file; on a
+    real deployment the source is already a directory of files)."""
+    import shutil
+
+    src = os.path.join(sf_dir, "events.parquet")
+    dest_dir = os.path.join(
+        tempfile.gettempdir(), f"lime_events_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    os.makedirs(dest_dir, exist_ok=True)
+    dest = os.path.join(dest_dir, "events.parquet")
+    if not os.path.exists(dest) or os.path.getmtime(dest) < os.path.getmtime(src):
+        shutil.copyfile(src, dest)
+    return dest_dir
+
+
+def run_tumbling_batchlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """registry.streaming_tumbling_5min body: stream the fixture with
+    availableNow, return the final tumbling aggregation (== batch)."""
+    events = read_events_stream(spark, stage_events_dir(sf_dir))
+    return run_to_memory(tumbling_counts(events))
+
+
+def run_foreach_batch_idempotent(
+    stream_df: DataFrame,
+    dest_path: str,
+    partition_column: str,
+    checkpoint_dir: str,
+) -> None:
+    """foreachBatch sink reusing the idempotent delete-window writer —
+    re-running a failed micro-batch overwrites the same partitions
+    instead of duplicating them (exactly-once on top of at-least-once).
+    """
+    from lime_etl_spark.io.sinks import idempotent_reload
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        idempotent_reload(batch_df, dest_path, partition_column)
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
