@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract, BASELINE.md).
+
+Runs the registry's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full computation,
+no write cost, no driver collect). JVM/session startup is excluded;
+per-query time includes planning + execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lime_etl_spark.registry import REGISTRY  # noqa: E402
+from lime_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(os.path.normpath(path))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark("lime_etl_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM paths the queries share (codegen, parquet reader,
+    # shuffle machinery) with a job that does no query-specific work, so
+    # per-query numbers measure the queries, not first-job JIT.
+    spark.range(1_000_000).selectExpr("sum(id) s").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    from lime_etl_spark.io.sources import read_table
+
+    read_table(spark, SF_DIR, "region").write.format("noop").mode("overwrite").save()
+
+    headline = [(n, q) for n, q in REGISTRY.items() if q.headline]
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, q in headline:
+        start = time.perf_counter()
+        df = q.spark_fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        elapsed = round(time.perf_counter() - start, 3)
+        timings[name] = elapsed
+        total += elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_of(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

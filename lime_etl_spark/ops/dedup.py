@@ -103,9 +103,16 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def shingle_index(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """(id, shingle) inverted index, distinct per doc."""
+    """(id, shingle) inverted index, distinct per doc.
+
+    ensure_parallelism: tokenize+shingle is the CPU-heavy step; a
+    single-row-group input must be spread across cores first (no-op on
+    properly split scans)."""
+    from lime_etl_spark.ops.util import ensure_parallelism
+
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("shingle"))
+        ensure_parallelism(df.select(F.col(id_col).alias("id"), text_col))
+        .select("id", F.explode(shingles(text_col, n)).alias("shingle"))
         .distinct()
     )
 
@@ -125,11 +132,23 @@ def ngram_jaccard_pairs(
     on LSH candidates (minhash_lsh_candidates) beyond ~1M docs; the raw
     self-join is quadratic in docs-per-shingle.
     """
-    idx = shingle_index(df, id_col, text_col, n)
+    # join/count on xxhash64(shingle), not the shingle string: the
+    # self-join shuffles every index row — an 8-byte key vs a ~20-byte
+    # string halves shuffle volume and speeds the hash join. Collisions
+    # would perturb counts but P(collision) over ~1e5 distinct shingles
+    # is ~1e-10 (64-bit). Persist the index: it feeds three subplans
+    # (both join sides + sizes) in one action; at warehouse scale this
+    # is the step you materialize to parquet instead.
+    idx = (
+        shingle_index(df, id_col, text_col, n)
+        .withColumn("sh", F.xxhash64("shingle"))
+        .drop("shingle")
+        .persist()
+    )
     sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = idx.alias("a"), idx.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -186,19 +205,30 @@ def minhash_lsh_candidates(
     estimated signature similarity) for verification.
     """
     sigs = minhash_signatures(df, id_col, text_col, n)
-    bands = []
-    for band in range(LSH_BANDS):
-        cols = [F.col(f"m{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-        bands.append(
-            sigs.select(
-                "id",
+    # one band-struct array + explode, NOT a 4-way union of selects: a
+    # union would give Catalyst 4 distinct subplans and recompute the
+    # whole signature pipeline once per band (4x the shuffles); the
+    # explode computes signatures once and fans out rows afterwards.
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(band).alias("band"),
-                F.md5(F.concat_ws("-", *[c.cast("string") for c in cols])).alias("bkey"),
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        *[
+                            F.col(f"m{band * LSH_ROWS + r}").cast("string")
+                            for r in range(LSH_ROWS)
+                        ],
+                    )
+                ).alias("bkey"),
             )
-        )
-    allbands = bands[0]
-    for b in bands[1:]:
-        allbands = allbands.unionByName(b)
+            for band in range(LSH_BANDS)
+        ]
+    )
+    allbands = sigs.select("id", F.explode(band_structs).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
     a, c = allbands.alias("a"), allbands.alias("c")
     return (
         a.join(
@@ -247,8 +277,11 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     grouped pandas_udf variant would cut the explode if profiling ever
     shows this shuffle dominating.
     """
+    from lime_etl_spark.ops.util import ensure_parallelism
+
     toks = (
-        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+        ensure_parallelism(df.select(F.col(id_col).alias("id"), text_col))
+        .select("id", F.explode(tokens(text_col)).alias("tok"))
         .distinct()
         .withColumn("h", _hash28(F.col("tok")))
     )

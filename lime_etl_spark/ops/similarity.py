@@ -56,13 +56,18 @@ def cosine_topk(
     desc then neighbor id asc — a total order both engines agree on.
     The query side is broadcast: the big side streams exactly once.
     """
+    from lime_etl_spark.ops.util import ensure_parallelism
+
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
         )
     )
-    c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
+    # per-pair dot products are the CPU-heavy step → spread candidates
+    c = ensure_parallelism(
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
+        )
     )
     scored = (
         q.crossJoin(c)

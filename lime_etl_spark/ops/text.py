@@ -39,9 +39,16 @@ LANG_PRIORITY = ["en", "de", "fr", "es", "zh"]  # deterministic tie order
 
 
 def tokens(col: Column | str) -> Column:
-    """Token array — lowercase alnum runs."""
+    """Token array — lowercase alnum runs.
+
+    split-on-complement + drop-empties, NOT regexp_extract_all: both
+    produce exactly the maximal [a-z0-9] runs (equality property-tested
+    in tests), but Spark's regexp_extract_all evaluates ~5x slower than
+    split at identical semantics. The DuckDB oracle keeps
+    regexp_extract_all — cross-engine agreement is part of the contract.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_PATTERN), 0)
+    return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != "")
 
 
 def token_count(col: Column | str) -> Column:

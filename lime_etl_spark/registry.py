@@ -58,6 +58,32 @@ def register(name: str, oracle: str | None, headline: bool = False):
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
+
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """read_table, repartitioned when the scan cannot parallelize.
+
+    For queries whose per-row CPU cost dominates (decimal aggs,
+    tokenization, vector math). Decision is file-size-based (cheap,
+    no plan compile): a file under maxPartitionBytes*parallelism scans
+    with fewer tasks than cores -> round-robin spread. A 100 TB table
+    never satisfies the condition, so the helper self-disables at scale.
+    """
+    import os as _os
+
+    df = read_table(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    max_bytes = int(
+        str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")).rstrip("b")
+    )
+    try:
+        size = _os.path.getsize(_os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return df
+    if size < max_bytes * par:
+        return df.repartition(par)
+    return df
+
+
 def _dec2(col: str):
     """Exact-decimal money column — see module docstring: double sums
     round differently across engines at .xx5 boundaries, so money
@@ -117,7 +143,7 @@ def q1_pricing_summary(spark, sf_dir):
     hash agg (map-side combine) → single exchange on the 2 low-card
     group keys → final agg. No sort, no join.
     """
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tp(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2001-09-01")))
         .groupBy("l_returnflag", "l_linestatus")
@@ -849,7 +875,7 @@ _TOKS_CTE = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 )
 def text_doc_stats(spark, sf_dir):
     """Per-doc token/char stats — narrow projection, no shuffle."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     out = text.with_text_stats(docs)
     return out.select(
         "doc_id",
@@ -883,7 +909,7 @@ def text_doc_stats(spark, sf_dir):
     """,
 )
 def text_quality_scores(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return text.with_quality_score(docs).select("doc_id", "quality_score")
 
 
@@ -909,7 +935,7 @@ def _langid_oracle() -> str:
 @register("text_langid_distribution", oracle=_langid_oracle())
 def text_langid_distribution(spark, sf_dir):
     """Marker-word language-ID heuristic, aggregated to a distribution."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return (
         text.with_lang_id(docs)
         .groupBy("lang_pred")
@@ -925,7 +951,7 @@ def text_langid_distribution(spark, sf_dir):
     """,
 )
 def text_fingerprints(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return text.with_fingerprint(docs).select("doc_id", "fingerprint")
 
 
@@ -956,7 +982,7 @@ _SHINGLES_CTE = f"""
 )
 def dedup_exact_groups(spark, sf_dir):
     """Exact content dedup: groups of identical token streams."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return dedup.exact_dedup_groups(docs)
 
 
@@ -1148,7 +1174,7 @@ def ann_lsh_bucketed_topk(spark, sf_dir):
 def multimodal_binary_meta(spark, sf_dir):
     """Binary payload + JVM-side metadata (length, md5) — no Python in
     the metadata path."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     out = multimodal.attach_binary_payload(docs, "doc_id", "text", "text/plain")
     return out.select("media_id", "byte_len", "content_md5")
 
@@ -1168,7 +1194,7 @@ def multimodal_byte_histogram(spark, sf_dir):
     """The mapInPandas (Arrow-batched) feature-extraction path, oracle-
     checked: 16-bin byte histogram of the payload. ASCII text ⇒ the SQL
     char-level twin sees identical bytes."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     media = multimodal.attach_binary_payload(docs, "doc_id", "text", "text/plain")
     feats = multimodal.extract_features_histogram(media)
     return feats.select(
