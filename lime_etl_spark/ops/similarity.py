@@ -138,19 +138,39 @@ def lsh_bucketed_topk(
     dim: int,
     k: int = 5,
     n_planes: int = 8,
+    multi_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: exact cosine, but only within the probe's LSH
-    bucket. Join on bucket replaces the cross join — candidate set per
-    probe shrinks ~2^n_planes-fold. Recall < 1.0 by construction; raise
-    recall with multi-probe (flip one bit) if needed.
+    bucket(s). Join on bucket replaces the cross join — candidate set
+    per probe shrinks ~2^n_planes-fold.
+
+    multi_probe=1 additionally probes every flip-one-bit neighbor bucket
+    (n_planes+1 buckets total): the nearest misses in hyperplane LSH are
+    vectors just across ONE hyperplane, so one-bit probing recovers most
+    of the recall loss for a (n_planes+1)/2^n_planes coverage cost.
+    Tune n_planes so corpus/2^n_planes ≈ the per-bucket candidate budget
+    (8 planes → /256; small corpora want 4-5 planes).
     """
-    qb = with_lsh_bucket(queries, dim, n_planes, vec_col).select(
+    qb0 = with_lsh_bucket(queries, dim, n_planes, vec_col).select(
         F.col(id_col).alias("query_id"),
         _to_double(F.col(vec_col)).alias("qv"),
         F.col("bucket"),
     )
+    if multi_probe >= 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(2**i).cast("bigint"))
+                for i in range(n_planes)
+            ],
+        )
+        qb = qb0.select(
+            "query_id", "qv", F.explode(probes).alias("bucket")
+        )
+    else:
+        qb = qb0
     cb = with_lsh_bucket(candidates, dim, n_planes, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         _to_double(F.col(vec_col)).alias("cv"),

@@ -1153,7 +1153,7 @@ def ann_lsh_bucketed_topk(spark, sf_dir):
     the exact baseline; no SQL oracle by design — approximation)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 32)
-    out = similarity.lsh_bucketed_topk(queries, emb, dim=64, k=5)
+    out = similarity.lsh_bucketed_topk(queries, emb, dim=64, k=5, n_planes=5)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 

@@ -1,0 +1,97 @@
+"""Unit tests for core + analytics operators on small synthetic frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lime_etl_spark.ops import analytics, core
+
+
+def test_dedup_latest_deterministic_tie(spark):
+    df = spark.createDataFrame(
+        [
+            ("k1", "2024-01-01", "a"),
+            ("k1", "2024-01-02", "b"),
+            ("k2", "2024-01-01", "c"),
+            ("k2", "2024-01-01", "d"),  # exact tie on (key, order)
+        ],
+        "key STRING, ts STRING, id STRING",
+    )
+    out = core.dedup_latest(df, key="key", order_by="ts", tiebreak="id")
+    rows = {r.key: r.id for r in out.collect()}
+    assert rows == {"k1": "b", "k2": "d"}  # tie → id desc
+
+
+def test_as_of_join_backward(spark):
+    quotes = spark.createDataFrame(
+        [("A", 1, 100.0), ("A", 5, 101.0), ("A", 9, 102.0), ("B", 3, 50.0)],
+        "sym STRING, t BIGINT, px DOUBLE",
+    )
+    trades = spark.createDataFrame(
+        [("A", 4, 1), ("A", 5, 2), ("A", 20, 3), ("B", 2, 4), ("C", 1, 5)],
+        "sym STRING, t BIGINT, trade_id BIGINT",
+    )
+    out = analytics.as_of_join(
+        trades, quotes, key="sym", left_ts="t", right_ts="t",
+        left_id="trade_id", right_tiebreak="px",
+    )
+    got = {r["trade_id"]: r["px"] for r in out.select("l.trade_id", "r.px").collect()}
+    assert got[1] == 100.0  # t=4 → quote at t=1
+    assert got[2] == 101.0  # t=5 → quote at t=5 (inclusive)
+    assert got[3] == 102.0  # t=20 → latest
+    assert got[4] is None   # B trade t=2 predates B quote t=3
+    assert got[5] is None   # no quotes for C (left join preserved)
+
+
+def test_topk_per_group_and_sort_topn(spark):
+    df = spark.createDataFrame(
+        [("g1", i, float(i % 5)) for i in range(20)] + [("g2", 100, 9.0)],
+        "g STRING, id BIGINT, v DOUBLE",
+    )
+    top = analytics.topk_per_group(df, ["g"], [F.col("v").desc(), F.col("id").asc()], 2)
+    per_g = {}
+    for r in top.collect():
+        per_g.setdefault(r.g, []).append((r.v, r.id))
+    assert per_g["g2"] == [(9.0, 100)]
+    assert len(per_g["g1"]) == 2 and per_g["g1"][0] == (4.0, 4)
+
+    topn = analytics.sort_topn(df, [F.col("v").desc(), F.col("id").asc()], 3)
+    assert [r.id for r in topn.collect()] == [100, 4, 9]
+
+
+def test_set_ops(spark):
+    a = spark.createDataFrame([(1,), (2,), (2,), (3,)], "x BIGINT")
+    b = spark.createDataFrame([(2,), (3,), (4,)], "x BIGINT")
+    assert sorted(r.x for r in analytics.union_distinct(a, b).collect()) == [1, 2, 3, 4]
+    assert sorted(r.x for r in analytics.intersect(a, b).collect()) == [2, 3]
+    assert sorted(r.x for r in analytics.except_rows(a, b).collect()) == [1, 2]
+    assert sorted(r.x for r in analytics.except_rows(a, b, keep_dups=False).collect()) == [1]
+
+
+def test_union_all_missing_columns(spark):
+    a = spark.createDataFrame([(1, "x")], "id BIGINT, a STRING")
+    b = spark.createDataFrame([(2, "y")], "id BIGINT, b STRING")
+    out = analytics.union_all(a, b)
+    assert set(out.columns) == {"id", "a", "b"}
+    assert out.count() == 2
+
+
+def test_filter_and_clean(spark):
+    df = spark.createDataFrame(
+        [("A1",), ("N10",), ("",), (None,), ("xyz",)], "grade STRING"
+    )
+    cleaned = core.clean_numeric(df, "grade", "A|N")
+    vals = [r.grade for r in cleaned.collect()]
+    assert vals[0] == 1.0 and vals[1] == 10.0
+    assert vals[2] is None and vals[3] is None and vals[4] is None
+
+    kept = core.filter_isin(df, "grade", ["A1", "N10"])
+    assert kept.count() == 2
+
+
+def test_normalize_empty_to_null(spark):
+    df = spark.createDataFrame([("", "x"), ("y", "")], "a STRING, b STRING")
+    out = core.normalize_empty_to_null(df)
+    rows = out.collect()
+    assert rows[0].a is None and rows[0].b == "x"
+    assert rows[1].a == "y" and rows[1].b is None

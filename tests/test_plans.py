@@ -1,0 +1,102 @@
+"""Physical-plan assertions — the 100 TB posture checks (SURVEY.md §4).
+
+These tests pin the *plan shape*, not results: filters reach the parquet
+scan, column pruning holds, small dims broadcast, global top-n avoids a
+full sort, and codegen covers the hot path. A regression here is a
+scale bug even when results stay correct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lime_etl_spark.io.sources import read_table
+from lime_etl_spark.ops import analytics
+from lime_etl_spark.registry import REGISTRY
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_q6_predicates_pushed_to_scan(spark, sf_dir):
+    df = REGISTRY["q6_revenue_forecast"].spark_fn(spark, sf_dir)
+    plan = _formatted(df)
+    assert "PushedFilters:" in plan
+    # the shipdate range + discount + quantity predicates all push down
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    df = REGISTRY["q6_revenue_forecast"].spark_fn(spark, sf_dir)
+    plan = _formatted(df)
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema:" in ln][0]
+    # only the 4 referenced columns are read, not all 11
+    assert "l_extendedprice" in read_schema and "l_discount" in read_schema
+    for unused in ("l_returnflag", "l_partkey", "l_comment", "l_tax"):
+        assert unused not in read_schema
+
+
+def test_q5_broadcasts_small_dims(spark, sf_dir):
+    df = REGISTRY["q5_region_revenue"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # region+nation+supplier must never shuffle the fact side
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_topn_uses_take_ordered(spark, sf_dir):
+    part = read_table(spark, sf_dir, "part")
+    df = analytics.sort_topn(
+        part.select("p_partkey", "p_retailprice"),
+        [F.col("p_retailprice").desc(), F.col("p_partkey").asc()],
+        10,
+    )
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    df = REGISTRY["q1_pricing_summary"].spark_fn(spark, sf_dir)
+    # AQE reveals the final plan only after execution; codegen membership
+    # appears as the *(n) stage markers in the plan string. Also pin the
+    # partial-before-exchange aggregation (map-side combine).
+    df.collect()
+    plan = _plan(df)
+    assert "*(" in plan
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange hashpartitioning") or (
+        "partial_sum" in plan.split("Exchange hashpartitioning")[1]
+    )
+
+
+def test_dedup_latest_single_shuffle(spark, sf_dir):
+    df = REGISTRY["dedup_latest_event_per_user"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    # one hash exchange for the window; no global sort (Sort appears
+    # only inside the partitioned window, which is fine), no extra joins
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_semi_anti_join_types(spark, sf_dir):
+    semi = REGISTRY["join_semi_urgent_customers"].spark_fn(spark, sf_dir)
+    anti = REGISTRY["join_anti_customers_without_orders"].spark_fn(spark, sf_dir)
+    assert "LeftSemi" in _plan(semi)
+    assert "LeftAnti" in _plan(anti)
+
+
+def test_no_cartesian_in_registry_except_ann(spark, sf_dir):
+    # brute-force ANN is the one intentional cross join (broadcast side
+    # is a 32-row probe set); everything else must be join-keyed
+    for name, q in REGISTRY.items():
+        if name.startswith("ann_") or name.startswith("streaming_"):
+            continue
+        plan = _plan(q.spark_fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

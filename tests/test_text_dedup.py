@@ -1,0 +1,120 @@
+"""Text + dedup operator tests, including property-based tokenizer
+equivalence (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from lime_etl_spark.ops import dedup, text
+
+
+def _py_tokens(s: str) -> list[str]:
+    return re.findall("[a-z0-9]+", s.lower())
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet="abcXYZ019 .,!-\t\néü中",
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_tokenizer_matches_python_re(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    got = [r.toks for r in df.select(text.tokens("text").alias("toks")).collect()]
+    expected = [_py_tokens(t) for t in texts]
+    assert got == expected
+
+
+def test_shingles_short_docs(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("",), ("one",)], "text STRING"
+    )
+    out = df.select(text.shingles("text", 3).alias("s")).collect()
+    assert out[0].s == ["a b c", "b c d"]
+    assert out[1].s == []  # < n tokens → empty, NOT a descending-sequence artifact
+    assert out[2].s == []
+    assert out[3].s == []
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello   World"),
+            (2, "hello world"),  # same token stream → dup of 1
+            (3, "something else"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    groups = dedup.exact_dedup_groups(df)
+    g = groups.collect()
+    assert len(g) == 1 and g[0].canonical_id == 1 and g[0].n_docs == 2
+    survivors = sorted(r.doc_id for r in dedup.exact_dedup(df).collect())
+    assert survivors == [1, 3]
+
+
+def test_jaccard_and_minhash_find_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")  # 1-token edit
+    far = "completely different content about spark query engines at scale"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id BIGINT, text STRING"
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got and len(got) == 1
+
+    nd = dedup.minhash_near_dups(df, threshold=0.5)
+    got_lsh = {(r.id_a, r.id_b) for r in nd.collect()}
+    assert got_lsh == {(1, 2)}
+
+
+def test_minhash_signature_shape(spark, sf_dir):
+    from lime_etl_spark.io.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    sigs = dedup.minhash_signatures(docs)
+    assert sigs.columns == ["id"] + [f"m{j}" for j in range(dedup.MINHASH_PERMS)]
+    row = sigs.collect()[0]
+    for j in range(dedup.MINHASH_PERMS):
+        assert 0 <= row[f"m{j}"] < dedup.MOD_P
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark query engine with distributed joins and aggregates"),
+            (2, "spark query engine with distributed joins and windows"),
+            (3, "pelican migration routes across coastal wetlands yearly"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.id: r.simhash for r in dedup.simhash(df).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(out[1], out[2]) < hamming(out[1], out[3])
+    assert hamming(out[1], out[2]) < hamming(out[2], out[3])
+
+
+def test_langid_und_for_markerless(spark):
+    df = spark.createDataFrame([(1, "zzz qqq xxx"), (2, "the cat and dog")], "doc_id BIGINT, text STRING")
+    got = {r.doc_id: r.lang_pred for r in text.with_lang_id(df).collect()}
+    assert got[1] == "und"
+    assert got[2] == "en"
+
+
+def test_quality_score_short_doc_zero(spark):
+    df = spark.createDataFrame([(1, "too short"), (2, " ".join(["the word"] * 40))], "doc_id BIGINT, text STRING")
+    got = {r.doc_id: r.quality_score for r in text.with_quality_score(df).collect()}
+    assert got[1] == 0.0
+    assert got[2] > 0.5
