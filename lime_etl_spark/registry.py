@@ -1228,3 +1228,356 @@ def streaming_tumbling_5min(spark, sf_dir):
     from lime_etl_spark.streaming import events as sevents
 
     return sevents.run_tumbling_batchlike(spark, sf_dir)
+
+
+# ===========================================================================
+# Scalar-function surface queries (functions.py families)
+# ===========================================================================
+
+
+@register(
+    "string_funcs_part_summary",
+    oracle="""
+    SELECT p_brand,
+           count(*) AS n_parts,
+           round(avg(length(p_name)), 4) AS avg_name_len,
+           count(DISTINCT p_type) AS n_types,
+           count(CASE WHEN upper(p_name) LIKE '%RED%' THEN 1 END) AS n_red,
+           min(substr(p_name, 1, 3)) AS first_prefix
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def string_funcs_part_summary(spark, sf_dir):
+    """String-function family: length/upper/like/substr under aggregation."""
+    part = _t(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg(F.length("p_name")), 4).alias("avg_name_len"),
+        F.countDistinct("p_type").alias("n_types"),
+        F.count(F.when(F.upper("p_name").like("%RED%"), 1)).alias("n_red"),
+        F.min(F.substring("p_name", 1, 3)).alias("first_prefix"),
+    )
+
+
+@register(
+    "date_funcs_order_volume",
+    oracle="""
+    SELECT year(o_orderdate)::BIGINT AS order_year,
+           month(o_orderdate)::BIGINT AS order_month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice::DECIMAL(12,2)), 2)::DOUBLE AS total_price
+    FROM orders
+    GROUP BY order_year, order_month
+    """,
+)
+def date_funcs_order_volume(spark, sf_dir):
+    """Date-function family: year/month extraction driving a rollup-ready
+    aggregate (partition-pruning analog: these become partition columns
+    in a production lake layout)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dec_sum("o_totalprice").alias("total_price"),
+    )
+
+
+# ===========================================================================
+# More TPC-H shapes
+# ===========================================================================
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           round(sum(l_quantity::DECIMAL(12,2)), 2)::DOUBLE AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_custkey, o_orderkey
+    HAVING sum(l_quantity::DECIMAL(12,2)) > 300
+    """,
+)
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: join + group + HAVING on an exact decimal sum
+    (the threshold comparison must be boundary-exact across engines)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(F.sum(_dec2("l_quantity")).alias("__qty"))
+        .filter(F.col("__qty") > 300)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("__qty", 2).cast("double").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(1,0) - l_discount::DECIMAL(6,4))
+                          ELSE 0::DECIMAL(12,2) END), 2)::DOUBLE AS promo_revenue,
+           round(sum(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(1,0) - l_discount::DECIMAL(6,4))), 2)::DOUBLE AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation over a broadcast join.
+    Output keeps numerator+denominator instead of their ratio — a
+    decimal division's scale rules differ across engines, the two exact
+    sums do not."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-07-01")))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = _dec2("l_extendedprice") * (_one() - _dec4("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(12,2)"))), 2
+            ).cast("double").alias("promo_revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH part_stats AS (
+      SELECT l_partkey AS pk,
+             sum(l_quantity::DECIMAL(12,2)) AS qty_sum,
+             count(*) AS qty_cnt
+      FROM lineitem GROUP BY l_partkey)
+    SELECT round(sum(l_extendedprice::DECIMAL(12,2)), 2)::DOUBLE AS small_qty_revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part_stats ON l_partkey = pk
+    WHERE 5 * l_quantity::DECIMAL(12,2) * qty_cnt < qty_sum
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated avg → join against per-key stats.
+    The `qty < 0.2*avg` predicate is algebraically rearranged to
+    `5*qty*cnt < sum` so the comparison is exact integer/decimal math —
+    no float-division boundary can flip rows between engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_dec2("l_quantity")).alias("qty_sum"),
+        F.count(F.lit(1)).alias("qty_cnt"),
+    )
+    return (
+        li.join(stats, F.col("l_partkey") == F.col("pk"))
+        .filter(F.lit(5) * _dec2("l_quantity") * F.col("qty_cnt") < F.col("qty_sum"))
+        .agg(
+            F.round(F.sum(_dec2("l_extendedprice")), 2).cast("double").alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "join_full_outer_nation_activity",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def join_full_outer_nation_activity(spark, sf_dir):
+    """FULL OUTER join: nations with customers, suppliers, or both —
+    null counts preserved (not coalesced) to pin outer semantics."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("c_nk")).agg(F.count(F.lit(1)).alias("n_cust"))
+    s = supp.groupBy(F.col("s_nationkey").alias("s_nk")).agg(F.count(F.lit(1)).alias("n_supp"))
+    return analytics.join(c, s, F.col("c_nk") == F.col("s_nk"), "full").select(
+        F.coalesce(F.col("c_nk"), F.col("s_nk")).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+# ===========================================================================
+# More window shapes
+# ===========================================================================
+
+
+@register(
+    "window_rank_dense_ntile",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_dense_ntile(spark, sf_dir):
+    """rank / dense_rank / ntile over one totally ordered window."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+@register(
+    "window_first_last_event",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type)  OVER w AS last_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_event(spark, sf_dir):
+    """first_value/last_value with an explicit full frame (the default
+    frame would make last_value the current row — a classic bug)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+    )
+
+
+@register(
+    "events_sliding_10min",
+    oracle="""
+    SELECT event_type, window_start, count(*) AS n_events
+    FROM (
+      SELECT event_type,
+             unnest([time_bucket(INTERVAL '5 minutes', ts),
+                     time_bucket(INTERVAL '5 minutes', ts) - INTERVAL 5 MINUTE]) AS window_start
+      FROM events)
+    GROUP BY event_type, window_start
+    """,
+)
+def events_sliding_10min(spark, sf_dir):
+    """Sliding windows (10 min / slide 5): each event belongs to two
+    overlapping windows — Spark's window() emits both natively; the
+    oracle unnests the two bucket starts."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("event_type", F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+@register(
+    "streaming_session_30min",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM ordered),
+    sess AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value::DECIMAL(12,2)), 2)::DOUBLE AS total_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def streaming_session_30min(spark, sf_dir):
+    """Structured Streaming session_window (30-min gap) via availableNow.
+    Oracle: the batch lag/cumsum sessionization — session_window's
+    gap-merge semantics are exactly the lag>gap rule; its window end is
+    last event + gap."""
+    from lime_etl_spark.streaming import events as sevents
+
+    stream = sevents.read_events_stream(spark, sevents.stage_events_dir(sf_dir))
+    return sevents.run_to_memory(sevents.session_windows(stream, gap="30 minutes"))
+
+
+# ===========================================================================
+# Sketch aggregates (rows-only: sketch internals are engine-specific)
+# ===========================================================================
+
+
+@register("agg_approx_distinct_parts", oracle=None)
+def agg_approx_distinct_parts(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) — the 100 TB path for
+    distinct counts (exact distinct shuffles every key). rows-only:
+    sketch estimates are engine-specific by nature; the exact twin is
+    oracle-checked in agg_distinct_parts."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+    )
+
+
+# ===========================================================================
+# Reference-pipeline smoke queries (rows-only: input is the synthetic
+# LimeSurvey export fixture, not a warehouse table — golden-value checks
+# live in tests/test_pipelines.py)
+# ===========================================================================
+
+_PIPELINE_RUN_TS = "2024-04-01 12:00:00"
+
+
+def _survey_flat(spark):
+    import json
+
+    from lime_etl_spark.io.sources import responses_payload_to_df
+    from lime_etl_spark.pipelines.fixtures import make_survey_payload
+
+    return responses_payload_to_df(spark, make_survey_payload())
+
+
+@register("pipeline_nps", oracle=None)
+def pipeline_nps(spark, sf_dir):
+    from lime_etl_spark.pipelines import surveys
+
+    return surveys.nps(_survey_flat(spark), _PIPELINE_RUN_TS)
+
+
+@register("pipeline_returns", oracle=None)
+def pipeline_returns(spark, sf_dir):
+    from lime_etl_spark.pipelines import surveys
+
+    return surveys.returns(_survey_flat(spark), _PIPELINE_RUN_TS)
+
+
+@register("pipeline_orders_shipped", oracle=None)
+def pipeline_orders_shipped(spark, sf_dir):
+    from lime_etl_spark.pipelines import surveys
+
+    return surveys.orders_shipped(_survey_flat(spark), _PIPELINE_RUN_TS)
