@@ -108,11 +108,13 @@ def shingle_index(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     ensure_parallelism: tokenize+shingle is the CPU-heavy step; a
     single-row-group input must be spread across cores first (no-op on
     properly split scans)."""
+    from lime_etl_spark.ops.text import shingles_from_tokens
     from lime_etl_spark.ops.util import ensure_parallelism
 
     return (
         ensure_parallelism(df.select(F.col(id_col).alias("id"), text_col))
-        .select("id", F.explode(shingles(text_col, n)).alias("shingle"))
+        .withColumn("__toks", tokens(text_col))
+        .select("id", F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("shingle"))
         .distinct()
     )
 

