@@ -1581,3 +1581,111 @@ def pipeline_orders_shipped(spark, sf_dir):
     from lime_etl_spark.pipelines import surveys
 
     return surveys.orders_shipped(_survey_flat(spark), _PIPELINE_RUN_TS)
+
+
+# ===========================================================================
+# Grouped-map pandas UDF (Arrow path) + GROUPING SETS + chunking
+# ===========================================================================
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, i::BIGINT AS dim, round(avg(e), 6) AS centroid
+    FROM (
+      SELECT label, unnest(list_transform(embedding, x -> x::DOUBLE)) AS e,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings)
+    GROUP BY label, i
+    """,
+)
+def embedding_centroids(spark, sf_dir):
+    """Per-label embedding centroid via applyInPandas (grouped-map Arrow
+    batch -> numpy mean) — the pattern a real train-data pipeline uses
+    for cluster statistics. Output exploded to (label, dim, value) so
+    the oracle compares scalars, not float arrays."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        mean = mat.mean(axis=0)
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "dim": np.arange(1, mat.shape[1] + 1, dtype=np.int64),
+                "centroid": np.round(mean, 6),
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        centroid, "label INT, dim BIGINT, centroid DOUBLE"
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS through the engine's SQL entry point
+    (spark.sql over a registered view) — distinct from rollup/cube."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "text_chunking",
+    oracle="""
+    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents),
+    c AS (
+      SELECT doc_id, i::BIGINT AS chunk_idx,
+             array_to_string(toks[i*32+1 : (i+1)*32], ' ') AS chunk
+      FROM t, (SELECT unnest(range(0, 1000)) AS i) idx
+      WHERE i*32 < len(toks))
+    SELECT doc_id, chunk_idx, chunk, length(chunk)::BIGINT AS chunk_chars
+    FROM c
+    """,
+)
+def text_chunking(spark, sf_dir):
+    """Fixed-size (32-token) document chunking — the training-data
+    segmentation op. Pure JVM expressions: one transform over chunk
+    indices, slice per chunk; also implemented as a Python UDTF in
+    tests/test_udtf.py to pin the UDTF surface (same output)."""
+    from lime_etl_spark.ops.text import tokens
+
+    docs = _tp(spark, sf_dir, "documents")
+    toks = F.col("__toks")
+    n_chunks = F.ceil(F.size(toks) / F.lit(32)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("bigint").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, i * 32 + 1, 32)).alias("chunk"),
+        ),
+    )
+    return (
+        docs.withColumn("__toks", tokens("text"))
+        .filter(F.size("__toks") > 0)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk").alias("chunk"),
+            F.length("c.chunk").cast("bigint").alias("chunk_chars"),
+        )
+    )

@@ -43,6 +43,11 @@ def get_spark(
         # Parquet TIMESTAMP(NANOS) (the events fixture) is unreadable by
         # Spark natively; read as long and convert in io.sources.read_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark 4.1's checksum checkpoint manager deadlocks stateful-op
+        # state-store commits on local filesystems (async checksum write
+        # never resolves); corruption detection matters on real HDFS/S3
+        # checkpoints, not local test dirs.
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
         # --- scale posture ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -87,3 +87,98 @@ def test_sliding_windows_overlap(spark, sf_dir, tmp_path):
     # each event lands in 2 overlapping windows → sum of counts == 2x events
     total = sum(r.n_events for r in rows)
     assert total == 2 * read_table(spark, sf_dir, "events").count()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Run 1 processes on-time events and commits its watermark to the
+    checkpoint; run 2 (same checkpoint) sees a file containing an event
+    older than the restored watermark → the event must be dropped, and
+    the already-finalized window must not change. This also pins
+    checkpoint recovery: the watermark survives query restarts."""
+    import shutil
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+
+    def write_file(rows, name):
+        spark.createDataFrame(
+            rows, "event_id BIGINT, ts_s STRING, value DOUBLE"
+        ).select(
+            "event_id", F.to_timestamp("ts_s").alias("ts"), "value"
+        ).coalesce(1).write.parquet(str(tmp_path / name))
+        part = next(
+            p for p in os.listdir(tmp_path / name) if p.endswith(".parquet")
+        )
+        shutil.copyfile(tmp_path / name / part, src / f"{name}.parquet")
+
+    out = str(tmp_path / "out")
+
+    def run_once(_):
+        # file sink, not memory: only fault-tolerant sinks support
+        # resuming from a checkpoint (which is the point of this test)
+        stream = spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, value DOUBLE"
+        ).parquet(str(src))
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.sum("value").alias("total"))
+            .select(F.col("w.start").alias("ws"), "total")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")  # append emits only watermark-finalized windows
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r.ws.isoformat(): r.total for r in spark.read.parquet(out).collect()
+        }
+
+    # run 1: on-time events; max ts 10:59 → watermark commits as 10:49,
+    # finalizing the 10:00 window with value 1.0
+    write_file([(1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-01 10:59:00", 1.0)], "b1")
+    r1 = run_once(f"late1_{uuid.uuid4().hex[:8]}")
+    assert r1.get("2024-01-01T10:00:00") == 1.0
+
+    # run 2: a late event (10:01 < restored watermark 10:49) plus one
+    # on-time event; the late row must be dropped — 10:00 stays 1.0
+    write_file([(3, "2024-01-01 10:01:00", 100.0), (4, "2024-01-01 12:00:00", 1.0)], "b2")
+    r2 = run_once(f"late2_{uuid.uuid4().hex[:8]}")
+    assert r2.get("2024-01-01T10:00:00") in (None, 1.0)  # never 101.0
+    # the 10:55+ window finalized by run 2's watermark advance exists
+    assert r2.get("2024-01-01T10:55:00") == 1.0
+
+
+def test_stateful_user_tracker(spark, sf_dir, tmp_path):
+    from lime_etl_spark.streaming import events as sevents
+    from lime_etl_spark.streaming.stateful import track_user_activity
+
+    stream = sevents.read_events_stream(spark, sevents.stage_events_dir(sf_dir))
+    got = sevents.run_to_memory(
+        track_user_activity(stream),
+        checkpoint_dir=str(tmp_path / "ck_state"),
+        output_mode="update",
+    )
+    from lime_etl_spark.io.sources import read_table
+    from pyspark.sql import functions as F
+
+    batch = read_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    # final state per user equals the batch aggregate (single batch run)
+    g = {(r.user_id, r.n_events) for r in got.collect()}
+    b = {(r.user_id, r.n_events) for r in batch.collect()}
+    assert g == b
+    gv = {r.user_id: r.total_value for r in got.collect()}
+    bv = {r.user_id: r.total_value for r in batch.collect()}
+    for uid in bv:
+        assert abs(gv[uid] - bv[uid]) < 0.05  # python float sum vs decimal path
