@@ -66,6 +66,45 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: read_table(spark, sf_dir, n) for n in names}
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV scan (K2's inverse). Always pass a schema in production —
+    inference is a full extra pass; PERMISSIVE keeps malformed rows
+    visible via _corrupt_record instead of failing a 100 TB load."""
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("sep", sep)
+        .option("mode", "PERMISSIVE")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    n_buckets: int = 8,
+    sort_by: str | None = None,
+) -> None:
+    """Persist as a bucketed managed table: joins/aggs on the bucket key
+    skip their shuffle entirely (co-located partitioning survives in the
+    catalog). This is the 100 TB answer to repeated fact-fact joins on
+    one key — pay the shuffle once at write, never at read."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_by)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.saveAsTable(table)
+
+
 # ---------------------------------------------------------------------------
 # LimeSurvey export payload (nested JSON) — replaces the flatten loop
 # ---------------------------------------------------------------------------

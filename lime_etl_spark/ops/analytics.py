@@ -91,6 +91,35 @@ def as_of_join(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: the (large, skewed) left side gets a
+    deterministic salt derived from its full row hash; the (smaller)
+    right side is replicated ``salt`` ways. The shuffle key becomes
+    (key, salt-bucket), splitting a hot key's rows across ``salt``
+    reducers instead of one straggler.
+
+    AQE's skew-join handles most cases at runtime; explicit salting
+    remains for aggregation-under-join pipelines AQE can't split and for
+    deterministic plan shape. Deterministic salt (hash of row, not
+    rand()): retries and re-runs place rows identically.
+    """
+    if how not in {"inner", "left"}:
+        raise ValueError("salted_join supports inner/left joins")
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    l = left.withColumn("__salt", lsalt)
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = l.join(r, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
 # ---------------------------------------------------------------------------
 # Aggregations
 # ---------------------------------------------------------------------------

@@ -1689,3 +1689,190 @@ def text_chunking(spark, sf_dir):
             F.length("c.chunk").cast("bigint").alias("chunk_chars"),
         )
     )
+
+
+# ===========================================================================
+# Pivot, range frames, rolling hash, cosine dedup, q7
+# ===========================================================================
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@register(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           count(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'view'     THEN 1 END) AS view,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+           count(CASE WHEN event_type = 'error'    THEN 1 END) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark, sf_dir):
+    """PIVOT: per-user event-type count matrix. The value list is pinned
+    (not inferred) — inference costs an extra distinct pass at scale."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+@register(
+    "window_range_30d_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice::DECIMAL(12,2)) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2)::DOUBLE
+             AS spend_30d
+    FROM orders
+    """,
+)
+def window_range_30d_spend(spark, sf_dir):
+    """RANGE frame: per-customer trailing-30-day spend. Spark range
+    frames need a numeric order key → epoch seconds on both sides
+    (2592000 s = 30 days). Ties in o_orderdate are frame-equivalent
+    under RANGE, so no extra tiebreak is needed for determinism."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2592000, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(_dec2("o_totalprice")).over(w), 2)
+        .cast("double")
+        .alias("spend_30d"),
+    )
+
+
+@register(
+    "text_rolling_hash",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_CTE} AS toks FROM documents)
+    SELECT doc_id,
+           list_reduce(
+             list_transform(toks, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT),
+             (a, b) -> (a * 31 + b) % 1000000007
+           ) AS rolling_hash
+    FROM t
+    WHERE len(toks) > 0
+    """,
+)
+def text_rolling_hash(spark, sf_dir):
+    """Rabin-Karp rolling hash over the token stream — the order-
+    sensitive fingerprint (md5 fingerprint is order-sensitive too but
+    opaque; the polynomial form supports incremental/windowed reuse).
+    Exact integer arithmetic → bit-equal across engines."""
+    from lime_etl_spark.ops.dedup import _hash28
+    from lime_etl_spark.ops.text import tokens
+
+    docs = _tp(spark, sf_dir, "documents")
+    toks = F.col("__toks")
+    rolled = F.aggregate(
+        F.transform(toks, lambda s: _hash28(s)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 31 + x) % F.lit(1_000_000_007),
+    )
+    return (
+        docs.withColumn("__toks", tokens("text"))
+        .filter(F.size("__toks") > 0)
+        .select("doc_id", rolled.alias("rolling_hash"))
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+               FROM embeddings),
+    {_NORMS_CTE},
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.e[a.i] * b.e[b.i]) AS dot
+      FROM (SELECT vec_id, e, unnest(range(1, 65)) AS i FROM v) a
+      JOIN (SELECT vec_id, e, unnest(range(1, 65)) AS i FROM v) b
+        ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots JOIN norms na ON na.vec_id = id_a
+              JOIN norms nb ON nb.vec_id = id_b
+    WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (all pairs ≥ threshold) — the
+    fourth dedup modality (exact / jaccard / minhash / embedding). At
+    scale the pair generation runs through the LSH buckets
+    (similarity.lsh_bucketed_topk); this exact form is the oracle-able
+    verification path."""
+    from lime_etl_spark.ops.similarity import _dot, _norm, _to_double
+    from lime_etl_spark.ops.util import ensure_parallelism
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", _to_double(F.col("embedding")).alias("e"))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = ensure_parallelism(
+        v.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    )
+    pairs = F.broadcast(a).join(b, F.col("id_a") < F.col("id_b"))
+    cos = F.round(
+        _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6
+    )
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+    )
+
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           year(l_shipdate)::BIGINT AS ship_year,
+           round(sum(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(1,0) - l_discount::DECIMAL(6,4))), 2)::DOUBLE AS volume
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY cust_nation, supp_nation, ship_year
+    """,
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: cross-nation trade volume — the same dimension
+    table joined twice under different roles (broadcast both)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(_rev_sum().alias("volume"))
+    )

@@ -13,7 +13,14 @@ ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark("lime_etl_spark-tests", shuffle_partitions=8)
+    import tempfile
+
+    spark = get_spark(
+        "lime_etl_spark-tests",
+        shuffle_partitions=8,
+        # static conf — must be set at session creation (bucketed-table tests)
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="lime_wh_")},
+    )
     yield spark
 
 

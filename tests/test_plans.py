@@ -92,10 +92,11 @@ def test_semi_anti_join_types(spark, sf_dir):
 
 
 def test_no_cartesian_in_registry_except_ann(spark, sf_dir):
-    # brute-force ANN is the one intentional cross join (broadcast side
-    # is a 32-row probe set); everything else must be join-keyed
+    # brute-force ANN and exact cosine pair-gen are the intentional
+    # cross-join-shaped ops (broadcast side bounded; LSH is the scale
+    # path); everything else must be join-keyed
     for name, q in REGISTRY.items():
-        if name.startswith("ann_") or name.startswith("streaming_"):
+        if name.startswith(("ann_", "streaming_", "dedup_embedding_cosine")):
             continue
         plan = _plan(q.spark_fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name

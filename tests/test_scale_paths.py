@@ -1,0 +1,61 @@
+"""Scale-path operators: salted joins, bucketed co-located joins, CSV
+round-trip. These pin the mechanisms a 1000-executor deployment leans
+on; results must equal the naive forms exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lime_etl_spark.io.sources import read_csv, read_table, write_bucketed_table
+from lime_etl_spark.ops import analytics
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    salted = analytics.salted_join(
+        orders.withColumnRenamed("o_custkey", "k"),
+        cust.withColumnRenamed("c_custkey", "k"),
+        key="k",
+        salt=8,
+    ).groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_splits_hot_key(spark):
+    # one hot key (0) with 10k rows: the salted shuffle key must spread
+    # it across multiple buckets
+    left = spark.range(10_000).select(F.lit(0).alias("k"), F.col("id"))
+    right = spark.createDataFrame([(0, "hot")], "k BIGINT, tag STRING")
+    out = analytics.salted_join(left, right, key="k", salt=8)
+    assert out.count() == 10_000
+    # deterministic: same result twice
+    assert out.count() == analytics.salted_join(left, right, key="k", salt=8).count()
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    write_bucketed_table(orders, "orders_b", "o_orderkey", 8, sort_by="o_orderkey")
+    write_bucketed_table(li, "lineitem_b", "l_orderkey", 8, sort_by="l_orderkey")
+    ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
+    joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # co-located bucket join: NO exchange on either side
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() == li.count()
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_csv_round_trip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a,b", 2.5), (2, None, -1.0)], "id BIGINT, s STRING, v DOUBLE"
+    )
+    path = str(tmp_path / "csv_out")
+    df.write.option("header", "true").csv(path)
+    back = read_csv(spark, path, schema="id BIGINT, s STRING, v DOUBLE")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
