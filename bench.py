@@ -41,9 +41,10 @@ def main() -> None:
     # Warm the JVM paths the queries share (codegen, parquet reader,
     # shuffle machinery) with a job that does no query-specific work, so
     # per-query numbers measure the queries, not first-job JIT.
-    spark.range(1_000_000).selectExpr("sum(id) s").write.format("noop").mode(
-        "overwrite"
-    ).save()
+    spark.range(1_000_000).selectExpr(
+        "sum(cast(id as decimal(12,2)) * (1 - cast(id % 7 as decimal(6,4)) / 100)) s",
+        "sum(id) t",
+    ).write.format("noop").mode("overwrite").save()
     from lime_etl_spark.io.sources import read_table
 
     read_table(spark, SF_DIR, "region").write.format("noop").mode("overwrite").save()

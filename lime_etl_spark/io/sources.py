@@ -136,21 +136,41 @@ def flatten_responses(raw: DataFrame, field_names: list[str] | None = None) -> D
     )
 
 
-def read_survey_export_json(spark: SparkSession, path: str) -> DataFrame:
+def read_survey_export_json(
+    spark: SparkSession, path: str, strict: bool = False
+) -> DataFrame:
     """Read a raw LimeSurvey export JSON file and flatten it.
 
     ``multiLine=True`` because the export is one JSON document, not
     JSON-lines (the reference json.dump's a single object,
     lime_survey_nps.py:45-46). The explicit map schema keeps schema
     width constant regardless of row count.
+
+    PERMISSIVE mode silently yields zero rows for a corrupt document;
+    ``strict=True`` captures ``_corrupt_record`` and raises instead —
+    a malformed nightly export should fail the job loudly, not load an
+    empty table over yesterday's data.
     """
+    schema = _EXPORT_SCHEMA + ", _corrupt_record STRING"
     raw = (
-        spark.read.schema(_EXPORT_SCHEMA)
+        spark.read.schema(schema)
         .option("multiLine", "true")
         .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
-    return flatten_responses(raw)
+    if strict:
+        # cache before the dual pass: Spark forbids filtering only on
+        # the corrupt-record column of an uncached JSON relation
+        raw = raw.cache()
+        bad = raw.filter(F.col("_corrupt_record").isNotNull()).count()
+        if bad:
+            raw.unpersist()
+            raise ValueError(
+                f"survey export at {path}: {bad} corrupt JSON document(s)"
+            )
+        raw.unpersist()
+    return flatten_responses(raw.drop("_corrupt_record"))
 
 
 def responses_payload_to_df(spark: SparkSession, payload: dict) -> DataFrame:

@@ -1876,3 +1876,53 @@ def q7_nation_volume(spark, sf_dir):
         .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("bigint").alias("ship_year"))
         .agg(_rev_sum().alias("volume"))
     )
+
+
+# ===========================================================================
+# Statistical aggregates (exact percentile, correlation, covariance)
+# ===========================================================================
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+           round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """EXACT interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`). percentile_approx is the 100 TB path (bounded
+    memory); the exact form is the oracle-able twin."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+    )
+
+
+@register(
+    "agg_correlation_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(stddev_samp(l_quantity), 6) AS qty_stddev,
+           round(var_samp(l_discount), 6) AS disc_var
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_correlation_stats(spark, sf_dir):
+    """Second-moment aggregates: corr / stddev / variance (both engines
+    use numerically-stable one-pass formulations; rounded to 6dp)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+    )

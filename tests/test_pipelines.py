@@ -85,3 +85,19 @@ def test_stringly_landing(spark, survey_json_path):
     assert all(t == "string" for _, t in out.dtypes)
     row = out.filter(out.order_number == "ORD-TIE01").collect()[0]
     assert row.grade == "4.0"  # pandas-style float formatting parity
+
+
+def test_corrupt_export_strict_raises(spark, tmp_path):
+    import pytest
+
+    bad = tmp_path / "bad.json"
+    bad.write_text('{"responses": [{"x": "not-a-map"', encoding="utf-8")
+    # permissive (default): silently empty
+    assert read_survey_export_json(spark, str(bad)).count() == 0
+    # strict: loud failure instead of loading an empty table
+    with pytest.raises(ValueError, match="corrupt"):
+        read_survey_export_json(spark, str(bad), strict=True)
+
+
+def test_valid_export_strict_passes(spark, survey_json_path):
+    assert read_survey_export_json(spark, survey_json_path, strict=True).count() == 51
