@@ -139,11 +139,20 @@ class LimeSurveyClient:
         heading: str = "code",
         response: str = "short",
         fields: list[str] | None = None,
+        from_response_id: int | None = None,
+        to_response_id: int | None = None,
     ) -> dict:
-        """One page of the export, decoded (limesurvey.py:112-126 parity)."""
+        """Decoded export (limesurvey.py:112-126 parity), optionally a
+        response-id range — the server-side pagination the reference
+        never used (it pulled the WHOLE survey as one base64 payload):
+        LimeSurvey's remote-control API takes iFromResponseID /
+        iToResponseID exactly for this."""
         raw = self._rpc(
             "export_responses",
-            [self.session_key, sid, "json", None, status, heading, response, fields],
+            [
+                self.session_key, sid, "json", None, status, heading, response,
+                from_response_id, to_response_id, fields,
+            ],
         )
         return json.loads(base64.b64decode(str(raw)).decode("utf-8"))
 
@@ -185,20 +194,27 @@ def extract_responses_partitioned(
     spark: SparkSession,
     make_client: Callable[[], LimeSurveyClient],
     sid: int,
-    total: int,
+    max_response_id: int,
     page_size: int = 5000,
 ) -> DataFrame:
-    """Executor-parallel paged extract.
+    """Executor-parallel paged extract over response-id ranges.
 
-    A tiny DataFrame of (start, limit) page ranges is repartitioned so
-    each executor pulls its own pages via mapInPandas — the driver never
-    holds the dataset. ``make_client`` must be a picklable factory
-    (credentials resolved on the executor) — never ship a live session.
+    A tiny DataFrame of (from_id, to_id) ranges is repartitioned so each
+    executor pulls its own pages via mapInPandas with SERVER-SIDE range
+    export (iFromResponseID/iToResponseID) — the driver never holds the
+    dataset and no page transfers more than its slice. This is the
+    100 TB-posture fix for the reference's single-payload export
+    (/root/reference/limesurvey.py:112-126). ``make_client`` must be a
+    picklable factory (credentials resolved executor-side) — never ship
+    a live session.
     """
     import pandas as pd
 
-    pages = [(i, min(page_size, total - i)) for i in range(0, total, page_size)]
-    pages_df = spark.createDataFrame(pages, "start BIGINT, lim BIGINT").repartition(
+    pages = [
+        (i, min(i + page_size - 1, max_response_id))
+        for i in range(1, max_response_id + 1, page_size)
+    ]
+    pages_df = spark.createDataFrame(pages, "from_id BIGINT, to_id BIGINT").repartition(
         max(1, min(len(pages), 64))
     )
 
@@ -207,11 +223,15 @@ def extract_responses_partitioned(
         try:
             for pdf in batches:
                 rows = []
-                for start, lim in zip(pdf["start"], pdf["lim"]):
-                    payload = client.export_responses(sid)  # server-side paging varies
-                    for entry in payload.get("responses", [])[start : start + lim]:
+                for from_id, to_id in zip(pdf["from_id"], pdf["to_id"]):
+                    payload = client.export_responses(
+                        sid, from_response_id=int(from_id), to_response_id=int(to_id)
+                    )
+                    for entry in payload.get("responses", []):
                         for resp_id, fields_ in entry.items():
-                            rows.append({"index": str(resp_id), "payload": json.dumps(fields_)})
+                            rows.append(
+                                {"index": str(resp_id), "payload": json.dumps(fields_)}
+                            )
                 yield pd.DataFrame(rows, columns=["index", "payload"])
         finally:
             client.close()
@@ -223,13 +243,12 @@ def extract_responses_partitioned(
 
     parsed = raw.select(
         "index",
-        F.from_json(
-            "payload",
-            schemas.SURVEY_RESPONSE.simpleString().replace("struct<index:string,", "struct<"),
-        ).alias("fields"),
+        F.from_json("payload", "MAP<STRING, STRING>").alias("fields"),
     )
     names = [f.name for f in schemas.SURVEY_RESPONSE.fields if f.name != "index"]
-    return parsed.select("index", *[F.col(f"fields.{n}").alias(n) for n in names])
+    return parsed.select(
+        "index", *[F.col("fields").getItem(n).alias(n) for n in names]
+    )
 
 
 def write_back_responses(

@@ -1926,3 +1926,37 @@ def agg_correlation_stats(spark, sf_dir):
         F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
         F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
     )
+
+
+@register(
+    "profile_orders",
+    oracle="""
+    SELECT 'o_orderstatus' AS column,
+           count(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS n_nulls,
+           count(DISTINCT o_orderstatus) AS n_distinct,
+           min(o_orderstatus::VARCHAR) AS min_str,
+           max(o_orderstatus::VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           count(CASE WHEN o_custkey IS NULL THEN 1 END),
+           count(DISTINCT o_custkey),
+           min(o_custkey::VARCHAR), max(o_custkey::VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           count(CASE WHEN o_totalprice IS NULL THEN 1 END),
+           count(DISTINCT o_totalprice),
+           min(o_totalprice::VARCHAR), max(o_totalprice::VARCHAR)
+    FROM orders
+    """,
+)
+def profile_orders(spark, sf_dir):
+    """Single-pass data-quality profile (ops/profile.py) over three
+    orders columns. NOTE min/max compare as STRINGS (uniform long-format
+    schema) — o_custkey '10' < '9' lexicographically, deliberately
+    identical on both sides."""
+    from lime_etl_spark.ops.profile import profile_table
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_table(orders, ["o_orderstatus", "o_custkey", "o_totalprice"])

@@ -117,3 +117,42 @@ def test_write_back_batched(spark):
     # rate limit high enough to finish instantly; assertion is that the
     # partition-parallel path executes without a driver round-trip per row
     write_back_responses(df.repartition(2), make_client, 123, rows_per_second=10000)
+
+
+def test_partitioned_extract_ranges(spark):
+    """Range-paged extract: each executor page requests ONLY its id
+    slice server-side; rows across pages reassemble the full survey."""
+    from lime_etl_spark.io.limesurvey import extract_responses_partitioned
+
+    def make_client():
+        import base64 as b64
+        import json as js
+
+        def transport(url, body):
+            method, params = body["method"], body["params"]
+            if method == "get_session_key":
+                return {"result": "SESSKEY"}
+            if method == "release_session_key":
+                return {"result": "OK"}
+            if method == "export_responses":
+                from_id, to_id = params[7], params[8]
+                assert from_id is not None and to_id is not None
+                responses = [
+                    {str(i): {"id": str(i), "q01": f"A{i % 5 + 1}", "token": f"t{i}"}}
+                    for i in range(from_id, to_id + 1)
+                ]
+                payload = js.dumps({"responses": responses}).encode()
+                return {"result": b64.b64encode(payload).decode()}
+            raise AssertionError(method)
+
+        return LimeSurveyClient("http://fake", "u", "p", transport=transport)
+
+    df = extract_responses_partitioned(
+        spark, make_client, sid=1, max_response_id=37, page_size=10
+    )
+    rows = df.collect()
+    assert len(rows) == 37
+    got = {r["index"] for r in rows}
+    assert got == {str(i) for i in range(1, 38)}
+    by_id = {r["index"]: r for r in rows}
+    assert by_id["13"].q01 == "A4" and by_id["13"].token == "t13"

@@ -118,3 +118,36 @@ def test_quality_score_short_doc_zero(spark):
     got = {r.doc_id: r.quality_score for r in text.with_quality_score(df).collect()}
     assert got[1] == 0.0
     assert got[2] > 0.5
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.sampled_from(["A1", "A5", "N10", "NA", "A", "", "7.5", "A7.25", "x9"]),
+            st.text(alphabet="AN0123456789.", max_size=8),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_clean_numeric_matches_reference_lambda(spark, values):
+    """Property: clean_numeric('A|N') == the reference's
+    float(re.sub("A|N", "", x)) (/root/reference/lime_survey_nps.py:73)
+    wherever the reference would SUCCEED; where the reference would
+    raise ValueError, the engine yields NULL (documented deviation)."""
+    from lime_etl_spark.ops.core import clean_numeric
+
+    df = spark.createDataFrame([(v,) for v in values], "g STRING")
+    got = [r.g for r in clean_numeric(df, "g", "A|N").collect()]
+    for v, g in zip(values, got):
+        stripped = re.sub("A|N", "", v)
+        try:
+            expected = float(stripped)
+        except ValueError:
+            assert g is None, (v, g)
+        else:
+            if expected != expected:  # nan
+                assert g is None or g != g
+            else:
+                assert g == expected, (v, g, expected)
