@@ -1960,3 +1960,45 @@ def profile_orders(spark, sf_dir):
 
     orders = _t(spark, sf_dir, "orders")
     return profile_table(orders, ["o_orderstatus", "o_custkey", "o_totalprice"])
+
+
+@register(
+    "window_percent_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_percent_rank(spark, sf_dir):
+    """percent_rank / cume_dist — exact rationals (rank-1)/(n-1) and
+    rank/n evaluate to identical doubles in both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, p_size::DOUBLE AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+    """,
+)
+def unpivot_part_metrics(spark, sf_dir):
+    """UNPIVOT/melt: wide numeric columns → (key, metric, value) long
+    format — the inverse of pivot_event_counts."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", F.col("p_size").cast("double"), "p_retailprice"
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
