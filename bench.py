@@ -49,13 +49,21 @@ def main() -> None:
 
     read_table(spark, SF_DIR, "region").write.format("noop").mode("overwrite").save()
 
+    # Each query runs twice: the first execution pays one-time plan
+    # compilation + whole-stage-codegen JIT (~1-3 s/query, measured 3-8x
+    # the execution itself at this SF — noise at 100 TB, dominant at
+    # sf0.1). Reported per-query numbers are the SECOND (steady-state)
+    # run; the cold pass is recorded alongside, not hidden.
     headline = [(n, q) for n, q in REGISTRY.items() if q.headline]
     timings: dict[str, float] = {}
     total = 0.0
+    cold_total = 0.0
     for name, q in headline:
         start = time.perf_counter()
-        df = q.spark_fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
+        q.spark_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        cold_total += time.perf_counter() - start
+        start = time.perf_counter()
+        q.spark_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         elapsed = round(time.perf_counter() - start, 3)
         timings[name] = elapsed
         total += elapsed
@@ -67,6 +75,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_of(SF_DIR),
+                "cold_total_sec": round(cold_total, 3),
+                "runs_per_query": 2,
             }
         )
     )
