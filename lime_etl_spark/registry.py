@@ -2002,3 +2002,44 @@ def unpivot_part_metrics(spark, sf_dir):
     return part.select(
         "p_partkey", F.col("p_size").cast("double"), "p_retailprice"
     ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+
+
+@register(
+    "q19_bracketed_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(1,0) - l_discount::DECIMAL(6,4))), 2)::DOUBLE AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_bracketed_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive brackets spanning
+    both join sides. Catalyst extracts the common single-side
+    predicates from the OR (p_brand IN (...), quantity/size ranges) and
+    pushes them below the join — the classic CNF-extraction test."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.filter(bracket).agg(
+        _rev_sum().alias("revenue"), F.count(F.lit(1)).alias("n_lines")
+    )

@@ -35,6 +35,26 @@ from pyspark.sql import types as T
 from lime_etl_spark import schemas
 
 
+def use_rocksdb_state_store(spark: SparkSession, enabled: bool = True) -> None:
+    """Switch stateful operators to the RocksDB state store provider.
+
+    The default HDFS-backed store keeps all state on the JVM heap —
+    fine for bounded tests, a GC time-bomb for large keyspaces. RocksDB
+    spills state off-heap/to disk with incremental checkpointing: the
+    production setting for big stateful streaming (sessionization over
+    millions of users). Runtime conf — takes effect for queries started
+    afterwards.
+    """
+    key = "spark.sql.streaming.stateStore.providerClass"
+    if enabled:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    else:
+        spark.conf.unset(key)
+
+
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over a directory of events parquet files.
 

@@ -182,3 +182,26 @@ def test_stateful_user_tracker(spark, sf_dir, tmp_path):
     bv = {r.user_id: r.total_value for r in batch.collect()}
     for uid in bv:
         assert abs(gv[uid] - bv[uid]) < 0.05  # python float sum vs decimal path
+
+
+def test_session_windows_on_rocksdb_state_store(spark, sf_dir, tmp_path):
+    """Same session-window results under the RocksDB state store — the
+    production provider for large keyspaces (off-heap state)."""
+    from lime_etl_spark.streaming import events as sevents
+
+    stream = sevents.read_events_stream(spark, sevents.stage_events_dir(sf_dir))
+    sevents.use_rocksdb_state_store(spark)
+    try:
+        rocks = sevents.run_to_memory(
+            sevents.session_windows(stream, gap="30 minutes"),
+            checkpoint_dir=str(tmp_path / "ck_rocks"),
+        )
+        rows_rocks = {tuple(r) for r in rocks.collect()}
+    finally:
+        sevents.use_rocksdb_state_store(spark, enabled=False)
+    default = sevents.run_to_memory(
+        sevents.session_windows(stream, gap="30 minutes"),
+        checkpoint_dir=str(tmp_path / "ck_default"),
+    )
+    rows_default = {tuple(r) for r in default.collect()}
+    assert rows_rocks == rows_default and len(rows_rocks) > 0
