@@ -34,13 +34,18 @@ def duck(oracle_sf_dir):
 
 
 def _canon(value):
-    """Canonicalize a cell for order-insensitive comparison."""
+    """Canonicalize a cell for order-insensitive comparison.
+
+    Floats compare at FULL precision (hex) — the engine's decimal-money
+    and portable-hash design makes every oracled query bit-exact across
+    engines (audited), so the local gate holds the same bar a raw value
+    hash would."""
     if value is None:
         return None
     if isinstance(value, float):
         if math.isnan(value):
             return "nan"
-        return round(value, 9)
+        return value.hex()
     return value
 
 
