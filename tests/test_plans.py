@@ -101,3 +101,25 @@ def test_no_cartesian_in_registry_except_ann(spark, sf_dir):
         plan = _plan(q.spark_fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """Two window passes + the per-session aggregate all share ONE hash
+    exchange on user_id: HashPartitioning(user_id) satisfies the
+    (user_id, session_id) clustering requirement, so Catalyst plans no
+    second shuffle. A regression here doubles the shuffle volume of
+    every sessionization at scale."""
+    df = REGISTRY["events_sessionized"].spark_fn(spark, sf_dir)
+    assert _plan(df).count("Exchange hashpartitioning") == 1
+
+
+def test_running_window_single_exchange(spark, sf_dir):
+    df = REGISTRY["window_running_spend"].spark_fn(spark, sf_dir)
+    assert _plan(df).count("Exchange hashpartitioning") == 1
+
+
+def test_minhash_single_wide_exchange(spark, sf_dir):
+    """Signature aggregation: one hash exchange (group by doc id) after
+    the round-robin spread; the 16 min() aggregates ride one shuffle."""
+    df = REGISTRY["dedup_minhash_signatures"].spark_fn(spark, sf_dir)
+    assert _plan(df).count("Exchange hashpartitioning") == 1
