@@ -56,6 +56,12 @@ def _hash28(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint")
 
 
+def _hash32(col: Column) -> Column:
+    """Portable 32-bit hash (8 hex digits) — full bit width for simhash
+    (not used in minhash permutations, which need a*h headroom)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -305,7 +311,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     toks = (
         ensure_parallelism(df.select(F.col(id_col).alias("id"), text_col))
         .select("id", F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
-        .withColumn("h", _hash28(F.col("tok")))
+        .withColumn("h", _hash32(F.col("tok")))
     )
     bits = toks.select(
         "id", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit")

@@ -47,4 +47,8 @@ def make_survey_payload() -> dict:
     responses.append(resp(49, q06="ORD-TIE01", datestamp="2024-03-12 10:00:00", q01="A4"))
     # non-ASCII
     responses.append(resp(50, q03="joão.señor@exämple.com"))
+    # null submitdate: returns does NOT project submitdate
+    # (lime_survey_returns.py:55) so this row survives its all-column
+    # dropna, and its date_sent comes from datestamp
+    responses.append(resp(51, submitdate=None))
     return {"responses": responses}

@@ -29,11 +29,12 @@ NPS_RENAME = {
 }
 
 RETURNS_RENAME = {
-    # /root/reference/lime_survey_returns.py:60-70
+    # /root/reference/lime_survey_returns.py:60-70 — note the returns
+    # script maps datestamp→date_sent directly (no submitdate column at
+    # all, unlike nps)
     "id": "id_answer",
-    "submitdate": "date_sent",
+    "datestamp": "date_sent",
     "startlanguage": "language",
-    "datestamp": "last_action_date",
     "q01": "grade",
     "q03": "email",
     "q06": "order_number",
@@ -83,7 +84,7 @@ def returns(flat: DataFrame, run_ts: str) -> DataFrame:
     """
     df = core.project(
         flat,
-        ["id", "submitdate", "startlanguage", "datestamp", "q01", "q03", "q06", "q12", "q22"],
+        ["id", "datestamp", "q01", "q03", "q06", "q12", "q22", "startlanguage"],
     )
     df = core.drop_null_any(df)  # all-column dropna, lime_survey_returns.py:58
     df = core.rename(df, RETURNS_RENAME)

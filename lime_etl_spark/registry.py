@@ -798,8 +798,11 @@ def events_tumbling_5min(spark, sf_dir):
                      THEN 1 ELSE 0 END AS new_sess
       FROM ordered),
     sess AS (
-      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      -- CAST: DuckDB sum() OVER returns HUGEINT (int128); Spark emits
+      -- BIGINT — the gate hashes raw values, so pin both to BIGINT
+      -- (registry convention, see module docstring).
+      SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged)
     SELECT user_id, session_id, count(*) AS n_events,
            min(ts) AS session_start, max(ts) AS session_end,
@@ -1064,7 +1067,7 @@ def dedup_minhash_lsh_candidates(spark, sf_dir):
     WITH toks AS (
       SELECT DISTINCT doc_id AS id, tok FROM (
         SELECT doc_id, unnest({_TOKS_CTE}) AS tok FROM documents)),
-    h AS (SELECT id, ('0x' || substr(md5(tok), 1, 7))::BIGINT AS h FROM toks),
+    h AS (SELECT id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
     bits AS (SELECT id, h, unnest(range(0, 32)) AS bit FROM h),
     s AS (SELECT id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
           FROM bits GROUP BY id, bit)
@@ -1505,8 +1508,8 @@ def events_sliding_10min(spark, sf_dir):
                      THEN 1 ELSE 0 END AS new_sess
       FROM ordered),
     sess AS (
-      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged)
     SELECT user_id,
            min(ts) AS session_start,

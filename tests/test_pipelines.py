@@ -16,7 +16,7 @@ RUN_TS = "2024-04-01 12:00:00"
 def test_flatten_shape(spark, survey_json_path):
     flat = read_survey_export_json(spark, survey_json_path)
     rows = flat.count()
-    assert rows == 51
+    assert rows == 52
     assert "index" in flat.columns and "q01" in flat.columns
     # response id from the dict key (lime_survey_nps.py:51 parity)
     ids = {r["index"] for r in flat.select("index").collect()}
@@ -52,6 +52,10 @@ def test_returns_pipeline(spark, survey_json_path):
     # literal "A" strip (not N): A2 → 2.0 ; N10 → NaN-ish? "N10"→"N10" cast → null
     assert rows["1"].grade == 2.0
     assert rows["45"].grade is None  # "N10" keeps N under replace("A","")
+    # submitdate is NOT in the returns projection (lime_survey_returns.py:55):
+    # null submitdate doesn't drop the row, and date_sent == datestamp
+    assert "51" in rows
+    assert rows["51"].date_sent == "2024-03-24 10:05:51"
     assert out.columns == [
         "id_answer", "date_sent", "grade", "email", "order_number",
         "return_order_number", "language", "updated_ts", "return_channel",
@@ -100,4 +104,4 @@ def test_corrupt_export_strict_raises(spark, tmp_path):
 
 
 def test_valid_export_strict_passes(spark, survey_json_path):
-    assert read_survey_export_json(spark, survey_json_path, strict=True).count() == 51
+    assert read_survey_export_json(spark, survey_json_path, strict=True).count() == 52

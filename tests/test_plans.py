@@ -94,13 +94,35 @@ def test_semi_anti_join_types(spark, sf_dir):
 def test_no_cartesian_in_registry_except_ann(spark, sf_dir):
     # brute-force ANN and exact cosine pair-gen are the intentional
     # cross-join-shaped ops (broadcast side bounded; LSH is the scale
-    # path); everything else must be join-keyed
+    # path); everything else must be join-keyed. streaming_* are
+    # skipped only because spark_fn RUNS the stream (no lazy plan to
+    # inspect), not because cartesians would be acceptable there —
+    # their batch twins (events_*) are covered by this loop.
     for name, q in REGISTRY.items():
         if name.startswith(("ann_", "streaming_", "dedup_embedding_cosine")):
             continue
         plan = _plan(q.spark_fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_no_cartesian_in_streaming_transformations(spark, sf_dir):
+    """The registry's streaming entries execute the stream (memory-sink
+    table — no lazy plan), so the cartesian audit above can't see them.
+    Audit the streaming transformations directly: before .start() the
+    streaming DataFrame is lazy and its analyzed plan is inspectable."""
+    from lime_etl_spark.streaming import events as sevents
+
+    stream = sevents.read_events_stream(spark, sevents.stage_events_dir(sf_dir))
+    for df in (
+        sevents.tumbling_counts(stream),
+        sevents.sliding_counts(stream),
+        sevents.session_windows(stream),
+        sevents.dedup_within_watermark(stream),
+    ):
+        plan = df._jdf.queryExecution().analyzed().toString()
+        assert "Join Cross" not in plan
+        assert "CartesianProduct" not in plan
 
 
 def test_sessionize_single_exchange(spark, sf_dir):
