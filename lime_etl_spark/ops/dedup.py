@@ -39,6 +39,10 @@ LSH_BANDS = 4  # 4 bands x 4 rows
 LSH_ROWS = MINHASH_PERMS // LSH_BANDS
 MOD_P = 1_000_000_007
 
+# Shingles shared by more docs than this are dropped from exact-Jaccard
+# scoring (stop-shingle skew guard — see ngram_jaccard_pairs).
+MAX_DOCS_PER_SHINGLE = 256
+
 # Deterministic permutation constants (odd multipliers, fixed offsets).
 # Derived from a fixed linear recurrence so the oracle SQL can inline
 # the same literals (registry.py generates them from these functions).
@@ -140,14 +144,31 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    max_docs_per_shingle: int | None = MAX_DOCS_PER_SHINGLE,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard over n-gram shingle sets, pairs ≥ threshold.
 
     Plan: inverted index → self-join on shingle (id_a < id_b) → count
     common shingles per pair → join per-doc set sizes → jaccard.
-    Shuffles: one per groupBy/join, all on bounded keys. Scale note: run
-    on LSH candidates (minhash_lsh_candidates) beyond ~1M docs; the raw
-    self-join is quadratic in docs-per-shingle.
+    Shuffles: one per groupBy/join, all on bounded keys.
+
+    Scale guards:
+
+    - ``max_docs_per_shingle``: a stop-shingle shared by 1e5 docs would
+      alone emit 1e10 pairs from the self-join. Shingles whose document
+      frequency exceeds the cap are dropped from the similarity universe
+      (they carry ~no Jaccard signal); the Jaccard is then exact over
+      the capped universe, and the DuckDB oracle mirrors the same cap.
+      The frequency count is a window over the same ``sh`` key the
+      self-join shuffles on, so the cap adds no extra exchange
+      (ReusedExchange).
+    - ``pairs``: restrict computation to a candidate pair list
+      (id_a, id_b) — the inverted index is semi-joined to candidate
+      docs and common-shingle counting is driven per candidate pair, so
+      cost is linear in candidates × shingles-per-doc instead of
+      quadratic in docs-per-shingle. This is the verification mode
+      minhash_near_dups uses; beyond ~1M docs never run without it.
     """
     from lime_etl_spark.ops.text import shingles_from_tokens
     from lime_etl_spark.ops.util import ensure_parallelism
@@ -170,12 +191,41 @@ def ngram_jaccard_pairs(
         .withColumn("sh", F.xxhash64("shingle"))
         .drop("shingle")
     )
-    a, b = idx.alias("a"), idx.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    if max_docs_per_shingle is not None:
+        from pyspark.sql import Window
+
+        wsh = Window.partitionBy("sh")
+        idx = (
+            idx.withColumn("__df", F.count(F.lit(1)).over(wsh))
+            .filter(F.col("__df") <= max_docs_per_shingle)
+            .drop("__df")
+        )
+    if pairs is not None:
+        # verification mode: count common shingles only for candidate
+        # pairs. Semi-join first shrinks the index to docs that appear
+        # in any candidate (at 100 TB candidates cover a small slice).
+        cand_docs = (
+            pairs.select(F.col("id_a").alias("id"))
+            .union(pairs.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        idx = idx.join(cand_docs, "id", "left_semi")
+        ia = idx.select(F.col("id").alias("id_a"), "sh")
+        ib = idx.select(F.col("id").alias("id_b"), "sh")
+        common = (
+            pairs.select("id_a", "id_b")
+            .join(ia, "id_a")
+            .join(ib, ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        a, b = idx.alias("a"), idx.alias("b")
+        common = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     # per-doc set sizes: derived from idx so both broadcast builds share
     # one canonical subplan (BroadcastExchange reuse) — one row per doc,
     # always broadcastable relative to the pair table
@@ -278,15 +328,14 @@ def minhash_near_dups(
     n: int = 3,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard — the full scale path:
-    ~linear candidate generation, exact verification only on candidates.
+    ~linear candidate generation, exact verification only on candidates
+    (pairs= mode drives common-shingle counting off the candidate list,
+    so the quadratic shingle self-join never runs).
     """
     cands = minhash_lsh_candidates(df, id_col, text_col, n)
-    exact = ngram_jaccard_pairs(df, threshold=0.0, id_col=id_col, text_col=text_col, n=n)
-    return (
-        cands.join(exact, ["id_a", "id_b"])
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return ngram_jaccard_pairs(
+        df, threshold=threshold, id_col=id_col, text_col=text_col, n=n, pairs=cands
+    ).select("id_a", "id_b", "jaccard")
 
 
 # ---------------------------------------------------------------------------

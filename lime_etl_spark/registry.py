@@ -965,8 +965,11 @@ def text_fingerprints(spark, sf_dir):
 _SHINGLES_CTE = f"""
     toks AS (SELECT doc_id, {_TOKS_CTE} AS t FROM documents),
     sh AS (
+      -- generator bound derived from the data, not a fixed cap: a doc
+      -- longer than a literal range() would silently truncate shingles
       SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
-      FROM toks, (SELECT unnest(range(1, 10000)) AS i) idx
+      FROM toks,
+           (SELECT unnest(range(1, (SELECT coalesce(max(len(t)), 0) + 1 FROM toks))) AS i) idx
       WHERE len(t) >= 3 AND i <= len(t) - 2),
     dsh AS (SELECT DISTINCT doc_id, shingle FROM sh)
 """
@@ -993,10 +996,16 @@ def dedup_exact_groups(spark, sf_dir):
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    -- stop-shingle cap mirror (ops/dedup.py MAX_DOCS_PER_SHINGLE)
+    dshc AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        FROM dsh)
+      WHERE df <= {dedup.MAX_DOCS_PER_SHINGLE}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dshc GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-      FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM dshc a JOIN dshc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT id_a, id_b, n_common,
            sa.n AS n_a, sb.n AS n_b,
@@ -1187,7 +1196,9 @@ def multimodal_binary_meta(spark, sf_dir):
     oracle="""
     WITH chars AS (
       SELECT doc_id, ascii(substr(text, i, 1)) % 16 AS bin
-      FROM documents, (SELECT unnest(range(1, 100000)) AS i) idx
+      FROM documents,
+           (SELECT unnest(range(1, (SELECT coalesce(max(length(text)), 0) + 1
+                                    FROM documents))) AS i) idx
       WHERE i <= length(text))
     SELECT doc_id AS media_id, bin::BIGINT AS bin, count(*) AS n_bytes
     FROM chars GROUP BY doc_id, bin
@@ -1658,7 +1669,9 @@ def agg_grouping_sets(spark, sf_dir):
     c AS (
       SELECT doc_id, i::BIGINT AS chunk_idx,
              array_to_string(toks[i*32+1 : (i+1)*32], ' ') AS chunk
-      FROM t, (SELECT unnest(range(0, 1000)) AS i) idx
+      FROM t,
+           (SELECT unnest(range(0, (SELECT coalesce(max(len(toks)), 0) // 32 + 1
+                                    FROM t))) AS i) idx
       WHERE i*32 < len(toks))
     SELECT doc_id, chunk_idx, chunk, length(chunk)::BIGINT AS chunk_chars
     FROM c

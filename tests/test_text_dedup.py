@@ -77,6 +77,42 @@ def test_jaccard_and_minhash_find_near_dups(spark):
     assert got_lsh == {(1, 2)}
 
 
+def test_hot_shingle_cap_bounds_pair_count(spark):
+    # 40 docs sharing one boilerplate phrase + unique tails: uncapped,
+    # the shared shingles alone make every pair a candidate (~40*39/2
+    # rows out of the self-join); with the doc-frequency cap the
+    # boilerplate shingles are dropped and no pair survives.
+    boiler = "this document is provided as is without any warranty whatsoever"
+    rows = [(i, f"{boiler} unique tail {i} alpha beta gamma {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.2, max_docs_per_shingle=None)
+    assert uncapped.count() == 40 * 39 // 2
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.2, max_docs_per_shingle=10)
+    assert capped.count() == 0
+
+
+def test_candidate_pairs_mode_matches_self_join(spark):
+    # pairs= (verification mode) must score candidate pairs identically
+    # to the full self-join, including n_a/n_b set sizes.
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different content about spark query engines at scale"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id BIGINT, text STRING"
+    )
+    full = {
+        (r.id_a, r.id_b): (r.n_common, r.n_a, r.n_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    cand = spark.createDataFrame([(1, 2), (1, 3)], "id_a BIGINT, id_b BIGINT")
+    driven = {
+        (r.id_a, r.id_b): (r.n_common, r.n_a, r.n_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.0, pairs=cand).collect()
+    }
+    # (1,3) shares no shingles → absent from both modes; (1,2) identical
+    assert driven == {k: v for k, v in full.items() if k in {(1, 2), (1, 3)}}
+
+
 def test_minhash_signature_shape(spark, sf_dir):
     from lime_etl_spark.io.sources import read_table
 
