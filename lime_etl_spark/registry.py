@@ -1159,10 +1159,68 @@ def embedding_label_stats(spark, sf_dir):
     )
 
 
-@register("ann_lsh_bucketed_topk", oracle=None)  # approximate → rows-only check
+def _lsh_ann_oracle() -> str:
+    """Exact SQL twin of lsh_bucketed_topk(dim=64, k=5, n_planes=5,
+    multi_probe=1): the hyperplanes are deterministic literals
+    (ops/similarity._hyperplanes), so bucket assignment, one-bit probe
+    expansion, and in-bucket exact cosine are all SQL-expressible.
+    repr() round-trips the IEEE doubles, so both engines fold the exact
+    same plane values."""
+    from lime_etl_spark.ops.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 5)
+    values = ", ".join(
+        f"({p}, [{', '.join(repr(x) for x in plane)}]::DOUBLE[])"
+        for p, plane in enumerate(planes)
+    )
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {2**i}::BIGINT)" for i in range(5)])
+    return f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+               FROM embeddings),
+    pl AS (SELECT p, plane FROM (VALUES {values}) t(p, plane)),
+    proj AS (
+      SELECT vec_id, p, sum(e[i] * plane[i]) AS pr
+      FROM (SELECT vec_id, p, e, plane, unnest(range(1, 65)) AS i FROM v, pl)
+      GROUP BY vec_id, p),
+    buck AS (
+      SELECT vec_id,
+             sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)::BIGINT AS bucket
+      FROM proj GROUP BY vec_id),
+    qp AS (
+      SELECT vec_id AS query_id, unnest([{probes}]) AS probe
+      FROM buck WHERE vec_id < 32),
+    cand AS (
+      SELECT qp.query_id, cb.vec_id AS neighbor_id
+      FROM qp JOIN buck cb ON cb.bucket = qp.probe
+      WHERE cb.vec_id != qp.query_id),
+    {_NORMS_CTE},
+    dots AS (
+      SELECT query_id, neighbor_id, sum(qe[i] * ce[i]) AS dot
+      FROM (SELECT c.query_id, c.neighbor_id, q.e AS qe, cc.e AS ce,
+                   unnest(range(1, 65)) AS i
+            FROM cand c
+            JOIN v q ON q.vec_id = c.query_id
+            JOIN v cc ON cc.vec_id = c.neighbor_id)
+      GROUP BY query_id, neighbor_id),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(dot / (nq.nrm * nc.nrm), 6) AS score
+      FROM dots JOIN norms nq ON nq.vec_id = query_id
+                JOIN norms nc ON nc.vec_id = neighbor_id)
+    SELECT query_id, neighbor_id, rank, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """
+
+
+@register("ann_lsh_bucketed_topk", oracle=_lsh_ann_oracle())
 def ann_lsh_bucketed_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-k (recall checked in tests against
-    the exact baseline; no SQL oracle by design — approximation)."""
+    """LSH-bucketed approximate top-k. Approximate vs brute force, but
+    DETERMINISTIC given the literal hyperplanes — so it oracle-checks
+    exactly (bucket + probe + in-bucket cosine mirrored in SQL); recall
+    vs the exact baseline is separately pinned in unit tests."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 32)
     out = similarity.lsh_bucketed_topk(queries, emb, dim=64, k=5, n_planes=5)
