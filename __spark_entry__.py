@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from lime_etl_spark.registry import REGISTRY  # noqa: E402
+from lime_etl_spark.registry import REGISTRY, ordered_registry  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -26,11 +26,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.spark_fn for name, q in REGISTRY.items()}
+    """One entry per implemented operator from SURVEY.md §2, ordered so
+    the first 50 (registry.PRIMARY_QUERIES) are the oracled queries
+    that jointly cover every operator category; single-op variants of
+    merged entries and rows-only checks follow."""
+    return {name: q.spark_fn for name, q in ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (omitted entries are
-    non-SQL-expressible by design, e.g. approximate LSH search)."""
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    non-SQL-expressible by design, e.g. pandas-UDF k-means)."""
+    return {
+        name: q.oracle for name, q in ordered_registry().items() if q.oracle is not None
+    }

@@ -20,6 +20,8 @@ Scale posture:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -178,6 +180,151 @@ def lsh_bucketed_topk(
     )
     scored = (
         qb.join(cb, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — k-means cells, probe top cells only
+# ---------------------------------------------------------------------------
+
+
+def kmeans_centroids_embeddings(
+    df: DataFrame,
+    dim: int,
+    k: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic Lloyd's k-means over an embedding column; returns a
+    numpy (k, dim) centroid matrix.
+
+    Determinism: init = the k lowest-id vectors (no RNG); assignment is
+    argmax cosine (ties -> lowest cluster id via numpy argmax). Each
+    iteration is one Arrow-batched assignment pass over the data plus a
+    (cluster, dim) groupBy mean — the per-iteration shuffle carries only
+    k*dim*partitions partially-aggregated rows, and the driver only ever
+    holds k*dim floats. Cluster means are rounded to 9dp so accumulation
+    -order noise cannot flip later assignments.
+
+    The per-cluster mean is computed via posexplode + groupBy(cluster,
+    dim) avg — NOT applyInPandas per cluster — so one hot cluster cannot
+    concentrate a whole pass into a single task.
+    """
+    v = df.select(F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("e"))
+    init = v.orderBy("id").limit(k).collect()  # k rows only — bounded
+    cents = np.array([r.e for r in init], dtype=np.float64)
+    for _ in range(n_iter):
+        assigned = _assign_cluster(v, cents, "e")
+        means = (
+            assigned.select("cluster", F.posexplode("e").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()  # k*dim rows — bounded
+        )
+        new = cents.copy()
+        for r in means:
+            new[r.cluster][r.dim] = r.m
+        cents = np.round(new, 9)
+    return cents
+
+
+def _assign_cluster(df: DataFrame, cents, vec_col: str, out: str = "cluster") -> DataFrame:
+    """Arrow-batched nearest-centroid (max cosine) assignment. The
+    centroid matrix rides the serialized task closure (k*dim floats —
+    equivalent to an explicit broadcast at this size)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("int")
+    def assign(batch: pd.Series) -> pd.Series:
+        x = np.array(batch.tolist(), dtype=np.float64)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(xn @ cn.T, axis=1).astype(np.int32))
+
+    return df.withColumn(out, assign(vec_col))
+
+
+def _probe_clusters(df: DataFrame, cents, vec_col: str, nprobe: int) -> DataFrame:
+    """Top-nprobe nearest centroids per row, exploded to one row per
+    probed cell (deterministic: scores sorted, ties by cluster id)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("array<int>")
+    def probe(batch: pd.Series) -> pd.Series:
+        x = np.array(batch.tolist(), dtype=np.float64)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        scores = xn @ cn.T
+        # stable argsort on (-score, cluster_id): deterministic probe order
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return df.withColumn("cluster", F.explode(probe(vec_col)))
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: k-means cells over the candidate corpus,
+    queries search only their nprobe nearest cells — exact cosine
+    within probed cells, keyed join on cluster id (NO cross join).
+
+    Scale posture: train cost is n_iter narrow passes + tiny shuffles;
+    index assignment is one narrow Arrow pass; search shuffles on
+    cluster id. n_clusters must grow with the corpus (aim for
+    corpus/n_clusters ~ the per-cell candidate budget; 100 TB wants
+    k in the thousands so cells stay executor-sized and the cluster-id
+    join key has enough cardinality to spread).
+    """
+    cents = kmeans_centroids_embeddings(
+        candidates, dim, k=n_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    cand = _assign_cluster(
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
+        ),
+        cents,
+        "cv",
+    )
+    probes = _probe_clusters(
+        queries.select(
+            F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+        ),
+        cents,
+        "qv",
+        nprobe,
+    )
+    scored = (
+        probes.join(cand, "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

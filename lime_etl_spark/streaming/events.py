@@ -209,3 +209,73 @@ def run_foreach_batch_idempotent(
         .start()
     )
     q.awaitTermination()
+
+
+def kafka_available(spark: SparkSession) -> bool:
+    """True iff the spark-sql-kafka connector jars are on the classpath.
+    The container ships without them, so Kafka paths are gated exactly
+    like the JDBC sink: real implementation, availability-checked."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_events_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka-source events stream: value is the JSON-serialized event
+    row; parse with the canonical schema, event time from the payload
+    ts (NOT the broker timestamp — late data must be judged on event
+    time). Offsets/exactly-once come from the checkpoint as with any
+    structured-streaming source.
+
+    At scale: one Spark partition per Kafka partition; minPartitions
+    can fan out hot topics. The parse is a JVM-side from_json — no
+    Python in the stream path.
+    """
+    if not kafka_available(spark):
+        raise RuntimeError(
+            "spark-sql-kafka connector not on classpath; gate calls with "
+            "kafka_available() (rate-source fallback covers tests)"
+        )
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), schemas.EVENTS).alias("ev")
+    )
+    return parsed.select("ev.*")
+
+
+def read_events_rate(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
+    """Rate-source fallback with the events schema — a broker-free
+    continuous source for exercising non-file streaming paths (trigger
+    cadence, watermark advance) in environments without Kafka. Values
+    are deterministic functions of the rate source's monotonic counter."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )  # columns: timestamp, value
+    return rate.select(
+        F.col("value").alias("event_id"),
+        (F.col("value") % 150).cast("int").alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in ["click", "view", "purchase", "signup", "error"]]),
+            (F.col("value") % 5 + 1).cast("int"),
+        ).alias("event_type"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 997).cast("double").alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )

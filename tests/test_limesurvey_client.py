@@ -65,7 +65,7 @@ def test_session_lifecycle(client, server):
 
 def test_export_responses_decodes(client):
     payload = client.export_responses(123)
-    assert len(payload["responses"]) == 51
+    assert len(payload["responses"]) == 52
 
 
 def test_server_error_raises(client):
@@ -93,7 +93,7 @@ def test_extract_to_dataframe(spark, client):
     from lime_etl_spark.io.limesurvey import extract_responses_df
 
     df = extract_responses_df(spark, client, 123)
-    assert df.count() == 51
+    assert df.count() == 52
     assert "index" in df.columns and "q01" in df.columns
 
 

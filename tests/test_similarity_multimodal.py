@@ -42,6 +42,35 @@ def test_lsh_recall_against_bruteforce(spark, sf_dir):
     assert all(q != n for q, n in a)
 
 
+def test_ivf_recall_at_least_lsh_and_no_cross_join(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 16)
+    exact = similarity.cosine_topk(queries, emb, k=5)
+    ivf = similarity.ivf_topk(queries, emb, dim=64, k=5, n_clusters=16, nprobe=4)
+    lsh = similarity.lsh_bucketed_topk(queries, emb, dim=64, k=5, n_planes=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    i = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    l_ = {(r.query_id, r.neighbor_id) for r in lsh.collect()}
+    recall_ivf = len(e & i) / len(e)
+    recall_lsh = len(e & l_) / len(e)
+    # nprobe/n_clusters = 4/16 coverage; cells adapt to the data so IVF
+    # should at least match hyperplane LSH at equal nominal coverage
+    assert recall_ivf >= recall_lsh, (recall_ivf, recall_lsh)
+    assert all(q != n for q, n in i)
+    # keyed cluster-id join only — never a cartesian
+    plan = ivf._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_deterministic_across_runs(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    r1 = similarity.ivf_topk(queries, emb, dim=64, k=5).collect()
+    r2 = similarity.ivf_topk(queries, emb, dim=64, k=5).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+
 def test_lsh_bucket_determinism(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings").limit(50)
     b1 = {r.vec_id: r.bucket for r in similarity.with_lsh_bucket(emb, 64).collect()}
