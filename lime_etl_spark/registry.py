@@ -620,7 +620,6 @@ def sort_topn_parts(spark, sf_dir):
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::DOUBLE AS running_spend
     FROM orders
     """,
-    headline=True,
 )
 def window_running_spend(spark, sf_dir):
     """Cumulative sum per customer — one hash exchange on o_custkey,
@@ -874,7 +873,6 @@ _TOKS_CTE = "regexp_extract_all(lower(text), '[a-z0-9]+')"
                  / nullif(len(toks), 0)::DOUBLE, 4) AS stopword_ratio
     FROM t
     """,
-    headline=True,
 )
 def text_doc_stats(spark, sf_dir):
     """Per-doc token/char stats — narrow projection, no shuffle."""
