@@ -145,3 +145,52 @@ def test_minhash_single_wide_exchange(spark, sf_dir):
     the round-robin spread; the 16 min() aggregates ride one shuffle."""
     df = REGISTRY["dedup_minhash_signatures"].spark_fn(spark, sf_dir)
     assert _plan(df).count("Exchange hashpartitioning") == 1
+
+
+def test_merged_window_queries_single_exchange(spark, sf_dir):
+    """Each merged window-family query must keep ONE hash exchange on
+    its partition key — the whole point of merging functions over a
+    shared window spec. window_customer_spend additionally pins 2
+    Window operators (rows vs range frames need different sort keys);
+    window_event_features pins 1 (lag/avg/first/last share partition,
+    order, and differ only in frame -> Catalyst collapses them)."""
+    spend = _plan(REGISTRY["window_customer_spend"].spark_fn(spark, sf_dir))
+    assert spend.count("Exchange hashpartitioning") == 1
+    assert spend.count("Window") == 2
+    feats = _plan(REGISTRY["window_event_features"].spark_fn(spark, sf_dir))
+    assert feats.count("Exchange hashpartitioning") == 1
+    assert feats.count("Window") == 1
+    ranks = _plan(REGISTRY["window_rank_percentiles"].spark_fn(spark, sf_dir))
+    assert ranks.count("Exchange hashpartitioning") == 1
+    assert ranks.count("Window") == 1
+
+
+def test_merged_semi_anti_has_both_join_types(spark, sf_dir):
+    plan = _plan(REGISTRY["join_semi_anti_customers"].spark_fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q2_q9_broadcast_dims_and_partial_agg(spark, sf_dir):
+    q2 = _plan(REGISTRY["q2_min_cost_supplier"].spark_fn(spark, sf_dir))
+    # supplier/nation/region/part broadcast; the min-cost groupBy
+    # partial-aggregates map-side before its wide exchange
+    assert q2.count("BroadcastHashJoin") >= 4
+    assert "partial_min" in q2
+    q9 = _plan(REGISTRY["q9_profit_by_nation_year"].spark_fn(spark, sf_dir))
+    assert q9.count("BroadcastHashJoin") >= 3
+    assert "partial_sum" in q9
+
+
+def test_ngram_cap_rides_selfjoin_exchange(spark, sf_dir):
+    """The capped index (window count over sh) appears in FOUR subplans
+    (both self-join sides + both size aggregates). The initial plan
+    prints four sh exchanges, but AQE's runtime exchange reuse must
+    collapse them to one shuffle write + ReusedExchange reads — i.e.
+    the doc-frequency cap rides the self-join's existing exchange
+    instead of adding shuffle volume. Assert on the final adaptive
+    plan (only materialized after execution)."""
+    df = REGISTRY["dedup_ngram_jaccard"].spark_fn(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("ReusedExchange") >= 3, plan.count("ReusedExchange")
