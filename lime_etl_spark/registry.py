@@ -2655,3 +2655,204 @@ def ann_ivf_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 32)
     out = similarity.ivf_topk(queries, emb, dim=64, k=5, n_clusters=16, nprobe=4)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# ===========================================================================
+# Additional TPC-H shapes (post-window extras: breadth beyond the 50
+# scored slots; locally oracle-gated like everything else)
+# ===========================================================================
+
+
+@register(
+    "q12_priority_lines_by_status",
+    oracle="""
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def q12_priority_lines_by_status(spark, sf_dir):
+    """TPC-H Q12 shape (adapted: no l_shipmode column, so lines group
+    by l_linestatus): conditional aggregation over a fact-fact join
+    with a pushed date range. The CASE sums are exact integer math."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13: customer order-count distribution. LEFT OUTER with a
+    right-side-only predicate (customers with zero qualifying orders
+    stay, counted as 0 — count(col) skips nulls on both engines), then
+    a second aggregation over the counts. Two shuffles: custkey join +
+    tiny c_count groupBy."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q15_top_revenue_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(1,0) - l_discount::DECIMAL(6,4))), 2)::DOUBLE AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_revenue_supplier(spark, sf_dir):
+    """TPC-H Q15: supplier(s) achieving the max quarterly revenue — the
+    shared-CTE + scalar-subquery-max shape, expressed through the SQL
+    entry point: Catalyst executes the scalar subquery as its own
+    stage and embeds the result as a literal (no join node — the plan
+    stays free of nested-loop joins). Revenue is an exact-decimal sum
+    rounded once, so the equality against the max compares identical
+    doubles."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q15")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_q15")
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(6,4)))), 2)
+                      AS DOUBLE) AS total_revenue
+          FROM lineitem_q15
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier_q15 JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+@register(
+    "q16_supplier_count_by_part",
+    oracle="""
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_count_by_part(spark, sf_dir):
+    """TPC-H Q16 shape (adapted: supplier exclusion by negative acctbal
+    instead of the absent s_comment complaints filter): distinct
+    supplier count per part attribute group, with a NOT IN subquery
+    (left anti against a broadcast exclusion list — the list is empty
+    of NULLs by construction, so anti join == NOT IN)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT round(avg(c_acctbal), 2) AS a FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_nationkey,
+           count(*) AS numcust,
+           round(sum(c_acctbal::DECIMAL(12,2)), 2)::DOUBLE AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape (adapted: no c_phone, so the country-code group
+    is c_nationkey): scalar AVG subquery (single-row broadcast) +
+    NOT EXISTS (left anti) + group aggregate, through the SQL entry
+    point (the scalar subquery executes as its own stage and embeds as
+    a literal — no join node). The avg threshold is rounded to 2dp on
+    both sides before the comparison — a raw double mean depends on
+    accumulation order, and a customer balance within ulps of it would
+    flip rows between engines."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_q22")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q22")
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               count(*) AS numcust,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+        FROM customer_q22
+        WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer_q22
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders_q22 WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+        """
+    )
