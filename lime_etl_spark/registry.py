@@ -2856,3 +2856,83 @@ def q22_idle_rich_customers(spark, sf_dir):
         ORDER BY c_nationkey
         """
     )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(sum(CASE WHEN n_name = 'BRAZIL'
+                          THEN l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(1,0) - l_discount::DECIMAL(6,4))
+                          ELSE 0::DECIMAL(12,2) END)
+                 / sum(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(1,0) - l_discount::DECIMAL(6,4))), 6) AS mkt_share
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    GROUP BY year(o_orderdate)
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of yearly revenue — a ratio
+    of conditional to total aggregate. Both sums stay exact DECIMAL;
+    the single division of two exact values is one IEEE op (identical
+    across engines), rounded once."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    vol = _dec2("l_extendedprice") * (_one() - _dec4("l_discount"))
+    brazil_vol = F.when(F.col("n_name") == "BRAZIL", vol).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                (F.sum(brazil_vol) / F.sum(vol)).cast("double"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q11_part_value_concentration",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             round(sum(l_extendedprice::DECIMAL(12,2)), 2)::DOUBLE AS part_value
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, part_value
+    FROM pv
+    WHERE part_value > (SELECT 0.001 * sum(part_value) FROM pv)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_part_value_concentration(spark, sf_dir):
+    """TPC-H Q11 shape (adapted: no partsupp, so value := summed sale
+    value per part): parts holding more than 0.1% of total value — a
+    HAVING against a scalar subquery over the same CTE, via the SQL
+    entry point (aggregate computed once; scalar stage embeds the
+    threshold). Per-part values are exact-decimal sums rounded once;
+    the global sum of those ROUNDED doubles is accumulation-order
+    sensitive in the last ulps, but the 0.1% threshold sits far from
+    any part's value (asserted by the oracle gate row-for-row)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q11")
+    return spark.sql(
+        """
+        WITH pv AS (
+          SELECT l_partkey,
+                 CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS part_value
+          FROM lineitem_q11 GROUP BY l_partkey)
+        SELECT l_partkey, part_value
+        FROM pv
+        WHERE part_value > (SELECT 0.001 * sum(part_value) FROM pv)
+        ORDER BY part_value DESC, l_partkey
+        """
+    )

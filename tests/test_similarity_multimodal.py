@@ -110,3 +110,13 @@ def test_decode_stub_raises_without_libs(spark):
         pytest.skip("decoder lib present")
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"xxx", "image/png")
+
+
+def test_embedding_dim_matches_oracle_bound(spark, sf_dir):
+    """Several oracles unroll vector math with a literal range(1, 65):
+    valid only while every embedding has exactly 64 elements. If the
+    fixture's dim ever changes, this fails before the oracles silently
+    truncate."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    dims = emb.select(F.size("embedding").alias("d")).distinct().collect()
+    assert [r.d for r in dims] == [64]
