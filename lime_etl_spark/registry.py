@@ -2936,3 +2936,110 @@ def q11_part_value_concentration(spark, sf_dir):
         ORDER BY part_value DESC, l_partkey
         """
     )
+
+
+@register(
+    "q20_dominant_suppliers",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             sum(l_quantity::DECIMAL(12,2)) AS supp_qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    pt AS (
+      SELECT l_partkey, sum(l_quantity::DECIMAL(12,2)) AS part_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT s_suppkey, s_name, n_name, count(*) AS n_dominant_parts
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN ps ON ps.l_suppkey = s_suppkey
+    JOIN pt ON pt.l_partkey = ps.l_partkey
+    WHERE 2 * ps.supp_qty > pt.part_qty
+    GROUP BY s_suppkey, s_name, n_name
+    ORDER BY s_suppkey
+    """,
+)
+def q20_dominant_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (adapted: no partsupp availqty, so the
+    half-of-demand test becomes supplier-share-of-part-volume):
+    suppliers shipping more than half a part's total quantity, counted
+    per supplier. The share predicate stays in exact decimal
+    (2*supp_qty > part_qty — no float division under a comparison).
+
+    Scale: both aggregates partial-combine map-side off the same scan;
+    the (part,supp)⋈(part) join shuffles pre-aggregated rows only;
+    supplier/nation broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec2("l_quantity")).alias("supp_qty")
+    )
+    pt = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_dec2("l_quantity")).alias("part_qty")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        ps.join(pt, F.col("l_partkey") == F.col("pk"))
+        .filter(F.lit(2) * F.col("supp_qty") > F.col("part_qty"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_sole_late_suppliers",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > (SELECT o2.o_orderdate FROM orders o2
+                                             WHERE o2.o_orderkey = l3.l_orderkey)
+                                            + INTERVAL 90 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_sole_late_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: no l_receiptdate/l_commitdate, so
+    "late" := shipped more than 90 days after the order date):
+    suppliers who were the ONLY late supplier on a finalized
+    multi-supplier order — the double-correlated EXISTS / NOT EXISTS
+    shape, via the SQL entry point (Catalyst rewrites both into
+    LeftSemi/LeftAnti joins on l_orderkey; no per-row subquery
+    execution). The date comparison is exact timestamp arithmetic."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q21")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q21")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_q21")
+    return spark.sql(
+        """
+        WITH late AS (
+          SELECT l_orderkey, l_suppkey,
+                 CAST(l_shipdate > o_orderdate + INTERVAL 90 DAY AS INT) AS is_late
+          FROM lineitem_q21 JOIN orders_q21 ON o_orderkey = l_orderkey
+          WHERE o_orderstatus = 'F')
+        SELECT s_name, count(*) AS numwait
+        FROM late l1
+        JOIN supplier_q21 ON s_suppkey = l1.l_suppkey
+        WHERE l1.is_late = 1
+          AND EXISTS (SELECT 1 FROM late l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.is_late = 1)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        """
+    )
