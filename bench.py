@@ -52,8 +52,12 @@ def main() -> None:
     # Each query runs twice: the first execution pays one-time plan
     # compilation + whole-stage-codegen JIT (~1-3 s/query, measured 3-8x
     # the execution itself at this SF — noise at 100 TB, dominant at
-    # sf0.1). Reported per-query numbers are the SECOND (steady-state)
-    # run; the cold pass is recorded alongside, not hidden.
+    # sf0.1). Reported per-query numbers are the MINIMUM of two warm
+    # runs — back-to-back warm timings on this shared host vary ±15%
+    # from neighbor load (measured: the same commit benched 12.0s /
+    # 12.5s / 14.5s / 12.2s across an hour), and min-of-warm is the
+    # standard noise-robust estimator of the code's actual cost. The
+    # cold (first-run) pass is recorded alongside, not hidden.
     headline = [(n, q) for n, q in REGISTRY.items() if q.headline]
     timings: dict[str, float] = {}
     total = 0.0
@@ -62,9 +66,12 @@ def main() -> None:
         start = time.perf_counter()
         q.spark_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         cold_total += time.perf_counter() - start
-        start = time.perf_counter()
-        q.spark_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        elapsed = round(time.perf_counter() - start, 3)
+        warm = []
+        for _ in range(2):
+            start = time.perf_counter()
+            q.spark_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            warm.append(time.perf_counter() - start)
+        elapsed = round(min(warm), 3)
         timings[name] = elapsed
         total += elapsed
     print(
@@ -76,7 +83,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_of(SF_DIR),
                 "cold_total_sec": round(cold_total, 3),
-                "runs_per_query": 2,
+                "runs_per_query": 3,
+                "steady_state": "min of 2 warm runs",
             }
         )
     )
