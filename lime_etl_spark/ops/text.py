@@ -193,3 +193,52 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     column instead (one tokenization pass).
     """
     return shingles_from_tokens(tokens(col), n)
+
+
+# ---------------------------------------------------------------------------
+# Redaction + vocabulary (training-data preparation)
+# ---------------------------------------------------------------------------
+
+# Deliberately simple, engine-portable patterns (no lookaround, no
+# backreferences — the intersection of Java regex and RE2 semantics).
+REDACT_PATTERNS: dict[str, str] = {
+    "email": "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "url": "https?://[^ ]+",
+    "number_long": "[0-9]{7,}",
+}
+
+
+def redact(df: DataFrame, text_col: str = "text", out: str = "text_redacted") -> DataFrame:
+    """Replace emails, URLs, and long digit runs with typed placeholder
+    tokens — the standard pre-training scrub. Chained JVM
+    regexp_replace, one narrow pass, no shuffle; patterns restricted to
+    the Java-regex/RE2 common subset so the DuckDB twin is exact."""
+    c = F.col(text_col)
+    for kind, pat in REDACT_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"<{kind.upper()}>")
+    return df.withColumn(out, c)
+
+
+def vocabulary(
+    df: DataFrame, text_col: str = "text", top_k: int = 100
+) -> DataFrame:
+    """Corpus vocabulary: token -> (term frequency, document frequency),
+    top_k by frequency. The canonical word-count: per-row distinct for
+    df, explode, one map-side-combined groupBy; the top-k is a
+    TakeOrdered, not a global sort. At 100 TB this is one shuffle of
+    partially-aggregated (token, counts) pairs."""
+    toks = df.select(tokens(text_col).alias("__toks"))
+    tf = (
+        toks.select(F.explode("__toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("term_freq"))
+    )
+    dfreq = (
+        toks.select(F.explode(F.array_distinct(F.col("__toks"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    joined = tf.join(dfreq, "token")
+    return (
+        joined.orderBy(F.col("term_freq").desc(), F.col("token").asc()).limit(top_k)
+    )

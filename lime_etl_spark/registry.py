@@ -3043,3 +3043,97 @@ def q21_sole_late_suppliers(spark, sf_dir):
         ORDER BY numwait DESC, s_name
         """
     )
+
+
+# ===========================================================================
+# Training-data preparation: redaction, vocabulary, splits, sampling
+# ===========================================================================
+
+
+@register(
+    "text_redacted",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^ ]+', '<URL>', 'g'),
+             '[0-9]{7,}', '<NUMBER_LONG>', 'g') AS text_redacted
+    FROM documents
+    """,
+)
+def text_redacted(spark, sf_dir):
+    """PII-style scrub before training: emails, URLs, long digit runs
+    replaced by typed placeholders (ops/text.py REDACT_PATTERNS —
+    restricted to the Java-regex/RE2 common subset so both engines
+    substitute identically). Narrow pass, no shuffle."""
+    docs = _tp(spark, sf_dir, "documents")
+    return text.redact(docs).select("doc_id", "text_redacted")
+
+
+@register(
+    "text_vocabulary",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_CTE} AS toks FROM documents),
+    tf AS (
+      SELECT tok AS token, count(*) AS term_freq
+      FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+    df AS (
+      SELECT tok AS token, count(*) AS doc_freq
+      FROM (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t) GROUP BY tok)
+    SELECT token, term_freq, doc_freq
+    FROM tf JOIN df USING (token)
+    ORDER BY term_freq DESC, token
+    LIMIT 100
+    """,
+)
+def text_vocabulary(spark, sf_dir):
+    """Corpus vocabulary (token -> term/document frequency, top 100).
+    The canonical distributed word count: map-side-combined groupBy
+    per frequency kind, broadcast-joined, TakeOrdered top-k (never a
+    global sort)."""
+    docs = _tp(spark, sf_dir, "documents")
+    out = text.vocabulary(docs, top_k=100)
+    return out.select("token", "term_freq", "doc_freq")
+
+
+@register(
+    "split_assignments",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || 'r2'), 1, 15))::BIGINT % 100 < 90
+                THEN 'train' ELSE 'eval' END AS split
+    FROM documents
+    """,
+)
+def split_assignments(spark, sf_dir):
+    """Deterministic 90/10 train/eval split by content-hash bucket
+    (ops/sampling.py): a pure function of the key — stable across
+    runs, engines, partitionings, and corpus growth. randomSplit can
+    give none of those guarantees."""
+    from lime_etl_spark.ops import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.with_split(docs, "doc_id", train_pct=90, salt="r2").select(
+        "doc_id", "split"
+    )
+
+
+@register(
+    "sample_10pct_docs",
+    oracle="""
+    SELECT doc_id
+    FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR || 's1'), 1, 15))::BIGINT % 100 < 10
+    """,
+)
+def sample_10pct_docs(spark, sf_dir):
+    """Deterministic ~10% sample by hash bucket — reproducible,
+    engine-portable, uniformly thinning every stratum, no RNG state."""
+    from lime_etl_spark.ops import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.deterministic_sample(docs, "doc_id", pct=10, salt="s1").select(
+        "doc_id"
+    )

@@ -187,3 +187,51 @@ def test_clean_numeric_matches_reference_lambda(spark, values):
                 assert g is None or g != g
             else:
                 assert g == expected, (v, g, expected)
+
+
+def test_redact_replaces_pii_patterns(spark):
+    from lime_etl_spark.ops import text as t
+
+    df = spark.createDataFrame(
+        [(1, "mail me at bob.smith+x@example.co.uk or visit https://x.io/a?b=1 ref 12345678 ok")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = t.redact(df).collect()[0].text_redacted
+    assert "<EMAIL>" in out and "<URL>" in out and "<NUMBER_LONG>" in out
+    assert "example" not in out and "x.io" not in out and "12345678" not in out
+    # short numbers survive (7+ digit threshold)
+    df2 = spark.createDataFrame([(1, "call 555 1234")], "doc_id BIGINT, text STRING")
+    assert "555 1234" in t.redact(df2).collect()[0].text_redacted
+
+
+def test_vocabulary_counts(spark):
+    from lime_etl_spark.ops import text as t
+
+    df = spark.createDataFrame(
+        [(1, "spark spark joins"), (2, "spark windows")],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = {r.token: (r.term_freq, r.doc_freq) for r in t.vocabulary(df).collect()}
+    assert rows["spark"] == (3, 2)
+    assert rows["joins"] == (1, 1)
+    assert rows["windows"] == (1, 1)
+
+
+def test_split_deterministic_and_proportional(spark, sf_dir):
+    from lime_etl_spark.io.sources import read_table
+    from lime_etl_spark.ops import sampling
+
+    docs = read_table(spark, sf_dir, "documents")
+    s1 = {(r.doc_id, r.split) for r in sampling.with_split(docs, "doc_id").collect()}
+    s2 = {(r.doc_id, r.split) for r in sampling.with_split(docs, "doc_id").collect()}
+    assert s1 == s2  # pure function of the key
+    n = len(s1)
+    train = sum(1 for _, sp in s1 if sp == "train")
+    assert 0.8 * n < train < 0.97 * n  # ~90% within hash-uniformity noise
+    # independent splits under different salts
+    s3 = {(r.doc_id, r.split) for r in sampling.with_split(docs, "doc_id", salt="x").collect()}
+    assert s3 != s1
+    # sampling thins to ~pct and is a subset of the corpus keys
+    samp = {r.doc_id for r in sampling.deterministic_sample(docs, "doc_id", pct=10).collect()}
+    assert 0.03 * n < len(samp) < 0.2 * n
+    assert samp <= {d for d, _ in s1}
