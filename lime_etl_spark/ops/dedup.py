@@ -29,7 +29,7 @@ permutations).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from lime_etl_spark.ops.text import shingles, tokens
@@ -336,6 +336,142 @@ def minhash_near_dups(
     return ngram_jaccard_pairs(
         df, threshold=threshold, id_col=id_col, text_col=text_col, n=n, pairs=cands
     ).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# Connected components (near-dup group assignment)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Cluster near-duplicate PAIRS into duplicate GROUPS.
+
+    Pair generation (LSH candidates + Jaccard verification) leaves a
+    graph of edges; dedup needs its connected components so each group
+    keeps exactly one canonical document. The reference has no analogue
+    (its only dedup is keep-latest, lime_survey_orders_shipped.py:69-70);
+    this is the standard closing step of a corpus-dedup pipeline.
+
+    Algorithm: iterative min-label propagation. Every node starts
+    labelled with itself; each round a node adopts the minimum label in
+    its closed neighborhood; converged when no label changes. Rounds
+    needed = graph diameter, and near-dup components are small and
+    dense (a duplicate cluster is near-clique), so convergence in a
+    handful of rounds — not the O(log n) large-star/small-star variant,
+    which only pays off on long-chain graphs that dedup never produces.
+
+    Scale notes:
+    - Each round is one join + one groupBy, both shuffling on node id —
+      no driver-side data movement; the only driver value is the
+      changed-label count (a scalar per round).
+    - ``localCheckpoint(eager=True)`` truncates lineage each round;
+      without it the plan doubles per iteration and Catalyst analysis
+      time dominates by round ~10.
+    - Edges enter ONCE as a deduplicated bidirectional list; at 100 TB
+      scale the label table is (node, label) longs — tiny relative to
+      the corpus that produced the pairs.
+
+    Returns (doc_id, component_id, component_size); component_id is the
+    min doc_id of the component (the canonical survivor).
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.union(rev).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("dst_label")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce(F.col("nbr_label"), labels["label"])
+                ).alias("label"),
+                (
+                    F.coalesce(F.col("nbr_label"), labels["label"]) < labels["label"]
+                ).alias("__changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = stepped.filter(F.col("__changed")).count()
+        labels = stepped.drop("__changed")
+        if n_changed == 0:
+            break
+    w = Window.partitionBy("component_id")
+    out = labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("component_id")
+    )
+    return out.withColumn(
+        "component_size", F.count(F.lit(1)).over(w).cast("bigint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination (train/eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def ngram_overlap(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, the fraction
+    of its distinct n-gram shingles that appear anywhere in the eval
+    corpus, and a contaminated flag at ``threshold``.
+
+    Plan shape is the one that survives 100 TB: the EVAL shingle set is
+    the small side (benchmarks are MBs while the training corpus is the
+    100 TB side), so it is deduplicated and **broadcast** — the train
+    index is never shuffled for the membership probe (left-semi
+    broadcast hash join), and the only wide exchange is the per-doc
+    groupBy that was needed for set sizes anyway.
+    """
+    tr = shingle_index(train_df, id_col, text_col, n)
+    ev = F.broadcast(
+        shingle_index(eval_df, id_col, text_col, n).select("shingle").distinct()
+    )
+    sizes = tr.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        tr.join(ev, "shingle", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    frac = F.round(
+        F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_shingles").cast("double"), 6
+    )
+    return (
+        sizes.join(hits, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("n_shingles"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+            frac.alias("overlap_frac"),
+            (frac >= F.lit(threshold)).alias("contaminated"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

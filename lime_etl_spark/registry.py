@@ -3137,3 +3137,175 @@ def sample_10pct_docs(spark, sf_dir):
     return sampling.deterministic_sample(docs, "doc_id", pct=10, salt="s1").select(
         "doc_id"
     )
+
+
+# ===========================================================================
+# Corpus hygiene: near-dup components, repetition metrics,
+# decontamination, TF-IDF (training-data extras, round 2)
+# ===========================================================================
+
+# Jaccard-pair CTEs shared by the components oracle (mirrors the
+# dedup_ngram_jaccard oracle at the same threshold/cap).
+_JACCARD_PAIRS_CTE = f"""
+    dshc AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        FROM dsh)
+      WHERE df <= {dedup.MAX_DOCS_PER_SHINGLE}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dshc GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM dshc a JOIN dshc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM common JOIN sizes sa ON sa.doc_id = id_a
+                  JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common / (sa.n + sb.n - n_common)::DOUBLE >= 0.2)
+"""
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_JACCARD_PAIRS_CTE},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+    comp AS (SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY id)
+    SELECT doc_id, component_id,
+           count(*) OVER (PARTITION BY component_id) AS component_size
+    FROM comp
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Near-duplicate GROUP assignment: Jaccard pairs (same threshold
+    as dedup_ngram_jaccard) clustered into connected components by
+    iterative min-label propagation (ops/dedup.py connected_components
+    — localCheckpoint lineage truncation per round, convergence by a
+    scalar changed-count). The oracle computes the same closure with a
+    recursive CTE, so the iterative Spark algorithm is value-checked
+    end to end, not rows-only."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.2)
+    return dedup.connected_components(pairs)
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_CTE} AS t FROM documents),
+    t3 AS (
+      SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+      FROM toks,
+           (SELECT unnest(range(1, (SELECT coalesce(max(len(t)), 0) + 1 FROM toks))) AS i) idx
+      WHERE len(t) >= 3 AND i <= len(t) - 2),
+    b2 AS (
+      SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+      FROM toks,
+           (SELECT unnest(range(1, (SELECT coalesce(max(len(t)), 0) + 1 FROM toks))) AS i) idx
+      WHERE len(t) >= 2 AND i <= len(t) - 1),
+    tri AS (
+      SELECT doc_id, count(*) AS n_3grams, count(DISTINCT g) AS n_uniq_3grams
+      FROM t3 GROUP BY doc_id),
+    bic AS (SELECT doc_id, g, count(*) AS n FROM b2 GROUP BY doc_id, g),
+    bitop AS (
+      SELECT doc_id, g AS top_bigram, n AS top_bigram_n
+      FROM (SELECT doc_id, g, n,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, g) AS rn
+            FROM bic)
+      WHERE rn = 1),
+    nb AS (SELECT doc_id, greatest(len(t) - 1, 0) AS n_bigrams FROM toks)
+    SELECT d.doc_id,
+           coalesce(tri.n_3grams, 0) AS n_3grams,
+           coalesce(tri.n_uniq_3grams, 0) AS n_uniq_3grams,
+           CASE WHEN coalesce(tri.n_3grams, 0) > 0
+                THEN round(1.0 - tri.n_uniq_3grams / tri.n_3grams::DOUBLE, 6)
+                ELSE 0.0 END AS dup_3gram_frac,
+           coalesce(bitop.top_bigram, '') AS top_bigram,
+           coalesce(bitop.top_bigram_n, 0) AS top_bigram_n,
+           CASE WHEN nb.n_bigrams > 0
+                THEN round(coalesce(bitop.top_bigram_n, 0) / nb.n_bigrams::DOUBLE, 6)
+                ELSE 0.0 END AS top_bigram_frac
+    FROM documents d
+    LEFT JOIN tri USING (doc_id)
+    LEFT JOIN bitop USING (doc_id)
+    JOIN nb USING (doc_id)
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher/C4-style repetition quality metrics: duplicate 3-gram
+    fraction (narrow array math, no shuffle) + most-frequent bigram and
+    its share (explode + doc-keyed aggregation — linear, unlike a
+    per-row quadratic array count). The standard boilerplate/looping
+    filter for pre-training corpora."""
+    docs = _tp(spark, sf_dir, "documents")
+    return text.repetition_stats(docs)
+
+
+@register(
+    "decontam_overlap",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    ev AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 20 = 0),
+    tr AS (SELECT doc_id, shingle FROM dsh WHERE doc_id % 20 <> 0),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hit
+      FROM tr JOIN ev USING (shingle) GROUP BY doc_id)
+    SELECT s.doc_id, s.n_shingles,
+           coalesce(h.n_hit, 0) AS n_hit,
+           round(coalesce(h.n_hit, 0) / s.n_shingles::DOUBLE, 6) AS overlap_frac,
+           round(coalesce(h.n_hit, 0) / s.n_shingles::DOUBLE, 6) >= 0.2 AS contaminated
+    FROM sizes s LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def decontam_overlap(spark, sf_dir):
+    """Benchmark decontamination: per training doc, what fraction of
+    its distinct 3-gram shingles appear in the eval slice (doc_id % 20
+    == 0 plays the benchmark corpus). The eval shingle set is BROADCAST
+    (benchmarks are tiny next to a 100 TB training corpus), so the
+    probe is a broadcast left-semi join — the training index never
+    shuffles for membership, only for its own per-doc sizes."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    return dedup.ngram_overlap(train, ev, threshold=0.2)
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_CTE} AS toks FROM documents),
+    tf AS (
+      SELECT doc_id, tok AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+    df AS (
+      SELECT tok AS term, count(*) AS doc_freq
+      FROM (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1),
+    scored AS (
+      SELECT doc_id, term, tf, doc_freq,
+             round((tf * (SELECT count(*) FROM documents))::DOUBLE / doc_freq, 6)
+               AS tfidf
+      FROM tf JOIN df USING (term))
+    SELECT doc_id, term, tf, doc_freq, tfidf, rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rank
+          FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Top-3 most distinctive terms per document by TF-IDF with the
+    RATIONAL idf N/df — same ranking as ln(N/df) (monotone) but
+    bit-reproducible across engines, where libm ln() is a last-ulp
+    hazard. Two map-side-combined aggregations + a per-doc window
+    top-k; corpus size N is a driver scalar (one count job)."""
+    docs = _tp(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, k=3)

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -235,3 +236,95 @@ def test_split_deterministic_and_proportional(spark, sf_dir):
     samp = {r.doc_id for r in sampling.deterministic_sample(docs, "doc_id", pct=10).collect()}
     assert 0.03 * n < len(samp) < 0.2 * n
     assert samp <= {d for d, _ in s1}
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation: a 4-node chain (diameter 3 — needs
+    multiple rounds), a separate 2-node island, and a triangle that
+    shares no nodes with either. Component id = min member id."""
+    from lime_etl_spark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["doc_id"]: (r["component_id"], r["component_size"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+        10: (10, 2), 11: (10, 2),
+        20: (20, 3), 21: (20, 3), 22: (20, 3),
+    }
+
+
+def test_connected_components_empty_pairs(spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from lime_etl_spark.ops.dedup import connected_components
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("id_a", LongType()), StructField("id_b", LongType())])
+    )
+    out = connected_components(empty)
+    assert out.columns == ["doc_id", "component_id", "component_size"]
+    assert out.count() == 0
+
+
+def test_repetition_stats_known_values(spark):
+    """'a b a b a' → 3-grams [aba, bab, aba]: dup frac 1/3; bigrams
+    [ab, ba, ab, ba]: top 'a b' (tie broken lexicographically) with
+    2/4. Single-token doc → all zeros, empty top bigram."""
+    from lime_etl_spark.ops.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "hello")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    r1 = rows[1]
+    assert (r1["n_3grams"], r1["n_uniq_3grams"]) == (3, 2)
+    assert r1["dup_3gram_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert (r1["top_bigram"], r1["top_bigram_n"]) == ("a b", 2)
+    assert r1["top_bigram_frac"] == pytest.approx(0.5)
+    r2 = rows[2]
+    assert (r2["n_3grams"], r2["top_bigram"], r2["top_bigram_n"]) == (0, "", 0)
+    assert r2["dup_3gram_frac"] == 0.0 and r2["top_bigram_frac"] == 0.0
+
+
+def test_ngram_overlap_broadcasts_eval_side(spark):
+    """Decontamination: eval shingles must probe via broadcast
+    left-semi hash join (the train side never shuffles for membership),
+    and a fully-contained train doc reports overlap 1.0."""
+    from lime_etl_spark.ops.dedup import ngram_overlap
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "totally different words here now")],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(100, "the quick brown fox jumps")], ["doc_id", "text"])
+    out = ngram_overlap(train, ev, threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["overlap_frac"] == pytest.approx(1.0)
+    assert rows[1]["contaminated"] is True
+    assert rows[2]["n_hit"] == 0 and rows[2]["contaminated"] is False
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from lime_etl_spark.ops.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common zebra"),
+            (2, "common words only"),
+            (3, "common words again"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(docs, k=2)
+    top1 = {r["rank"]: r["term"] for r in out.filter("doc_id = 1").collect()}
+    # zebra: tf=1, df=1 → 1*3/1 = 3.0; common: tf=3, df=3 → 3*3/3 = 3.0
+    # tie → lexicographic: 'common' first
+    assert top1 == {1: "common", 2: "zebra"}
