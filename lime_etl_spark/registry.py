@@ -3309,3 +3309,33 @@ def text_tfidf_top_terms(spark, sf_dir):
     top-k; corpus size N is a driver scalar (one count job)."""
     docs = _tp(spark, sf_dir, "documents")
     return text.tfidf_top_terms(docs, k=3)
+
+
+@register(
+    "streaming_click_purchase_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           c.ts AS click_ts,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL '30 minutes'
+    """,
+)
+def streaming_click_purchase_join(spark, sf_dir):
+    """Stream-stream interval join (click→purchase attribution within
+    30 min), executed with availableNow over the parquet fixture —
+    watermarks on BOTH sides plus the two-sided time-range condition
+    bound the join state (streaming/events.py
+    click_purchase_interval_join); on bounded input the append-mode
+    output equals the batch interval join, which is the oracle."""
+    from lime_etl_spark.streaming import events as sevents
+
+    return sevents.run_click_purchase_join_batchlike(spark, sf_dir)

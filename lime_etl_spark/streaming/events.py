@@ -142,6 +142,60 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> 
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def click_purchase_interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream INNER join with an event-time interval constraint:
+    each purchase matched to every click by the same user in the
+    preceding ``horizon``. The canonical attribution join.
+
+    State stays bounded because BOTH sides carry a watermark AND the
+    join condition range-bounds event time on both sides — Spark derives
+    a state-eviction watermark per side from the interval, so at 100 TB
+    the join state holds only ``horizon + watermark`` of history per
+    key, not the whole stream. Append output mode (the only mode
+    stream-stream inner joins support); on bounded availableNow input
+    the emitted set equals the batch interval join, which is the
+    oracle's definition.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        F.expr(
+            "user_id = p_user_id"
+            " AND purchase_ts >= click_ts"
+            f" AND purchase_ts <= click_ts + interval {horizon}"
+        ),
+    ).select(
+        "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value"
+    )
+
+
+def run_click_purchase_join_batchlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """registry.streaming_click_purchase_join body: stream the fixture
+    twice (self-join of one source), availableNow, append mode."""
+    src = stage_events_dir(sf_dir)
+    clicks = read_events_stream(spark, src).filter(F.col("event_type") == "click")
+    purchases = read_events_stream(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = click_purchase_interval_join(clicks, purchases)
+    return run_to_memory(joined, output_mode="append")
+
+
 def run_to_memory(
     stream_df: DataFrame, checkpoint_dir: str | None = None, output_mode: str = "complete"
 ) -> DataFrame:

@@ -114,11 +114,14 @@ def test_no_cartesian_in_streaming_transformations(spark, sf_dir):
     from lime_etl_spark.streaming import events as sevents
 
     stream = sevents.read_events_stream(spark, sevents.stage_events_dir(sf_dir))
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
     for df in (
         sevents.tumbling_counts(stream),
         sevents.sliding_counts(stream),
         sevents.session_windows(stream),
         sevents.dedup_within_watermark(stream),
+        sevents.click_purchase_interval_join(clicks, purchases),
     ):
         plan = df._jdf.queryExecution().analyzed().toString()
         assert "Join Cross" not in plan
