@@ -58,3 +58,69 @@ def deterministic_sample(
     free, reproducible across runs and engines."""
     b = _bucket(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
     return df.filter(b < pct)
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    length_col: str = "n_tokens",
+    budget: int = 2048,
+    n_buckets: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic sequence packing: assign documents to fixed
+    token-budget bins for training-batch assembly.
+
+    A true first-fit packer is inherently sequential; the distributed,
+    reproducible formulation used here is HASH-BUCKETED GREEDY FILL:
+
+    1. route each doc to one of ``n_buckets`` streams by content hash
+       (same portable construction as with_split — stable, uniform);
+    2. inside a bucket, order docs deterministically (hash, then key as
+       tiebreak) and take the running token total;
+    3. bin index = (cumulative - length) div budget — i.e. a new bin
+       starts whenever the running total crosses a budget boundary.
+
+    Scale shape: the only wide operation is a window partitioned BY
+    BUCKET — n_buckets parallel cumsums, each over corpus/n_buckets
+    docs — never a global single-partition ordering. Bin ids are
+    (bucket, local_bin) pairs flattened as bucket * 2^32 + local_bin,
+    collision-free and stable as the corpus grows per bucket.
+
+    Bin-size contract: a bin holds every doc whose PRECEDING running
+    total sits in the same budget window, so a bin can overshoot the
+    budget by at most its last doc's length (next-fit semantics — the
+    standard streaming approximation; exact first-fit is sequential).
+    Oversized docs therefore inflate their bin: chunk them first
+    (text chunking) when a hard cap matters.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("pack_bucket").orderBy("__h", key_col)
+    out = (
+        df.withColumn("__h", h)
+        .withColumn("pack_bucket", (F.col("__h") % F.lit(n_buckets)).cast("bigint"))
+        .withColumn("__cum", F.sum(length_col).over(w))
+        .withColumn(
+            "local_bin",
+            F.floor((F.col("__cum") - F.col(length_col)) / F.lit(budget)).cast(
+                "bigint"
+            ),
+        )
+    )
+    return (
+        out.withColumn(
+            "pack_bin",
+            (F.col("pack_bucket") * F.lit(1 << 32) + F.col("local_bin")).cast(
+                "bigint"
+            ),
+        )
+        .drop("__h", "__cum")
+    )

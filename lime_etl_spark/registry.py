@@ -3339,3 +3339,43 @@ def streaming_click_purchase_join(spark, sf_dir):
     from lime_etl_spark.streaming import events as sevents
 
     return sevents.run_click_purchase_join_batchlike(spark, sf_dir)
+
+
+@register(
+    "pack_sequences_docs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len({_TOKS_CTE}) AS n_tokens,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+      FROM documents),
+    b AS (SELECT doc_id, n_tokens, h, h % 8 AS pack_bucket FROM t),
+    c AS (
+      SELECT doc_id, n_tokens, pack_bucket,
+             CAST(sum(n_tokens) OVER (PARTITION BY pack_bucket
+                                      ORDER BY h, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM b)
+    SELECT doc_id, n_tokens, pack_bucket,
+           CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS local_bin,
+           CAST(pack_bucket * 4294967296 + floor((cum - n_tokens) / 512.0) AS BIGINT)
+             AS pack_bin
+    FROM c
+    """,
+)
+def pack_sequences_docs(spark, sf_dir):
+    """Deterministic sequence packing: docs routed to 8 hash buckets,
+    greedily filled into 512-token bins by running total (per-bucket
+    window cumsum — parallel, never a global single-partition sort).
+    The batch-assembly step between corpus prep and the training
+    dataloader (ops/sampling.py pack_sequences)."""
+    from lime_etl_spark.ops import sampling
+    from lime_etl_spark.ops.text import token_count
+
+    docs = _tp(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    out = sampling.pack_sequences(
+        docs, budget=512, n_buckets=8
+    )
+    return out.select("doc_id", "n_tokens", "pack_bucket", "local_bin", "pack_bin")

@@ -33,7 +33,8 @@ def test_primary_window_covers_every_category():
         for p in ("q", "join", "agg", "window", "setop", "sort", "dedup",
                   "events", "streaming", "string", "date", "text", "ann",
                   "embedding", "multimodal", "pivot", "unpivot", "profile",
-                  "pipeline", "asof", "range", "split", "sample", "decontam"):
+                  "pipeline", "asof", "range", "split", "sample", "decontam",
+                  "pack"):
             if name == p or name.startswith(p + "_") or (p == "q" and name[1:2].isdigit()):
                 return p
         return name
@@ -50,6 +51,7 @@ def test_primary_window_covers_every_category():
         "split",
         "sample",
         "decontam",
+        "pack",
     }
 
 

@@ -328,3 +328,27 @@ def test_tfidf_rare_term_outranks_common(spark):
     # zebra: tf=1, df=1 → 1*3/1 = 3.0; common: tf=3, df=3 → 3*3/3 = 3.0
     # tie → lexicographic: 'common' first
     assert top1 == {1: "common", 2: "zebra"}
+
+
+def test_pack_sequences_bin_contract(spark):
+    """Next-fit packing: within each bucket every bin except the last
+    reaches the budget (it only closes when the running total crosses
+    the boundary), no bin exceeds budget + its last doc's length, and
+    assignments are invariant to input partitioning."""
+    from lime_etl_spark.ops.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, 10 + (i * 37) % 90) for i in range(300)], ["doc_id", "n_tokens"]
+    )
+    out = pack_sequences(docs, budget=200, n_buckets=4).collect()
+    by_bin: dict[int, list] = {}
+    for r in out:
+        by_bin.setdefault(r["pack_bin"], []).append(r)
+    for bin_id, rows in by_bin.items():
+        total = sum(r["n_tokens"] for r in rows)
+        assert total <= 200 + max(r["n_tokens"] for r in rows), bin_id
+    # determinism under different partitioning
+    out2 = pack_sequences(docs.repartition(7), budget=200, n_buckets=4).collect()
+    assert {(r["doc_id"], r["pack_bin"]) for r in out} == {
+        (r["doc_id"], r["pack_bin"]) for r in out2
+    }
