@@ -3379,3 +3379,19 @@ def pack_sequences_docs(spark, sf_dir):
         docs, budget=512, n_buckets=8
     )
     return out.select("doc_id", "n_tokens", "pack_bucket", "local_bin", "pack_bin")
+
+
+@register("agg_approx_percentiles", oracle=None)
+def agg_approx_percentiles(spark, sf_dir):
+    """approx_percentile (KLL-style sketch) over order totals per
+    priority — the 100 TB path for quantiles: the exact percentile
+    (agg_percentiles, oracle-checked) must shuffle full value lists per
+    group, while the sketch merges map-side in fixed memory. rows-only:
+    sketch estimates are engine-specific; the accuracy contract vs the
+    exact twin is pinned in tests/test_ops.py."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias(
+            "approx_pcts"
+        )
+    )

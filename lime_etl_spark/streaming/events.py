@@ -333,3 +333,49 @@ def read_events_rate(spark: SparkSession, rows_per_second: int = 1000) -> DataFr
         (F.col("value") % 997).cast("double").alias("value"),
         F.lit(None).cast("string").alias("props"),
     )
+
+
+def write_events_kafka(
+    stream_df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+) -> "StreamingQuery":
+    """Kafka-sink write path: serialize each row to a JSON value with a
+    partitioning key, exactly-once-per-checkpoint via the streaming
+    commit log (Kafka's transactional producer is not used by Spark's
+    sink — downstream consumers should dedup on a message key for
+    end-to-end idempotence, the standard pattern).
+
+    The key column keeps one entity's events in one Kafka partition
+    (per-key ordering for consumers); the JSON serialization is
+    JVM-side to_json — no Python in the stream path. Gated on connector
+    availability exactly like the source.
+    """
+    if not kafka_available(stream_df.sparkSession):
+        raise RuntimeError(
+            "spark-sql-kafka connector not on classpath; gate calls with "
+            "kafka_available() (the payload-shaping transform is testable "
+            "without a broker via kafka_payload())"
+        )
+    payload = kafka_payload(stream_df, key_col)
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def kafka_payload(df: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """The broker-independent half of the Kafka sink: (key, value)
+    columns Spark's kafka sink requires — key = partition key as
+    string, value = JSON of the full row. Split out so the
+    serialization contract is unit-testable without a connector."""
+    cols = [c for c in df.columns]
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value"),
+    )

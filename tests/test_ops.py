@@ -95,3 +95,28 @@ def test_normalize_empty_to_null(spark):
     rows = out.collect()
     assert rows[0].a is None and rows[0].b == "x"
     assert rows[1].a == "y" and rows[1].b is None
+
+
+def test_approx_aggregates_error_bounds(spark, sf_dir):
+    """Sketch-path accuracy contract: HLL distinct within 5% of exact,
+    approx_percentile within 2% relative error of the exact quantiles
+    at accuracy=10000 — the evidence that the 100 TB paths are usable
+    substitutes for the oracle-checked exact twins."""
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.io.sources import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+    orders = read_table(spark, sf_dir, "orders")
+    row = orders.agg(
+        F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("exact"),
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("approx"),
+    ).collect()[0]
+    for e, a in zip(row["exact"], row["approx"]):
+        assert abs(a - e) / e < 0.02, (e, a)

@@ -290,3 +290,28 @@ def test_transform_with_state_user_tracker(spark, sf_dir, tmp_path):
     g = {(r.user_id, r.n_events) for r in rows}
     b = {(r.user_id, r.n_events) for r in batch.collect()}
     assert g == b
+
+
+def test_kafka_sink_gated_and_payload_contract(spark, sf_dir):
+    """The Kafka SINK is gated like the source; the payload shaping
+    (key/value serialization) is broker-independent and must emit the
+    (string key, JSON value) contract Spark's kafka sink requires."""
+    import json
+
+    import pytest as _pytest
+
+    from lime_etl_spark.io.sources import read_table
+    from lime_etl_spark.streaming import events as sevents
+
+    ev = read_table(spark, sf_dir, "events").limit(5)
+    payload = sevents.kafka_payload(ev)
+    assert payload.columns == ["key", "value"]
+    for r in payload.collect():
+        parsed = json.loads(r["value"])
+        assert str(parsed["user_id"]) == r["key"]
+        assert {"event_id", "ts", "user_id", "event_type"} <= set(parsed)
+
+    if not sevents.kafka_available(spark):
+        stream = sevents.read_events_rate(spark, rows_per_second=10)
+        with _pytest.raises(RuntimeError, match="kafka"):
+            sevents.write_events_kafka(stream, "localhost:9092", "t", "/tmp/ck")
