@@ -352,3 +352,52 @@ def test_pack_sequences_bin_contract(spark):
     assert {(r["doc_id"], r["pack_bin"]) for r in out} == {
         (r["doc_id"], r["pack_bin"]) for r in out2
     }
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Property: on random graphs (self-loops, duplicate and reversed
+    edges included), min-label propagation agrees with a reference
+    union-find on both component membership and sizes."""
+    from lime_etl_spark.ops.dedup import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    nodes = {n for e in edges for n in e}
+    expected = {}
+    sizes = {}
+    for n in nodes:
+        root = find(n)
+        expected[n] = min(m for m in nodes if find(m) == root)
+    for n in nodes:
+        sizes[expected[n]] = sizes.get(expected[n], 0) + 1
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_a BIGINT, id_b BIGINT"
+    )
+    got = {
+        r["doc_id"]: (r["component_id"], r["component_size"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {n: (expected[n], sizes[expected[n]]) for n in nodes}
