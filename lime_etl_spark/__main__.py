@@ -1,0 +1,97 @@
+"""Command-line runner — the operational surface of the engine.
+
+The reference repo is driven by hand-running three scripts
+(/root/reference/lime_survey_nps.py etc.); here every registry query
+and every reference pipeline is runnable from one entrypoint:
+
+    python -m lime_etl_spark list
+    python -m lime_etl_spark run q1_pricing_summary --sf-dir /data/sf0.1
+    python -m lime_etl_spark run text_repetition --limit 5 --csv /tmp/out
+    python -m lime_etl_spark pipeline nps --export export.json --out /tmp/nps
+
+`run` executes lazily and only materializes what the output mode needs
+(show N rows, or a distributed CSV write — never a driver collect of
+the full result).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="lime_etl_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list registry queries")
+
+    runp = sub.add_parser("run", help="run a registry query")
+    runp.add_argument("name")
+    runp.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    runp.add_argument("--limit", type=int, default=20, help="rows to show")
+    runp.add_argument("--csv", default=None, help="write full result as CSV dir")
+    runp.add_argument("--explain", action="store_true", help="print the physical plan")
+
+    pipe = sub.add_parser("pipeline", help="run a reference pipeline")
+    pipe.add_argument("name", choices=["nps", "returns", "orders_shipped"])
+    pipe.add_argument("--export", required=True, help="LimeSurvey JSON export file")
+    pipe.add_argument("--out", required=True, help="output directory (CSV)")
+    pipe.add_argument("--run-ts", default="1970-01-01 00:00:00")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    from lime_etl_spark.registry import REGISTRY, ordered_registry
+
+    if args.cmd == "list":
+        for name, q in ordered_registry().items():
+            tags = []
+            if q.oracle is not None:
+                tags.append("oracled")
+            if q.headline:
+                tags.append("headline")
+            print(f"{name:40s} {','.join(tags)}")
+        return 0
+
+    from lime_etl_spark.session import get_spark
+
+    if args.cmd == "run":
+        if args.name not in REGISTRY:
+            print(f"unknown query: {args.name} (see `list`)", file=sys.stderr)
+            return 2
+        spark = get_spark(f"cli-{args.name}")
+        df = REGISTRY[args.name].spark_fn(spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+        if args.csv:
+            from lime_etl_spark.io.sinks import write_csv
+
+            write_csv(df, args.csv)
+            print(f"wrote {args.csv}")
+        else:
+            df.show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "pipeline":
+        from lime_etl_spark.io.sinks import write_csv
+        from lime_etl_spark.io.sources import read_survey_export_json
+        from lime_etl_spark.pipelines import surveys
+
+        spark = get_spark(f"cli-pipeline-{args.name}")
+        flat = read_survey_export_json(spark, args.export)
+        out = getattr(surveys, args.name)(flat, args.run_ts)
+        write_csv(out, args.out)
+        print(f"wrote {args.out}")
+        return 0
+
+    return 2  # pragma: no cover — argparse enforces the choices
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -105,3 +105,27 @@ def test_corrupt_export_strict_raises(spark, tmp_path):
 
 def test_valid_export_strict_passes(spark, survey_json_path):
     assert read_survey_export_json(spark, survey_json_path, strict=True).count() == 52
+
+
+def test_cli_list_run_pipeline(spark, sf_dir, tmp_path, capsys, survey_json_path):
+    """The CLI drives all three surfaces: list, run (show + csv),
+    pipeline (export json -> csv) — without creating a second session
+    (get_spark reuses the active one)."""
+    from lime_etl_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary" in out and "oracled" in out
+
+    assert main(["run", "q6_revenue_forecast", "--sf-dir", sf_dir, "--limit", "3"]) == 0
+    assert "revenue" in capsys.readouterr().out
+
+    assert main(["run", "nope_not_a_query", "--sf-dir", sf_dir]) == 2
+
+    dest = str(tmp_path / "cli_csv")
+    assert main(["run", "sort_topn_parts", "--sf-dir", sf_dir, "--csv", dest]) == 0
+    assert spark.read.option("header", True).csv(dest).count() == 20
+
+    pdest = str(tmp_path / "cli_nps")
+    assert main(["pipeline", "nps", "--export", survey_json_path, "--out", pdest]) == 0
+    assert spark.read.option("header", True).csv(pdest).count() > 0
