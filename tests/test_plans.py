@@ -197,3 +197,27 @@ def test_ngram_cap_rides_selfjoin_exchange(spark, sf_dir):
     df.collect()
     plan = _plan(df)
     assert plan.count("ReusedExchange") >= 3, plan.count("ReusedExchange")
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir):
+    """Packing = one hash exchange on pack_bucket (the per-bucket
+    cumsum window); the bin arithmetic is projection on top. A second
+    exchange would mean the bin id computation re-shuffled."""
+    from lime_etl_spark.ops.sampling import pack_sequences
+    from lime_etl_spark.ops.text import token_count
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    plan = _plan(pack_sequences(docs, budget=512, n_buckets=8))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tfidf_no_global_sort(spark, sf_dir):
+    """Per-doc top-k must rank inside doc partitions (window
+    row_number), never globally sort the scored (doc, term) table."""
+    from lime_etl_spark.ops.text import tfidf_top_terms
+
+    docs = read_table(spark, sf_dir, "documents")
+    plan = _plan(tfidf_top_terms(docs, k=3))
+    assert "Exchange rangepartitioning" not in plan
