@@ -66,6 +66,31 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: read_table(spark, sf_dir, n) for n in names}
 
 
+def read_evolved_parquet(
+    spark: SparkSession, path: str, required: "list[str] | None" = None
+) -> DataFrame:
+    """Read a parquet directory whose files were written under EVOLVING
+    schemas (columns added over time — the normal life of a warehouse
+    table that gains fields release by release).
+
+    ``mergeSchema`` reconciles the union of all file footers — files
+    missing a newer column surface NULLs for it, so downstream code
+    sees one stable wide schema. Schema merging reads every footer at
+    planning time: at 100 TB-scale file counts pin the merged schema in
+    a metastore/schema registry instead and pass it explicitly — this
+    reader is for the evolution WINDOW (backfills, rolling writers),
+    not a substitute for schema governance. ``required`` asserts the
+    columns the caller depends on survived the merge (a rename, unlike
+    an addition, is a contract break and should fail loudly here, not
+    as NULLs downstream).
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    missing = set(required or []) - set(df.columns)
+    if missing:
+        raise ValueError(f"evolved read at {path} missing columns {sorted(missing)}")
+    return df
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

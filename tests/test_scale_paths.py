@@ -59,3 +59,31 @@ def test_csv_round_trip(spark, tmp_path):
     df.write.option("header", "true").csv(path)
     back = read_csv(spark, path, schema="id BIGINT, s STRING, v DOUBLE")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """A table written v1 (3 cols) then v2 (adds quality_score) must
+    read back as the union schema with NULLs for v1 rows — and fail
+    loudly if a required column vanished (rename = contract break)."""
+    import pytest as _pytest
+
+    from lime_etl_spark.io.sources import read_evolved_parquet
+
+    dest = str(tmp_path / "evolved")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10)], "doc_id BIGINT, text STRING, n_tokens BIGINT"
+    )
+    v1.write.mode("append").parquet(dest)
+    v2 = spark.createDataFrame(
+        [(2, "b", 20, 0.9)],
+        "doc_id BIGINT, text STRING, n_tokens BIGINT, quality_score DOUBLE",
+    )
+    v2.write.mode("append").parquet(dest)
+
+    out = read_evolved_parquet(spark, dest, required=["doc_id", "quality_score"])
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["quality_score"] is None
+    assert rows[2]["quality_score"] == 0.9
+
+    with _pytest.raises(ValueError, match="missing columns"):
+        read_evolved_parquet(spark, dest, required=["doc_id", "renamed_away"])
