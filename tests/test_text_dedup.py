@@ -401,3 +401,15 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(pairs).collect()
     }
     assert got == {n: (expected[n], sizes[expected[n]]) for n in nodes}
+
+
+def test_simhash_arrow_matches_jvm(spark, sf_dir):
+    """The Arrow (mapInPandas) SimHash must be bit-identical to the JVM
+    explode path on real fixture docs — same md5-prefix hash, same
+    sign rule, same tie handling."""
+    from lime_etl_spark.io.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(100)
+    jvm = {r["id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    arrow = {r["id"]: r["simhash"] for r in dedup.simhash_arrow(docs).collect()}
+    assert jvm == arrow and len(jvm) == 100
