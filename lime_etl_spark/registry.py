@@ -3395,3 +3395,57 @@ def agg_approx_percentiles(spark, sf_dir):
             "approx_pcts"
         )
     )
+
+
+@register(
+    "dedup_near_dup_groups",
+    oracle=_minhash_sig_sql().replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+    bands AS ({_lsh_band_sql()}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+    dshc AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        FROM dsh)
+      WHERE df <= {dedup.MAX_DOCS_PER_SHINGLE}),
+    csizes AS (SELECT doc_id, count(*) AS n FROM dshc GROUP BY doc_id),
+    ccommon AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN dshc a ON a.doc_id = c.id_a
+      JOIN dshc b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2),
+    vpairs AS (
+      SELECT id_a, id_b
+      FROM ccommon JOIN csizes sa ON sa.doc_id = id_a
+                   JOIN csizes sb ON sb.doc_id = id_b
+      WHERE n_common / (sa.n + sb.n - n_common)::DOUBLE >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM vpairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM vpairs),
+    reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+    comp AS (SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY id)
+    SELECT doc_id, component_id,
+           count(*) OVER (PARTITION BY component_id) AS component_size
+    FROM comp
+    """,
+)
+def dedup_near_dup_groups(spark, sf_dir):
+    """THE end-to-end corpus-dedup pipeline in one query: banded-LSH
+    candidate generation (~linear) → exact Jaccard verification driven
+    off the candidate list (never the quadratic self-join) → connected
+    components → (doc, canonical group, size). The oracle reproduces
+    all three stages in SQL (minhash CTEs + capped candidate Jaccard +
+    recursive closure), so the complete composition is value-checked —
+    at 100 TB each stage is the documented scale path of its operator
+    (ops/dedup.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dups(docs, threshold=0.5)
+    return dedup.connected_components(pairs)
