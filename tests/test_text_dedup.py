@@ -413,3 +413,45 @@ def test_simhash_arrow_matches_jvm(spark, sf_dir):
     jvm = {r["id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
     arrow = {r["id"]: r["simhash"] for r in dedup.simhash_arrow(docs).collect()}
     assert jvm == arrow and len(jvm) == 100
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd", "e9"]), max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_repetition_stats_match_python(spark, token_lists):
+    """Property: repetition metrics agree with a direct Python
+    computation over arbitrary token sequences (short docs, all-dup
+    docs, empty docs included)."""
+    from collections import Counter
+
+    from lime_etl_spark.ops.text import repetition_stats
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    for i, toks in enumerate(token_lists):
+        tri = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        bi = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        r = got[i]
+        assert r["n_3grams"] == len(tri)
+        assert r["n_uniq_3grams"] == len(set(tri))
+        if tri:
+            assert r["dup_3gram_frac"] == pytest.approx(
+                round(1 - len(set(tri)) / len(tri), 6), abs=1e-9
+            )
+        else:
+            assert r["dup_3gram_frac"] == 0.0
+        if bi:
+            top_n = max(Counter(bi).values())
+            top_g = min(g for g, c in Counter(bi).items() if c == top_n)
+            assert (r["top_bigram"], r["top_bigram_n"]) == (top_g, top_n)
+            assert r["top_bigram_frac"] == pytest.approx(
+                round(top_n / len(bi), 6), abs=1e-9
+            )
+        else:
+            assert (r["top_bigram"], r["top_bigram_n"], r["top_bigram_frac"]) == ("", 0, 0.0)
