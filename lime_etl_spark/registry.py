@@ -88,7 +88,14 @@ def _dec2(col: str):
     """Exact-decimal money column — see module docstring: double sums
     round differently across engines at .xx5 boundaries, so money
     aggregates run in DECIMAL (exact in BOTH engines) and only the final
-    rounded value is cast back to double."""
+    rounded value is cast back to double.
+
+    Measured alternative (rejected): int64-scaled sums
+    (round(x*100) as bigint) overflow on product terms —
+    price*disc*tax scales to ~1e15/row, so a 150k-row group already
+    exceeds int64 at sf0.1 and ANY group does at 100 TB. Decimal
+    aggregation (128-bit accumulators) is the scale-safe exact path;
+    its per-row cost is the price of cross-engine exactness."""
     return F.col(col).cast("decimal(12,2)")
 
 
