@@ -60,8 +60,10 @@ def main() -> None:
     # cold (first-run) pass is recorded alongside, not hidden.
     headline = [(n, q) for n, q in REGISTRY.items() if q.headline]
     timings: dict[str, float] = {}
+    exec_timings: dict[str, float] = {}
     total = 0.0
     cold_total = 0.0
+    exec_total = 0.0
     for name, q in headline:
         start = time.perf_counter()
         q.spark_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -74,6 +76,20 @@ def main() -> None:
         elapsed = round(min(warm), 3)
         timings[name] = elapsed
         total += elapsed
+        # Execution-only: re-run an ALREADY-BUILT DataFrame, so Catalyst
+        # analysis/optimization/codegen (fixed per-plan overhead,
+        # amortized to nothing at 100 TB) is excluded and only the data
+        # path is timed. Measured: warm fresh-plan runs are ~90%
+        # plan-compile at sf0.1 (e.g. ngram_jaccard 2.5s fresh vs 0.23s
+        # execution). Both numbers are published; `value` stays the
+        # fresh-plan warm total (the driver's comparable headline).
+        built = q.spark_fn(spark, SF_DIR)
+        built.write.format("noop").mode("overwrite").save()  # compile this plan object
+        start = time.perf_counter()
+        built.write.format("noop").mode("overwrite").save()
+        exec_elapsed = round(time.perf_counter() - start, 3)
+        exec_timings[name] = exec_elapsed
+        exec_total += exec_elapsed
     print(
         json.dumps(
             {
@@ -83,7 +99,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_of(SF_DIR),
                 "cold_total_sec": round(cold_total, 3),
-                "runs_per_query": 3,
+                "exec_only_total_sec": round(exec_total, 3),
+                "exec_only_queries": exec_timings,
+                "runs_per_query": 4,
                 "steady_state": "min of 2 warm runs",
             }
         )
