@@ -147,6 +147,7 @@ def click_purchase_interval_join(
     purchases: DataFrame,
     horizon: str = "30 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream INNER join with an event-time interval constraint:
     each purchase matched to every click by the same user in the
@@ -160,6 +161,12 @@ def click_purchase_interval_join(
     stream-stream inner joins support); on bounded availableNow input
     the emitted set equals the batch interval join, which is the
     oracle's definition.
+
+    Left-outer mode ("leftOuter") additionally emits unmatched clicks
+    with NULL purchase columns — but only once the watermark passes the
+    click's match horizon (the stream must prove no purchase can still
+    arrive), so outer results trail the watermark by design. Same state
+    bound.
     """
     c = clicks.withWatermark("ts", watermark).select(
         F.col("user_id"),
@@ -179,6 +186,7 @@ def click_purchase_interval_join(
             " AND purchase_ts >= click_ts"
             f" AND purchase_ts <= click_ts + interval {horizon}"
         ),
+        how,
     ).select(
         "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value"
     )

@@ -315,3 +315,75 @@ def test_kafka_sink_gated_and_payload_contract(spark, sf_dir):
         stream = sevents.read_events_rate(spark, rows_per_second=10)
         with _pytest.raises(RuntimeError, match="kafka"):
             sevents.write_events_kafka(stream, "localhost:9092", "t", "/tmp/ck")
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, sf_dir):
+    """Left-outer stream-stream join: on bounded availableNow input the
+    final emitted set equals the batch left join — matched rows carry
+    purchase columns, watermark-expired unmatched clicks carry NULLs."""
+    from lime_etl_spark.io.sources import read_table
+    from lime_etl_spark.streaming import events as sevents
+
+    src = sevents.stage_events_dir(sf_dir)
+    clicks = sevents.read_events_stream(spark, src).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = sevents.read_events_stream(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = sevents.click_purchase_interval_join(
+        clicks, purchases, how="leftOuter"
+    )
+    got = sevents.run_to_memory(joined, output_mode="append")
+
+    ev = read_table(spark, sf_dir, "events")
+    bc = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = bc.join(
+        bp,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= click_ts"
+            " AND purchase_ts <= click_ts + interval 30 minutes"
+        ),
+        "left",
+    ).select(
+        "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value"
+    )
+    s_rows = {tuple(r) for r in got.collect()}
+    b_rows = {tuple(r) for r in batch.collect()}
+    # Matched rows emit eagerly — identical to batch.
+    assert {r for r in s_rows if r[3] is not None} == {
+        r for r in b_rows if r[3] is not None
+    }
+    # Unmatched clicks emit only once the watermark PROVES no purchase
+    # can still arrive (click_ts + horizon < watermark). The stream
+    # ends with watermark = max_ts - 30min, so tail clicks stay pending
+    # — never wrong rows, only deferred ones.
+    s_unmatched = {r for r in s_rows if r[3] is None}
+    b_unmatched = {r for r in b_rows if r[3] is None}
+    assert s_unmatched <= b_unmatched
+    # The global watermark is min over BOTH sides' event-time maxima;
+    # the click side is the binding one here (clicks stop before
+    # purchases in the fixture). A click is provably unmatched once
+    # click_ts + horizon < max_click_ts - watermark_delay; +5min slack.
+    max_click_ts = (
+        ev.filter(F.col("event_type") == "click").agg(F.max("ts")).collect()[0][0]
+    )
+    import datetime
+
+    proven = {
+        r
+        for r in b_unmatched
+        if r[2] + datetime.timedelta(minutes=65) < max_click_ts
+    }
+    assert proven <= s_unmatched
+    assert s_unmatched  # unmatched clicks do appear
