@@ -156,3 +156,32 @@ def test_partitioned_extract_ranges(spark):
     assert got == {str(i) for i in range(1, 38)}
     by_id = {r["index"]: r for r in rows}
     assert by_id["13"].q01 == "A4" and by_id["13"].token == "t13"
+
+
+def test_python_datasource_replay_pages(spark, tmp_path):
+    """spark.read.format('limesurvey') (Spark 4 Python DataSource):
+    one InputPartition per page, executor-side reads, flatten parity
+    with the file-based export reader."""
+    import json as _json
+
+    from lime_etl_spark.io.limesurvey_source import flatten_source_df, register
+    from lime_etl_spark.pipelines.fixtures import make_survey_payload
+
+    payload = make_survey_payload()
+    entries = payload["responses"]
+    mid = len(entries) // 2
+    pages = [{"responses": entries[:mid]}, {"responses": entries[mid:]}]
+    replay = tmp_path / "pages.json"
+    replay.write_text(_json.dumps(pages))
+
+    register(spark)
+    raw = (
+        spark.read.format("limesurvey")
+        .option("replay_path", str(replay))
+        .load()
+    )
+    assert raw.rdd.getNumPartitions() == 2  # one partition per page
+    flat = flatten_source_df(raw)
+    rows = {r["index"]: r for r in flat.collect()}
+    assert len(rows) == 52
+    assert rows["1002"]["q01"] == "A3"
