@@ -388,6 +388,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -415,7 +416,17 @@ def connected_components(
         n_changed = stepped.filter(F.col("__changed")).count()
         labels = stepped.drop("__changed")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        # Unconverged labels silently split components — a wrong answer,
+        # not a degraded one. Dedup graphs converge in a handful of
+        # rounds; hitting the cap means a pathological chain (or a bug)
+        # and must surface, not ship.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter}; "
+            "raise max_iter (graph diameter exceeds it)"
+        )
     w = Window.partitionBy("component_id")
     out = labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("component_id")

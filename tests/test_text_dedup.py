@@ -455,3 +455,18 @@ def test_repetition_stats_match_python(spark, token_lists):
             )
         else:
             assert (r["top_bigram"], r["top_bigram_n"], r["top_bigram_frac"]) == ("", 0, 0.0)
+
+
+def test_connected_components_unconverged_raises(spark):
+    """A diameter-4 chain cannot converge in one round — the operator
+    must fail loudly rather than ship silently-split components."""
+    from lime_etl_spark.ops.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a BIGINT, id_b BIGINT"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)
+    # and converges fine with headroom
+    out = connected_components(chain, max_iter=10)
+    assert {r["component_id"] for r in out.collect()} == {1}
