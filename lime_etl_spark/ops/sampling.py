@@ -60,6 +60,36 @@ def deterministic_sample(
     return df.filter(b < pct)
 
 
+def weighted_resample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[object, int],
+    default_pct: int = 0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum resampling: keep a row iff its hash
+    bucket falls under its stratum's target percentage.
+
+    The standard knob for rebalancing a training mix (down-weight a
+    dominant domain/language/label, keep a rare one at 100%): rates map
+    stratum value -> keep percentage in [0, 100]; strata absent from
+    the map keep ``default_pct``. Membership is the same portable
+    content-hash bucket as deterministic_sample, so the resample is a
+    pure row function — reproducible across runs, engines, and corpus
+    growth, with no RNG state and no per-stratum bookkeeping.
+
+    Narrow (no shuffle): one hash + one CASE per row. The rate table
+    rides inline as a literal CASE chain (sorted for determinism), not
+    a join — rebalancing maps are dozens of entries, never data-sized.
+    """
+    b = _bucket(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    rate: Column = F.lit(default_pct)
+    for value, pct in sorted(rates.items(), key=lambda kv: str(kv[0])):
+        rate = F.when(F.col(strata_col) == F.lit(value), F.lit(pct)).otherwise(rate)
+    return df.filter(b < rate)
+
+
 def pack_sequences(
     df: DataFrame,
     key_col: str = "doc_id",

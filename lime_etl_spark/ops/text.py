@@ -310,6 +310,83 @@ def tfidf_top_terms(
     )
 
 
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 5,
+) -> DataFrame:
+    """C4-style corpus-level duplicate-span removal.
+
+    The corpus is cut into non-overlapping ``span``-token spans (the
+    last span of a doc may be shorter); any span whose exact token
+    sequence occurs more than once in the corpus keeps ONLY its first
+    occurrence (ordered by doc_id, then position — a total order both
+    engines agree on) and every other occurrence is deleted. This is
+    the C4 paper's dedup rule (three-sentence spans there; token spans
+    here — the synthetic corpus has no sentence boundaries) and the
+    standard boilerplate-removal pass before training.
+
+    Returns (doc_id, n_spans, n_kept, text_deduped) with the text
+    rebuilt from surviving spans in original order. Docs with zero
+    tokens have no spans and are absent (mirrored by the oracle).
+
+    Scale shape: two shuffles, both linear in corpus size — one on the
+    span key (the global first-occurrence window; same cost class as
+    any exact global dedup) and one on doc_id for reassembly. The
+    per-doc collect_list is bounded by document length (reassembly is
+    inherently per-doc). No UDF, no driver collection.
+    """
+    base = df.select(F.col(id_col).alias("doc_id"), text_col).withColumn(
+        "__toks", tokens(text_col)
+    )
+    n_tok = F.size("__toks")
+    # guard: sequence(0, -1) would yield a DESCENDING [0, -1], not []
+    spans_col = F.when(
+        n_tok > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.ceil(n_tok / F.lit(span)).cast("int") - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i * span + 1, span)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = base.select("doc_id", F.posexplode(spans_col).alias("pos", "span"))
+    w = Window.partitionBy("span").orderBy("doc_id", "pos")
+    ranked = ex.withColumn("__rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("__rn") == 1, F.struct("pos", "span"))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["span"]
+            ),
+        ).alias("text_deduped"),
+    )
+
+
+def length_histogram(
+    df: DataFrame, text_col: str = "text", width: int = 10
+) -> DataFrame:
+    """Corpus token-length distribution: histogram of per-doc token
+    counts in fixed-width buckets, with each bucket's share of the
+    corpus — the standard first look at a training corpus (and the
+    input to length-based filtering decisions).
+
+    One map-side-combined groupBy on the bucket (low-cardinality key);
+    the share is a window sum over the tiny aggregated result, not a
+    second pass over the corpus.
+    """
+    b = (F.floor(token_count(text_col) / F.lit(width)) * width).cast("bigint")
+    agg = df.select(b.alias("bucket_lo")).groupBy("bucket_lo").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return agg.withColumn(
+        "share", F.round(F.col("n_docs") / total.cast("double"), 6)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Redaction + vocabulary (training-data preparation)
 # ---------------------------------------------------------------------------

@@ -3456,3 +3456,173 @@ def dedup_near_dup_groups(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_near_dups(docs, threshold=0.5)
     return dedup.connected_components(pairs)
+
+
+# ===========================================================================
+# Round-2 additions: corpus-level span dedup, length histogram,
+# weighted resampling, dedup survivors
+# ===========================================================================
+
+
+@register(
+    "text_span_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_CTE} AS t FROM documents),
+    spans AS (
+      SELECT doc_id, i AS pos, array_to_string(t[(i*5+1):((i+1)*5)], ' ') AS span
+      FROM toks,
+           (SELECT unnest(range(0, (SELECT (coalesce(max(len(t)), 0) + 4) // 5
+                                    FROM toks))) AS i) idx
+      WHERE i * 5 < len(t)),
+    ranked AS (
+      SELECT doc_id, pos, span,
+             row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+      FROM spans)
+    SELECT doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY pos),
+                    '') AS text_deduped
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def text_span_dedup(spark, sf_dir):
+    """C4-style duplicate-span removal (ops/text.py span_dedup): the
+    corpus is cut into non-overlapping 5-token spans; a span occurring
+    more than once corpus-wide keeps only its first occurrence
+    (doc_id, pos order). Two linear shuffles — span-key window +
+    per-doc reassembly; the oracle reproduces the identical rule, so
+    the rebuilt text is value-checked end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.span_dedup(docs, span=5)
+
+
+@register(
+    "text_length_histogram",
+    oracle=f"""
+    WITH n AS (SELECT len({_TOKS_CTE}) AS n_tokens FROM documents),
+    agg AS (
+      SELECT (n_tokens // 10) * 10 AS bucket_lo, count(*) AS n_docs
+      FROM n GROUP BY 1)
+    SELECT bucket_lo, n_docs,
+           round(n_docs / (sum(n_docs) OVER ())::DOUBLE, 6) AS share
+    FROM agg
+    """,
+)
+def text_length_histogram(spark, sf_dir):
+    """Token-length distribution in width-10 buckets with corpus
+    share — the first look at a training corpus and the basis for
+    length-filter thresholds. Low-cardinality groupBy; the share
+    window runs over the aggregated result, not the corpus."""
+    docs = _tp(spark, sf_dir, "documents")
+    return text.length_histogram(docs, width=10)
+
+
+@register(
+    "sample_label_weighted",
+    oracle="""
+    WITH flagged AS (
+      SELECT label, vec_id,
+             ('0x' || substr(md5(vec_id::VARCHAR || 'w1'), 1, 15))::BIGINT % 100
+               < CASE label WHEN 0 THEN 100 WHEN 1 THEN 50 WHEN 2 THEN 25
+                            WHEN 3 THEN 10 ELSE 5 END AS kept
+      FROM embeddings)
+    SELECT label,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN kept THEN vec_id ELSE 0 END) AS BIGINT) AS sum_kept_ids
+    FROM flagged GROUP BY label
+    """,
+)
+def sample_label_weighted(spark, sf_dir):
+    """Per-label weighted resampling (ops/sampling.py
+    weighted_resample): label 0 kept at 100%, 1 at 50%, 2 at 25%, 3 at
+    10%, rest at 5% — the training-mix rebalance knob. Output proves
+    exact membership, not just counts: sum of kept ids pins which rows
+    survived. The resample itself is narrow (hash + CASE per row);
+    the only shuffle is this report's groupBy."""
+    from lime_etl_spark.ops import sampling
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rates = {0: 100, 1: 50, 2: 25, 3: 10}
+    kept = sampling.weighted_resample(
+        emb, "vec_id", "label", rates, default_pct=5, salt="w1"
+    )
+    keep_flags = emb.join(
+        kept.select("vec_id").withColumn("__kept", F.lit(True)), "vec_id", "left"
+    ).withColumn("__kept", F.coalesce("__kept", F.lit(False)))
+    return keep_flags.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("__kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("__kept"), F.col("vec_id")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_kept_ids"),
+    )
+
+
+@register(
+    "dedup_survivors",
+    oracle=_minhash_sig_sql().replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+    bands AS ({_lsh_band_sql()}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+    dshc AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        FROM dsh)
+      WHERE df <= {dedup.MAX_DOCS_PER_SHINGLE}),
+    csizes AS (SELECT doc_id, count(*) AS n FROM dshc GROUP BY doc_id),
+    ccommon AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN dshc a ON a.doc_id = c.id_a
+      JOIN dshc b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2),
+    vpairs AS (
+      SELECT id_a, id_b
+      FROM ccommon JOIN csizes sa ON sa.doc_id = id_a
+                   JOIN csizes sb ON sb.doc_id = id_b
+      WHERE n_common / (sa.n + sb.n - n_common)::DOUBLE >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM vpairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM vpairs),
+    reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+    comp AS (SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           coalesce(c.component_id, d.doc_id) AS group_id,
+           CASE WHEN c.doc_id IS NULL THEN 1
+                ELSE (SELECT count(*) FROM comp c2
+                      WHERE c2.component_id = c.component_id) END AS group_size,
+           (coalesce(c.component_id, d.doc_id) = d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    """,
+)
+def dedup_survivors(spark, sf_dir):
+    """The materialized OUTPUT of corpus dedup: every document with its
+    duplicate-group id, group size, and a survivor flag (canonical =
+    the group's min doc_id; singletons survive trivially). Composes the
+    full scale path — LSH candidates, candidate-driven Jaccard,
+    connected components — then one left join back to the corpus, so
+    'which rows do I keep' is a single value-checked query."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dups(docs, threshold=0.5)
+    comp = dedup.connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", F.col("doc_id")).alias("group_id"),
+            F.coalesce("component_size", F.lit(1)).cast("bigint").alias("group_size"),
+            (
+                F.coalesce("component_id", F.col("doc_id")) == F.col("doc_id")
+            ).alias("is_canonical"),
+        )
+    )

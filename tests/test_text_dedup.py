@@ -470,3 +470,68 @@ def test_connected_components_unconverged_raises(spark):
     # and converges fine with headroom
     out = connected_components(chain, max_iter=10)
     assert {r["component_id"] for r in out.collect()} == {1}
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    # doc 0 and doc 1 share an identical 5-token span; doc 0 (lower id)
+    # keeps it, doc 1 loses it. doc 1's distinctive tail span survives.
+    dup = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, dup + " zeta eta theta iota kappa"),
+        (1, dup + " one two three four five"),
+        (2, "solo words only here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.span_dedup(df, span=5).collect()}
+    assert out[0]["n_spans"] == 2 and out[0]["n_kept"] == 2
+    assert out[0]["text_deduped"] == rows[0][1]
+    assert out[1]["n_spans"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["text_deduped"] == "one two three four five"
+    assert out[2]["n_kept"] == 1 and out[2]["text_deduped"] == rows[2][1]
+
+
+def test_span_dedup_partial_tail_span(spark):
+    # 7 tokens -> one full span + one 2-token tail span, both unique
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g")], ["doc_id", "text"]
+    )
+    row = text.span_dedup(df, span=5).collect()[0]
+    assert row["n_spans"] == 2 and row["n_kept"] == 2
+    assert row["text_deduped"] == "a b c d e f g"
+
+
+def test_span_dedup_partitioning_invariant(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = text.span_dedup(docs).orderBy("doc_id").collect()
+    b = text.span_dedup(docs.repartition(7)).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_length_histogram_shares_sum_to_one(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = text.length_histogram(docs).collect()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert all(r["bucket_lo"] % 10 == 0 for r in rows)
+
+
+def test_weighted_resample_rates_and_determinism(spark, sf_dir):
+    from lime_etl_spark.io.sources import read_table
+    from lime_etl_spark.ops import sampling
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    rates = {0: 100, 1: 50, 5: 0}
+    kept1 = {r.vec_id for r in sampling.weighted_resample(
+        emb, "vec_id", "label", rates, default_pct=10).collect()}
+    kept2 = {r.vec_id for r in sampling.weighted_resample(
+        emb.repartition(5), "vec_id", "label", rates, default_pct=10).collect()}
+    assert kept1 == kept2  # pure row function: layout-independent
+    by_label = {r.label: r for r in emb.groupBy("label").count().collect()}
+    kept_by_label: dict[int, int] = {}
+    for r in emb.select("vec_id", "label").collect():
+        if r.vec_id in kept1:
+            kept_by_label[r.label] = kept_by_label.get(r.label, 0) + 1
+    assert kept_by_label.get(0, 0) == by_label[0]["count"]  # 100% stratum intact
+    assert kept_by_label.get(5, 0) == 0                     # 0% stratum gone
+    half = by_label[1]["count"]
+    assert 0.25 * half < kept_by_label.get(1, 0) < 0.75 * half  # ~50%
