@@ -310,6 +310,53 @@ def tfidf_top_terms(
     )
 
 
+def filter_decisions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 500,
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """The end-to-end per-document filter verdict a training pipeline
+    ships: every document with its gating stats, a keep flag, and the
+    FIRST failing rule in a fixed priority order (exact_dup >
+    too_short > too_long > low_quality > lang) — so drop reasons are
+    deterministic and auditable, not an unordered rule soup.
+
+    Composes the quality score, language ID, and exact-dup canonical
+    selection (fingerprint window min — duplicates lose to the lowest
+    doc_id). One shuffle total (the fingerprint window); stats, score,
+    lang, and the rule cascade are all narrow JVM expressions. The
+    comparison against ``min_quality`` is engine-safe because the
+    score itself is bit-reproducible (see with_quality_score).
+    """
+    scored = with_lang_id(with_quality_score(df, text_col), text_col)
+    w = Window.partitionBy("__fp")
+    out = scored.withColumn(
+        "__fp", F.md5(F.concat_ws(" ", tokens(text_col)))
+    ).withColumn("__canon", F.min(id_col).over(w))
+    is_dup = F.col(id_col) != F.col("__canon")
+    reason = (
+        F.when(is_dup, "exact_dup")
+        .when(F.col("n_tokens") < min_tokens, "too_short")
+        .when(F.col("n_tokens") > max_tokens, "too_long")
+        .when(F.col("quality_score") < min_quality, "low_quality")
+        .when(~F.col("lang_pred").isin(*langs), "lang")
+        .otherwise("keep")
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("quality_score"),
+        F.col("lang_pred"),
+        is_dup.alias("is_exact_dup"),
+        reason.alias("drop_reason"),
+        (reason == F.lit("keep")).alias("keep"),
+    )
+
+
 def span_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -3626,3 +3626,65 @@ def dedup_survivors(spark, sf_dir):
             ).alias("is_canonical"),
         )
     )
+
+
+def _filter_decisions_oracle() -> str:
+    stop = ",".join(f"'{w}'" for w in text.STOPWORDS_EN)
+    hits = []
+    for lang, words in text.LANG_MARKERS.items():
+        inlist = ",".join(f"'{w}'" for w in words)
+        hits.append(f"len(list_filter(toks, x -> x IN ({inlist}))) AS h_{lang}")
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in text.LANG_MARKERS) + ")"
+    lang_case = f"CASE WHEN {best} <= 0 THEN 'und' "
+    for lang in text.LANG_PRIORITY:
+        lang_case += f"WHEN h_{lang} = {best} THEN '{lang}' "
+    lang_case += "END"
+    return f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_CTE} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(toks)::BIGINT AS n_tokens,
+             round(list_sum(list_transform(toks, x -> length(x)))
+                   / nullif(len(toks), 0)::DOUBLE, 4) AS avg_token_len,
+             round(len(list_filter(toks, x -> x IN ({stop})))
+                   / nullif(len(toks), 0)::DOUBLE, 4) AS stopword_ratio,
+             {', '.join(hits)}
+      FROM t),
+    q AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens < 10 THEN 0.0::DOUBLE
+                  ELSE 0.4::DOUBLE * least(n_tokens::DOUBLE / 100.0::DOUBLE, 1.0::DOUBLE)
+                     + 0.3::DOUBLE * least(stopword_ratio * 5.0::DOUBLE, 1.0::DOUBLE)
+                     + 0.3::DOUBLE * (CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 10.0
+                                           THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)
+             END AS quality_score,
+             {lang_case} AS lang_pred
+      FROM s),
+    c AS (SELECT doc_id,
+                 min(doc_id) OVER (PARTITION BY md5(array_to_string(toks, ' '))) AS canon
+          FROM t),
+    v AS (
+      SELECT q.doc_id, n_tokens, quality_score, lang_pred,
+             (q.doc_id != canon) AS is_exact_dup,
+             CASE WHEN q.doc_id != canon THEN 'exact_dup'
+                  WHEN n_tokens < 10 THEN 'too_short'
+                  WHEN n_tokens > 500 THEN 'too_long'
+                  WHEN quality_score < 0.3 THEN 'low_quality'
+                  WHEN lang_pred NOT IN ('en') THEN 'lang'
+                  ELSE 'keep' END AS drop_reason
+      FROM q JOIN c ON c.doc_id = q.doc_id)
+    SELECT doc_id, n_tokens, quality_score, lang_pred, is_exact_dup,
+           drop_reason, (drop_reason = 'keep') AS keep
+    FROM v
+    """
+
+
+@register("corpus_filter_decisions", oracle=_filter_decisions_oracle())
+def corpus_filter_decisions(spark, sf_dir):
+    """The shipped filter verdict per document (ops/text.py
+    filter_decisions): quality score + language ID + exact-dup
+    canonical selection cascaded into one deterministic keep/drop
+    decision with the first failing rule as the audit reason. One
+    shuffle (fingerprint window); everything else narrow JVM."""
+    docs = _tp(spark, sf_dir, "documents")
+    return text.filter_decisions(docs)

@@ -535,3 +535,25 @@ def test_weighted_resample_rates_and_determinism(spark, sf_dir):
     assert kept_by_label.get(5, 0) == 0                     # 0% stratum gone
     half = by_label[1]["count"]
     assert 0.25 * half < kept_by_label.get(1, 0) < 0.75 * half  # ~50%
+
+
+def test_filter_decisions_rule_cascade(spark):
+    en = "the cat and the dog went to the market in town today again"  # 13 toks, en, quality ok
+    rows = [
+        (1, en),                                # keep
+        (2, en),                                # exact dup of 1
+        (3, "too short here"),                  # too_short
+        (4, " ".join(["word"] * 30)),           # > max_tokens(20) -> too_long
+        (5, "zz " * 12),                        # low_quality: no stopwords, avg len 2
+        (6, "der hund und die katze ist gut und der mann und die frau und das kind"),  # lang=de
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.filter_decisions(
+        df, min_tokens=10, max_tokens=20, min_quality=0.1).collect()}
+    assert out[1]["keep"] and out[1]["drop_reason"] == "keep"
+    assert out[2]["drop_reason"] == "exact_dup" and out[2]["is_exact_dup"]
+    assert out[3]["drop_reason"] == "too_short"
+    assert out[4]["drop_reason"] == "too_long"
+    assert out[5]["drop_reason"] == "low_quality"
+    assert out[6]["drop_reason"] == "lang" and out[6]["lang_pred"] == "de"
+    assert not any(out[i]["keep"] for i in (2, 3, 4, 5, 6))
