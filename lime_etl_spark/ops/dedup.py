@@ -272,15 +272,15 @@ def minhash_signatures(
     return idx.groupBy("id").agg(*aggs)
 
 
-def minhash_lsh_candidates(
+def minhash_bands(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded LSH over the MinHash signature.
-
-    Band key = md5 of the band's signature slice; pairs sharing ≥1 band
-    key are candidates (id_a < id_b, distinct). This is the ~linear
-    candidate generator; feed candidates to ngram_jaccard_pairs (or the
-    estimated signature similarity) for verification.
+    """(id, band, bkey) LSH band index over the MinHash signature —
+    the joinable form of a document's near-dup identity. Band key =
+    md5 of the band's signature slice. This is what an incremental
+    ingest pipeline persists: new docs join their bands against the
+    accumulated index to find candidate duplicates without touching
+    the corpus (streaming/dedup.py).
     """
     sigs = minhash_signatures(df, id_col, text_col, n)
     # one band-struct array + explode, NOT a 4-way union of selects: a
@@ -304,9 +304,22 @@ def minhash_lsh_candidates(
             for band in range(LSH_BANDS)
         ]
     )
-    allbands = sigs.select("id", F.explode(band_structs).alias("bb")).select(
+    return sigs.select("id", F.explode(band_structs).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over the MinHash signature.
+
+    Pairs sharing ≥1 band key are candidates (id_a < id_b, distinct).
+    This is the ~linear candidate generator; feed candidates to
+    ngram_jaccard_pairs (or the estimated signature similarity) for
+    verification.
+    """
+    allbands = minhash_bands(df, id_col, text_col, n)
     a, c = allbands.alias("a"), allbands.alias("c")
     return (
         a.join(

@@ -3688,3 +3688,49 @@ def corpus_filter_decisions(spark, sf_dir):
     shuffle (fingerprint window); everything else narrow JVM."""
     docs = _tp(spark, sf_dir, "documents")
     return text.filter_decisions(docs)
+
+
+@register(
+    "streaming_incremental_dedup",
+    oracle=_minhash_sig_sql()
+    + f""",
+    bands AS ({_lsh_band_sql()}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+    dshc AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        FROM dsh)
+      WHERE df <= {dedup.MAX_DOCS_PER_SHINGLE}),
+    csizes AS (SELECT doc_id, count(*) AS n FROM dshc GROUP BY doc_id),
+    ccommon AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN dshc a ON a.doc_id = c.id_a
+      JOIN dshc b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2),
+    vpairs AS (
+      SELECT id_a, id_b,
+             round(n_common / (sa.n + sb.n - n_common)::DOUBLE, 6) AS jaccard
+      FROM ccommon JOIN csizes sa ON sa.doc_id = id_a
+                   JOIN csizes sb ON sb.doc_id = id_b
+      WHERE n_common / (sa.n + sb.n - n_common)::DOUBLE >= 0.5),
+    m AS (SELECT id_b AS doc_id, min(id_a) AS dup_of, max(jaccard) AS best_jaccard
+          FROM vpairs GROUP BY id_b)
+    SELECT d.doc_id, (m.doc_id IS NOT NULL) AS is_dup, m.dup_of, m.best_jaccard
+    FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+    """,
+)
+def streaming_incremental_dedup(spark, sf_dir):
+    """Incremental LSH dedup on ingest (streaming/dedup.py): each
+    micro-batch bands its docs, joins the accumulated band index for
+    candidates, verifies with candidate-driven exact Jaccard, appends
+    survivors to the state, and writes idempotent per-batch decisions.
+    Drained in one availableNow batch the rule collapses to
+    'matches a smaller id', so the decisions carry a full DuckDB value
+    oracle — rare for a custom streaming operator."""
+    from lime_etl_spark.streaming import dedup as sdedup
+
+    return sdedup.run_ingest_batchlike(spark, sf_dir)

@@ -221,3 +221,19 @@ def test_tfidf_no_global_sort(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     plan = _plan(tfidf_top_terms(docs, k=3))
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_span_dedup_two_linear_exchanges(spark, sf_dir):
+    """Corpus span dedup = exactly two hash shuffles: the global
+    first-occurrence window on the span key, then the per-doc
+    reassembly groupBy. Anything more means the rebuild re-shuffled."""
+    df = REGISTRY["text_span_dedup"].spark_fn(spark, sf_dir)
+    assert _plan(df).count("Exchange hashpartitioning") == 2
+
+
+def test_filter_decisions_single_exchange(spark, sf_dir):
+    """The composite keep/drop verdict must stay one shuffle (the
+    fingerprint window); stats, score, langid, and the rule cascade
+    are all narrow projections riding it."""
+    df = REGISTRY["corpus_filter_decisions"].spark_fn(spark, sf_dir)
+    assert _plan(df).count("Exchange hashpartitioning") == 1

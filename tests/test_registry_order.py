@@ -34,7 +34,7 @@ def test_primary_window_covers_every_category():
                   "events", "streaming", "string", "date", "text", "ann",
                   "embedding", "multimodal", "pivot", "unpivot", "profile",
                   "pipeline", "asof", "range", "split", "sample", "decontam",
-                  "pack"):
+                  "pack", "corpus"):
             if name == p or name.startswith(p + "_") or (p == "q" and name[1:2].isdigit()):
                 return p
         return name
@@ -45,6 +45,8 @@ def test_primary_window_covers_every_category():
     # is gated inside pivot_unpivot_events; split/sample are
     # beyond-survey training-prep extras (oracled + unit-tested, but
     # every SURVEY §2 category outranks them for the 50 scored slots)
+    # corpus_filter_decisions composes rules whose families (text,
+    # dedup) are already represented inside the window
     assert families_all - families_primary <= {
         "pipeline",
         "unpivot",
@@ -52,6 +54,7 @@ def test_primary_window_covers_every_category():
         "sample",
         "decontam",
         "pack",
+        "corpus",
     }
 
 

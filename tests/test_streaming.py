@@ -387,3 +387,74 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, sf_dir):
     }
     assert proven <= s_unmatched
     assert s_unmatched  # unmatched clicks do appear
+
+
+def test_incremental_dedup_on_ingest(spark, tmp_path):
+    """Two-batch ingest: batch 2 contains a near-copy of an accepted
+    batch-1 doc (flagged, dup_of = the accepted id), a near-dup pair
+    within the batch (smaller id survives), and a unique doc. State
+    accumulates survivors only."""
+    import os
+    import shutil
+
+    from lime_etl_spark.streaming import dedup as sdedup
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    variant = base.replace("today", "tonight")
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    def stage(name, rows):
+        tmp = tmp_path / ("stage_" + name)
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+            1
+        ).write.parquet(str(tmp))
+        part = [p for p in os.listdir(tmp) if p.endswith(".parquet")][0]
+        shutil.copyfile(tmp / part, src / f"{name}.parquet")
+
+    def run():
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(
+            str(src)
+        )
+        q = sdedup.dedup_on_ingest(stream, state, ck, threshold=0.5)
+        q.awaitTermination()
+
+    stage("b1", [(1, base), (2, "completely different words about spark shuffles and joins everywhere")])
+    run()
+    dec1 = spark.read.parquet(f"{state}/decisions")
+    assert dec1.filter(F.col("is_dup")).count() == 0
+
+    stage("b2", [(10, variant), (11, variant + " extra"), (12, "another unrelated doc on window functions and state stores")])
+    run()
+    dec = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(f"{state}/decisions").collect()
+    }
+    assert not dec[1]["is_dup"] and not dec[2]["is_dup"]
+    assert dec[10]["is_dup"] and dec[10]["dup_of"] == 1  # vs accepted state
+    assert dec[11]["is_dup"] and dec[11]["dup_of"] in (1, 10)  # earlier identity
+    assert not dec[12]["is_dup"]
+    # state holds survivors only: 1, 2, 12
+    surv = {r["doc_id"] for r in spark.read.parquet(f"{state}/docs").collect()}
+    assert surv == {1, 2, 12}
+    bands_ids = {r["id"] for r in spark.read.parquet(f"{state}/bands").collect()}
+    assert bands_ids == {1, 2, 12}
+
+
+def test_incremental_dedup_batch_replay_idempotent(spark, tmp_path):
+    """Replaying a processed batch (same df, same batch id) rewrites its
+    own partitions instead of double-appending — the exactly-once
+    contract of the dynamic-partition-overwrite writes."""
+    from lime_etl_spark.streaming import dedup as sdedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id bigint, text string",
+    )
+    state = str(tmp_path / "state")
+    sdedup.process_batch(docs, 0, state)
+    sdedup.process_batch(docs, 0, state)  # replay
+    assert spark.read.parquet(f"{state}/decisions").count() == 1
+    assert spark.read.parquet(f"{state}/docs").count() == 1
