@@ -538,6 +538,73 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
+SIMHASH_PAIR_BANDS = 4  # 4 bands x 8 bits over the 32-bit hash
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    sims: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance, band-bucketed.
+
+    Pigeonhole guarantee: the 32-bit hash splits into 4 bands of 8
+    bits; two hashes within hamming distance ``max_hamming`` ≤ 3 must
+    agree EXACTLY on at least one band — so candidate generation is a
+    keyed self-join on (band, band value), ~linear like MinHash-LSH,
+    with 100% recall at the distance bound (never a 32-bit cross
+    compare). Verification is ``bit_count(xor) <= max_hamming`` on the
+    candidate pairs only. Pass ``sims`` to reuse precomputed
+    signatures (e.g. the Arrow variant's output).
+
+    Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    if max_hamming >= SIMHASH_PAIR_BANDS:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole recall "
+            f"guarantee with {SIMHASH_PAIR_BANDS} bands (needs < bands)"
+        )
+    s = sims if sims is not None else simhash(df, id_col, text_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.shiftright(F.col("simhash"), 8 * band)
+                .bitwiseAND(F.lit(255))
+                .alias("bval"),
+            )
+            for band in range(SIMHASH_PAIR_BANDS)
+        ]
+    )
+    bands = s.select("id", "simhash", F.explode(band_structs).alias("bb")).select(
+        "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_arrow(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """SimHash via Arrow-batched mapInPandas — bit-identical to
     ``simhash`` (asserted in tests), different execution profile.

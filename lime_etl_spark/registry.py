@@ -3734,3 +3734,37 @@ def streaming_incremental_dedup(spark, sf_dir):
     from lime_etl_spark.streaming import dedup as sdedup
 
     return sdedup.run_ingest_batchlike(spark, sf_dir)
+
+
+@register(
+    "dedup_simhash_near_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS id, tok FROM (
+        SELECT doc_id, unnest({_TOKS_CTE}) AS tok FROM documents)),
+    h AS (SELECT id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+    bits AS (SELECT id, h, unnest(range(0, 32)) AS bit FROM h),
+    s AS (SELECT id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM bits GROUP BY id, bit),
+    sh AS (SELECT id, sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+           FROM s GROUP BY id),
+    bands AS (
+      SELECT id, simhash, band, (simhash >> (8 * band)) & 255 AS bval
+      FROM sh, (SELECT unnest(range(0, 4)) AS band) b),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bval = b.bval AND a.id < b.id)
+    SELECT id_a, id_b, bit_count(xor(sim_a, sim_b))::BIGINT AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """,
+)
+def dedup_simhash_near_pairs(spark, sf_dir):
+    """Hamming-near pairs over the SimHash (ops/dedup.py
+    simhash_near_pairs): 4x8-bit band bucketing gives a keyed ~linear
+    candidate join with pigeonhole-exact recall at hamming <= 3;
+    verification is bit_count(xor) on candidates only."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, max_hamming=3)

@@ -557,3 +557,57 @@ def test_filter_decisions_rule_cascade(spark):
     assert out[5]["drop_reason"] == "low_quality"
     assert out[6]["drop_reason"] == "lang" and out[6]["lang_pred"] == "de"
     assert not any(out[i]["keep"] for i in (2, 3, 4, 5, 6))
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd", "e9"]), min_size=1, max_size=14),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_span_dedup_matches_python(spark, token_lists):
+    """Property: span_dedup agrees with a direct Python first-occurrence
+    computation over arbitrary corpora (shared spans, within-doc
+    repeats, short tail spans included)."""
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    got = {r["doc_id"]: r for r in text.span_dedup(df, span=3).collect()}
+
+    seen: set[str] = set()
+    expected: dict[int, tuple[int, int, str]] = {}
+    for i, toks in enumerate(token_lists):  # doc_id order == first-occurrence order
+        spans = [" ".join(toks[j : j + 3]) for j in range(0, len(toks), 3)]
+        kept = []
+        for s in spans:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        expected[i] = (len(spans), len(kept), " ".join(kept))
+    assert set(got) == set(expected)
+    for i, (n_spans, n_kept, text_deduped) in expected.items():
+        r = got[i]
+        assert (r["n_spans"], r["n_kept"], r["text_deduped"]) == (
+            n_spans, n_kept, text_deduped
+        ), f"doc {i}"
+
+
+def test_simhash_near_pairs_finds_close_hashes(spark):
+    # constructed signatures: 2 flipped bits between 1 and 2 (within
+    # the hamming<=3 bound), 16 between 1 and 3 (far outside)
+    h1 = 0b10110100_01011010_11110000_00001111
+    h2 = h1 ^ 0b1001  # 2 bits, both in band 0
+    h3 = h1 ^ 0xAAAA_AAAA  # 16 bits, every band touched
+    sims = spark.createDataFrame(
+        [(1, h1), (2, h2), (3, h3)], "id BIGINT, simhash BIGINT"
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in
+           dedup.simhash_near_pairs(None, sims=sims, max_hamming=3).collect()}
+    assert got == {(1, 2): 2}
+
+
+def test_simhash_near_pairs_rejects_bad_bound(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id BIGINT, text STRING")
+    with pytest.raises(ValueError):
+        dedup.simhash_near_pairs(df, max_hamming=4)
