@@ -331,7 +331,14 @@ def filter_decisions(
     lang, and the rule cascade are all narrow JVM expressions. The
     comparison against ``min_quality`` is engine-safe because the
     score itself is bit-reproducible (see with_quality_score).
+
+    Null text is normalized to '' FIRST: otherwise n_tokens is NULL,
+    every rule comparison is NULL, the cascade falls through to 'keep',
+    and least() (which skips NULL args) manufactures a nonzero quality
+    score — a null-text doc would sail through the filter. As empty
+    text it dedups/fails-short like any other empty doc.
     """
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     scored = with_lang_id(with_quality_score(df, text_col), text_col)
     w = Window.partitionBy("__fp")
     out = scored.withColumn(
@@ -422,9 +429,13 @@ def length_histogram(
 
     One map-side-combined groupBy on the bucket (low-cardinality key);
     the share is a window sum over the tiny aggregated result, not a
-    second pass over the corpus.
+    second pass over the corpus. Null text counts as 0 tokens (a NULL
+    bucket row would otherwise leak into the report).
     """
-    b = (F.floor(token_count(text_col) / F.lit(width)) * width).cast("bigint")
+    b = (
+        F.floor(token_count(F.coalesce(F.col(text_col), F.lit(""))) / F.lit(width))
+        * width
+    ).cast("bigint")
     agg = df.select(b.alias("bucket_lo")).groupBy("bucket_lo").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )

@@ -3500,7 +3500,8 @@ def text_span_dedup(spark, sf_dir):
 @register(
     "text_length_histogram",
     oracle=f"""
-    WITH n AS (SELECT len({_TOKS_CTE}) AS n_tokens FROM documents),
+    WITH n AS (SELECT len({_TOKS_CTE}) AS n_tokens
+               FROM (SELECT coalesce(text, '') AS text FROM documents) documents),
     agg AS (
       SELECT (n_tokens // 10) * 10 AS bucket_lo, count(*) AS n_docs
       FROM n GROUP BY 1)
@@ -3640,7 +3641,9 @@ def _filter_decisions_oracle() -> str:
         lang_case += f"WHEN h_{lang} = {best} THEN '{lang}' "
     lang_case += "END"
     return f"""
-    WITH t AS (SELECT doc_id, text, {_TOKS_CTE} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, text, {_TOKS_CTE} AS toks
+               FROM (SELECT doc_id, coalesce(text, '') AS text
+                     FROM documents) documents),
     s AS (
       SELECT doc_id,
              len(toks)::BIGINT AS n_tokens,

@@ -611,3 +611,28 @@ def test_simhash_near_pairs_rejects_bad_bound(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id BIGINT, text STRING")
     with pytest.raises(ValueError):
         dedup.simhash_near_pairs(df, max_hamming=4)
+
+
+def test_filter_decisions_null_text_dropped(spark):
+    """Null text must NOT sail through the filter: NULL comparisons
+    skip every rule and least() ignores NULL args, so without
+    normalization a null-text doc scores 0.7 and lands on 'keep'."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "the cat and the dog went to the market today ok")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in text.filter_decisions(df, min_quality=0.1).collect()}
+    assert not out[1]["keep"] and out[1]["drop_reason"] in ("too_short", "exact_dup")
+    assert not out[2]["keep"]
+    assert out[3]["keep"]
+    # null and empty share the empty token stream: exactly one of them
+    # is the exact-dup of the other
+    assert {out[1]["drop_reason"], out[2]["drop_reason"]} == {"too_short", "exact_dup"}
+
+
+def test_length_histogram_null_text_bucket_zero(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c")], "doc_id bigint, text string"
+    )
+    rows = {r["bucket_lo"]: r["n_docs"] for r in text.length_histogram(df).collect()}
+    assert rows == {0: 2}
