@@ -42,6 +42,17 @@ def _build_parser() -> argparse.ArgumentParser:
     pipe.add_argument("--export", required=True, help="LimeSurvey JSON export file")
     pipe.add_argument("--out", required=True, help="output directory (CSV)")
     pipe.add_argument("--run-ts", default="1970-01-01 00:00:00")
+
+    comp = sub.add_parser(
+        "compact", help="compact a fragmented parquet directory in place"
+    )
+    comp.add_argument("path")
+    comp.add_argument("--target-mb", type=int, default=128)
+    comp.add_argument(
+        "--cluster-by",
+        default=None,
+        help="comma-separated sort keys to restore data-skipping locality",
+    )
     return p
 
 
@@ -88,6 +99,19 @@ def main(argv: list[str] | None = None) -> int:
         out = getattr(surveys, args.name)(flat, args.run_ts)
         write_csv(out, args.out)
         print(f"wrote {args.out}")
+        return 0
+
+    if args.cmd == "compact":
+        from lime_etl_spark.io.sinks import compact_parquet
+
+        spark = get_spark("cli-compact")
+        n = compact_parquet(
+            spark,
+            args.path,
+            target_bytes=args.target_mb * 1024 * 1024,
+            cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+        )
+        print(f"compacted {args.path} -> {n} file(s)")
         return 0
 
     return 2  # pragma: no cover — argparse enforces the choices

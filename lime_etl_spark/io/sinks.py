@@ -49,6 +49,40 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_parquet_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    n_files: int | None = None,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Data-skipping write: range-repartition on the cluster keys and
+    sort within partitions, so every output file covers a NARROW,
+    mostly disjoint key range and parquet row-group min/max statistics
+    actually prune.
+
+    At 100 TB this is the difference between a range predicate reading
+    one file and reading all of them: an unclustered write scatters
+    every key across every file (min/max spans the whole domain, no
+    file is ever skipped). Range partitioning costs one skew-aware
+    sampled shuffle at write time — paid once, repaid on every
+    downstream scan. Combine with ``partition_by`` (coarse pruning by
+    directory) for two-level skipping.
+    """
+    keys = [df[c] for c in cluster_by]
+    out = (
+        df.repartitionByRange(n_files, *keys)
+        if n_files is not None
+        else df.repartitionByRange(*keys)
+    )
+    out = out.sortWithinPartitions(*cluster_by)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
 def idempotent_reload(
     df: DataFrame,
     path: str,
@@ -70,6 +104,46 @@ def idempotent_reload(
         .partitionBy(partition_column)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    cluster_by: list[str] | None = None,
+) -> int:
+    """Small-files maintenance: rewrite a parquet directory into
+    ~``target_bytes`` files. Returns the new file count.
+
+    Streaming sinks and per-batch partition overwrites accumulate
+    small files; at scale the resulting task-per-file scheduling and
+    footer overhead dominate reads. Compaction = one job: read,
+    repartition to ceil(bytes/target) (range-clustered when
+    ``cluster_by`` is given, so compaction also restores data-skipping
+    locality), write to a temp dir, atomic-ish swap. The swap is
+    rename-based — on object stores run it as copy+prune or compact
+    into a new prefix and flip the reader.
+    """
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    if cluster_by:
+        write_parquet_clustered(df, tmp, cluster_by, n_files=n_files)
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files
 
 
 def write_jdbc_idempotent(

@@ -87,3 +87,56 @@ def test_schema_evolution_merge_read(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="missing columns"):
         read_evolved_parquet(spark, dest, required=["doc_id", "renamed_away"])
+
+
+def test_clustered_write_produces_disjoint_file_ranges(spark, tmp_path):
+    """write_parquet_clustered must yield files whose min/max key
+    ranges are pairwise disjoint — the property parquet data skipping
+    depends on. An unclustered write of the same data fails this (every
+    file spans the whole key domain)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.io.sinks import write_parquet_clustered
+
+    df = spark.range(0, 100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    ).repartition(8)  # scatter keys across input partitions first
+    path = str(tmp_path / "clustered")
+    write_parquet_clustered(df, path, ["k"], n_files=8)
+
+    ranges = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        r = spark.read.parquet(f).agg(F.min("k"), F.max("k")).collect()[0]
+        ranges.append((r[0], r[1]))
+    ranges.sort()
+    assert len(ranges) >= 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
+
+    # and the scan actually prunes: a tight range predicate pushes to
+    # the reader with narrow file stats available
+    back = spark.read.parquet(path).filter(F.col("k").between(10, 20))
+    assert back.count() == 11
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.io.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    # simulate a streaming sink's fragmentation: 40 tiny files
+    spark.range(0, 40_000).withColumn("v", F.col("id") % 7).repartition(
+        40
+    ).write.parquet(path)
+    import glob
+
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 40
+    n = compact_parquet(spark, path, target_bytes=1 << 30)
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) == n == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 40_000
+    assert back.agg(F.sum("id")).collect()[0][0] == 40_000 * 39_999 // 2
