@@ -60,6 +60,41 @@ def deterministic_sample(
     return df.filter(b < pct)
 
 
+def stratified_sample_exact(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    n_per_stratum: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum
+    is smaller), chosen deterministically: rank rows inside each
+    stratum by (content hash, key) and keep the first n.
+
+    The hash makes the pick uniform and reproducible; the key tiebreak
+    makes it total. Unlike rate-based thinning (weighted_resample), the
+    per-stratum count is EXACT — the contract eval-set construction
+    needs. One shuffle (the per-stratum window); rank order is
+    hash-random, so the kept set is unbiased within each stratum.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy(strata_col).orderBy("__h", key_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__h", "__rn")
+    )
+
+
 def weighted_resample(
     df: DataFrame,
     key_col: str,
@@ -153,4 +188,53 @@ def pack_sequences(
             ),
         )
         .drop("__h", "__cum")
+    )
+
+
+def pack_materialize(
+    packed: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    length_col: str = "n_tokens",
+    sep: str = "\n\n",
+    salt: str = "",
+) -> DataFrame:
+    """Materialize pack_sequences bins into training rows: one row per
+    bin with the member documents concatenated in the bin's
+    deterministic fill order (hash, then key — the same order the
+    packer assigned cumulative totals in; pass the packer's ``salt``),
+    plus member count and total length.
+
+    This is the step that turns a bin ASSIGNMENT into the artifact a
+    trainer reads. One shuffle on pack_bin; the per-bin collect_list is
+    bounded by the token budget (a bin holds at most budget/min_doc_len
+    docs), so reassembly memory is capped by construction — unlike
+    per-doc grouping, bins cannot be pathologically large.
+    """
+    order_h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    member = F.struct(
+        order_h.alias("h"),
+        F.col(key_col).alias("k"),
+        F.col(text_col).alias("t"),
+        F.col(length_col).alias("n"),
+    )
+    return (
+        packed.select("pack_bin", member.alias("__m"))
+        .groupBy("pack_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("__m.n")).cast("bigint").alias("total_tokens"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(F.collect_list("__m")), lambda s: s["t"]
+                ),
+            ).alias("packed_text"),
+        )
     )

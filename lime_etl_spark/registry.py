@@ -3771,3 +3771,72 @@ def dedup_simhash_near_pairs(spark, sf_dir):
     verification is bit_count(xor) on candidates only."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(docs, max_hamming=3)
+
+
+@register(
+    "pack_materialized_docs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             len({_TOKS_CTE}) AS n_tokens,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+      FROM documents),
+    b AS (SELECT doc_id, text, n_tokens, h, h % 8 AS pack_bucket FROM t),
+    c AS (
+      SELECT doc_id, text, n_tokens, h, pack_bucket,
+             CAST(sum(n_tokens) OVER (PARTITION BY pack_bucket
+                                      ORDER BY h, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM b),
+    p AS (
+      SELECT doc_id, text, n_tokens, h, pack_bucket,
+             CAST(pack_bucket * 4294967296 + floor((cum - n_tokens) / 512.0) AS BIGINT)
+               AS pack_bin
+      FROM c)
+    SELECT pack_bin,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           string_agg(text, chr(10) || chr(10) ORDER BY h, doc_id) AS packed_text
+    FROM p GROUP BY pack_bin
+    """,
+)
+def pack_materialized_docs(spark, sf_dir):
+    """Packed TRAINING ROWS (ops/sampling.py pack_materialize): one row
+    per 512-token bin with member docs concatenated in deterministic
+    fill order. Completes the packing pipeline — assignment
+    (pack_sequences_docs) to artifact. One shuffle on pack_bin;
+    per-bin reassembly memory is capped by the token budget."""
+    from lime_etl_spark.ops import sampling
+    from lime_etl_spark.ops.text import token_count
+
+    docs = _tp(spark, sf_dir, "documents").select(
+        "doc_id", "text", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    packed = sampling.pack_sequences(docs, budget=512, n_buckets=8)
+    return sampling.pack_materialize(packed)
+
+
+@register(
+    "sample_stratified_exact",
+    oracle="""
+    WITH r AS (
+      SELECT label, vec_id,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || 'e1'), 1, 15))::BIGINT,
+                        vec_id) AS rn
+      FROM embeddings)
+    SELECT label, vec_id FROM r WHERE rn <= 20
+    """,
+)
+def sample_stratified_exact(spark, sf_dir):
+    """Exactly-20-per-label deterministic sample (ops/sampling.py
+    stratified_sample_exact): rank inside each stratum by content hash
+    (uniform, reproducible) and keep the first 20 — the eval-set
+    construction contract rate-thinning can't give. One window
+    shuffle."""
+    from lime_etl_spark.ops import sampling
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sampling.stratified_sample_exact(emb, "vec_id", "label", 20, salt="e1")
+    return out.select("label", "vec_id")

@@ -636,3 +636,46 @@ def test_length_histogram_null_text_bucket_zero(spark):
     )
     rows = {r["bucket_lo"]: r["n_docs"] for r in text.length_histogram(df).collect()}
     assert rows == {0: 2}
+
+
+def test_pack_materialize_every_doc_once(spark, sf_dir):
+    from lime_etl_spark.io.sources import read_table
+    from lime_etl_spark.ops import sampling
+    from lime_etl_spark.ops.text import token_count
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    packed = sampling.pack_sequences(docs, budget=512, n_buckets=8)
+    bins = sampling.pack_materialize(packed).collect()
+    # conservation: every doc's text appears in exactly one bin, totals add up
+    n_docs = docs.count()
+    assert sum(r["n_docs"] for r in bins) == n_docs
+    total_toks = docs.agg(F.sum("n_tokens")).collect()[0][0]
+    assert sum(r["total_tokens"] for r in bins) == total_toks
+    texts = {r["text"] for r in docs.collect()}
+    seen = []
+    for r in bins:
+        seen.extend(r["packed_text"].split("\n\n"))
+    assert len(seen) == n_docs and set(seen) == texts
+    # bins respect the budget up to one trailing doc (next-fit contract)
+    for r in bins:
+        assert r["total_tokens"] < 512 + docs.agg(F.max("n_tokens")).collect()[0][0]
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark, sf_dir):
+    from lime_etl_spark.io.sources import read_table
+    from lime_etl_spark.ops import sampling
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    s1 = sampling.stratified_sample_exact(emb, "vec_id", "label", 5)
+    counts = {r["label"]: r["n"] for r in
+              s1.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r["label"]: r["n"] for r in
+             emb.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for label, n in counts.items():
+        assert n == min(5, sizes[label])
+    s2 = sampling.stratified_sample_exact(emb.repartition(7), "vec_id", "label", 5)
+    assert {tuple(r) for r in s1.select("label", "vec_id").collect()} == {
+        tuple(r) for r in s2.select("label", "vec_id").collect()
+    }  # layout-independent pick
