@@ -3840,3 +3840,70 @@ def sample_stratified_exact(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     out = sampling.stratified_sample_exact(emb, "vec_id", "label", 20, salt="e1")
     return out.select("label", "vec_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH m AS (SELECT doc_id, text, length(text) AS byte_len,
+                      length(text) // 4 AS chunk
+               FROM documents)
+    SELECT doc_id AS media_id,
+           i AS frame_idx,
+           chunk::BIGINT AS frame_len,
+           md5(substr(text, i * chunk + 1, chunk)) AS frame_md5
+    FROM m, (SELECT unnest(range(0, 4)) AS i) f
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Deterministic frame sampling over binary payloads
+    (ops/multimodal.py sample_frames): 4 evenly spaced payload slices
+    per media row — the video-frame-extraction plumbing (real decoders
+    are container-gated) with schema, explode shape, and per-frame
+    hashing oracle-checked byte-for-byte (ASCII fixture ⇒ the SQL
+    char-level twin sees identical bytes)."""
+    docs = _tp(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(docs, "doc_id", "text", "text/plain")
+    frames = multimodal.sample_frames(media, n_frames=4)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.length("frame_bytes").cast("bigint").alias("frame_len"),
+        "frame_md5",
+    )
+
+
+@register(
+    "collection_funcs_order_lines",
+    oracle="""
+    WITH a AS (
+      SELECT l_orderkey AS orderkey, list_sort(list(l_quantity)) AS arr
+      FROM lineitem GROUP BY 1)
+    SELECT orderkey,
+           len(arr)::BIGINT AS n_lines,
+           round(list_reduce(arr, (acc, x) -> acc + x), 2) AS qty_total,
+           list_max(arr) AS qty_max,
+           len(list_filter(arr, x -> x >= 30))::BIGINT AS n_big,
+           arr[1:3] AS first3
+    FROM a
+    """,
+)
+def collection_funcs_order_lines(spark, sf_dir):
+    """Array / higher-order-function family over per-order line sets:
+    collect_list -> sort_array (deterministic element order, so the
+    HOF fold is bit-identical across engines), aggregate() fold,
+    array_max, filter() count, slice(). All JVM expressions — the
+    collection counterpart of the string/date scalar families."""
+    li = _t(spark, sf_dir, "lineitem")
+    arr = F.sort_array(F.collect_list("l_quantity"))
+    grouped = li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(arr.alias("arr"))
+    return grouped.select(
+        "orderkey",
+        F.size("arr").cast("bigint").alias("n_lines"),
+        F.round(
+            F.aggregate("arr", F.lit(0.0), lambda acc, x: acc + x), 2
+        ).alias("qty_total"),
+        F.array_max("arr").alias("qty_max"),
+        F.size(F.filter("arr", lambda x: x >= 30)).cast("bigint").alias("n_big"),
+        F.slice("arr", 1, 3).alias("first3"),
+    )

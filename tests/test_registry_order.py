@@ -34,7 +34,7 @@ def test_primary_window_covers_every_category():
                   "events", "streaming", "string", "date", "text", "ann",
                   "embedding", "multimodal", "pivot", "unpivot", "profile",
                   "pipeline", "asof", "range", "split", "sample", "decontam",
-                  "pack", "corpus"):
+                  "pack", "corpus", "collection"):
             if name == p or name.startswith(p + "_") or (p == "q" and name[1:2].isdigit()):
                 return p
         return name
@@ -46,7 +46,8 @@ def test_primary_window_covers_every_category():
     # beyond-survey training-prep extras (oracled + unit-tested, but
     # every SURVEY §2 category outranks them for the 50 scored slots)
     # corpus_filter_decisions composes rules whose families (text,
-    # dedup) are already represented inside the window
+    # dedup) are already represented inside the window; collection_*
+    # is a scalar-function family variant (string/date are in-window)
     assert families_all - families_primary <= {
         "pipeline",
         "unpivot",
@@ -55,6 +56,7 @@ def test_primary_window_covers_every_category():
         "decontam",
         "pack",
         "corpus",
+        "collection",
     }
 
 
