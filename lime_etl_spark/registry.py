@@ -3907,3 +3907,30 @@ def collection_funcs_order_lines(spark, sf_dir):
         F.size(F.filter("arr", lambda x: x >= 30)).cast("bigint").alias("n_big"),
         F.slice("arr", 1, 3).alias("first3"),
     )
+
+
+@register(
+    "embedding_quantized",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             (list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0)
+               AS scale
+      FROM embeddings)
+    SELECT e.vec_id, s.scale,
+           CASE WHEN s.scale = 0
+                THEN list_transform(e.embedding, x -> 0)
+                ELSE list_transform(e.embedding,
+                                    x -> round(x::DOUBLE / s.scale)::INT)
+           END AS qvec
+    FROM embeddings e JOIN s ON s.vec_id = e.vec_id
+    """,
+)
+def embedding_quantized(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column
+    (ops/similarity.py quantize_embeddings) — 4x storage reduction
+    with scale kept for dequantization; narrow JVM pass, value-checked
+    element-for-element against the SQL twin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.quantize_embeddings(emb)
+    return out.select("vec_id", "scale", "qvec")

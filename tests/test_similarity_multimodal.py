@@ -120,3 +120,23 @@ def test_embedding_dim_matches_oracle_bound(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     dims = emb.select(F.size("embedding").alias("d")).distinct().collect()
     assert [r.d for r in dims] == [64]
+
+
+def test_quantize_embeddings_error_bound_and_zero_vec(spark):
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.ops.similarity import quantize_embeddings
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.125]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [127.0, -127.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert out[2]["scale"] == 0.0 and out[2]["qvec"] == [0, 0, 0, 0]
+    for vid, vec in [(1, rows[0][1]), (3, rows[2][1])]:
+        scale, q = out[vid]["scale"], out[vid]["qvec"]
+        assert all(-127 <= qi <= 127 for qi in q)
+        for x, qi in zip(vec, q):
+            assert abs(qi * scale - x) <= scale / 2 + 1e-12  # dequant error bound
