@@ -43,6 +43,17 @@ def _build_parser() -> argparse.ArgumentParser:
     pipe.add_argument("--out", required=True, help="output directory (CSV)")
     pipe.add_argument("--run-ts", default="1970-01-01 00:00:00")
 
+    prep = sub.add_parser(
+        "prepare-corpus",
+        help="full training-corpus prep: filter -> dedup -> pack -> write",
+    )
+    prep.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    prep.add_argument("--out", required=True, help="output directory")
+    prep.add_argument("--budget", type=int, default=512, help="tokens per bin")
+
     comp = sub.add_parser(
         "compact", help="compact a fragmented parquet directory in place"
     )
@@ -99,6 +110,17 @@ def main(argv: list[str] | None = None) -> int:
         out = getattr(surveys, args.name)(flat, args.run_ts)
         write_csv(out, args.out)
         print(f"wrote {args.out}")
+        return 0
+
+    if args.cmd == "prepare-corpus":
+        from lime_etl_spark.pipelines.corpus import prepare_training_corpus
+
+        spark = get_spark("cli-prepare-corpus")
+        counts = prepare_training_corpus(
+            spark, args.sf_dir, args.out, budget=args.budget
+        )
+        for k, v in counts.items():
+            print(f"{k:22s} {v}")
         return 0
 
     if args.cmd == "compact":

@@ -129,3 +129,28 @@ def test_cli_list_run_pipeline(spark, sf_dir, tmp_path, capsys, survey_json_path
     pdest = str(tmp_path / "cli_nps")
     assert main(["pipeline", "nps", "--export", survey_json_path, "--out", pdest]) == 0
     assert spark.read.option("header", True).csv(pdest).count() > 0
+
+
+def test_prepare_training_corpus_end_to_end(spark, sf_dir, tmp_path):
+    """Capstone pipeline: filter -> near-dedup -> span dedup -> redact
+    -> split -> pack -> clustered write. Counts are monotone through
+    the gates, artifacts readable, and the run is deterministic."""
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.pipelines.corpus import prepare_training_corpus
+
+    out = str(tmp_path / "corpus")
+    c = prepare_training_corpus(spark, sf_dir, out, budget=256)
+    assert c["n_total"] >= c["n_after_filter"] >= c["n_after_near_dedup"]
+    assert c["n_train_docs"] + c["n_eval_docs"] == c["n_after_near_dedup"]
+    assert c["n_train_bins"] >= 1
+    train = spark.read.parquet(f"{out}/train")
+    assert train.columns == ["pack_bin", "n_docs", "total_tokens", "packed_text"]
+    assert train.agg(F.sum("n_docs")).collect()[0][0] == c["n_train_docs"]
+    # deterministic: second run to a fresh dir yields identical artifacts
+    out2 = str(tmp_path / "corpus2")
+    c2 = prepare_training_corpus(spark, sf_dir, out2, budget=256)
+    assert c2 == c
+    t1 = sorted(map(tuple, train.collect()))
+    t2 = sorted(map(tuple, spark.read.parquet(f"{out2}/train").collect()))
+    assert t1 == t2
