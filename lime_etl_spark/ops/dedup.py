@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from lime_etl_spark.ops.text import shingles, tokens
+from lime_etl_spark.ops.text import tokens
 
 MINHASH_PERMS = 16
 LSH_BANDS = 4  # 4 bands x 4 rows

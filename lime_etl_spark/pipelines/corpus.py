@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from lime_etl_spark.io.sinks import write_parquet_clustered
@@ -102,9 +102,3 @@ def prepare_training_corpus(
         "n_train_bins": train_bins.count(),
         "n_eval_docs": n_eval,
     }
-
-
-def _summary_df(spark: SparkSession, counts: dict[str, int]) -> DataFrame:
-    return spark.createDataFrame(
-        [(k, int(v)) for k, v in counts.items()], "stage string, n bigint"
-    )

@@ -1656,8 +1656,6 @@ _PIPELINE_RUN_TS = "2024-04-01 12:00:00"
 
 
 def _survey_flat(spark):
-    import json
-
     from lime_etl_spark.io.sources import responses_payload_to_df
     from lime_etl_spark.pipelines.fixtures import make_survey_payload
 
