@@ -113,6 +113,16 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as parquet
+    (Hive-ecosystem interchange). An explicit schema skips footer
+    inference on wide directories."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

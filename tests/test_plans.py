@@ -237,3 +237,11 @@ def test_filter_decisions_single_exchange(spark, sf_dir):
     are all narrow projections riding it."""
     df = REGISTRY["corpus_filter_decisions"].spark_fn(spark, sf_dir)
     assert _plan(df).count("Exchange hashpartitioning") == 1
+
+
+def test_pack_materialize_two_exchanges(spark, sf_dir):
+    """Packing assignment (bucket window) + bin reassembly (groupBy
+    pack_bin) = two hash exchanges total; the materialization must not
+    re-shuffle beyond its own bin key."""
+    df = REGISTRY["pack_materialized_docs"].spark_fn(spark, sf_dir)
+    assert _plan(df).count("Exchange hashpartitioning") == 2

@@ -140,3 +140,23 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 40_000
     assert back.agg(F.sum("id")).collect()[0][0] == 40_000 * 39_999 // 2
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.io.sinks import write_orc
+    from lime_etl_spark.io.sources import read_orc
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).cast("string").alias("tag")
+    )
+    path = str(tmp_path / "orc_out")
+    write_orc(df, path, partition_by=["tag"])
+    back = read_orc(spark, path)
+    assert back.count() == 10_000
+    filtered = back.filter(F.col("tag") == "3")
+    assert filtered.count() == 2_000
+    # partition pruning: only the tag=3 directory is scanned
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "tag=3" in plan or "PartitionFilters" in plan
