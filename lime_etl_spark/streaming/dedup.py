@@ -74,13 +74,23 @@ def process_batch(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    prefilter=None,
 ) -> None:
     """One micro-batch of incremental dedup — see module docstring.
 
     Pure function of (batch, accumulated state); safe to replay: all
     three writes are partition overwrites keyed on ``batch_id``.
+
+    ``prefilter``: optional ``DataFrame -> DataFrame`` applied to the
+    batch BEFORE dedup — the quality gate runs first so junk documents
+    never reach the band index or the doc store (e.g.
+    ``lambda d: d.join(text.filter_decisions(d).filter("keep")
+    .select("doc_id"), "doc_id", "left_semi")``). Must be
+    deterministic, or batch replays diverge.
     """
     spark = batch.sparkSession
+    if prefilter is not None:
+        batch = prefilter(batch)
     new_docs = batch.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     new_bands = dedup.minhash_bands(new_docs)
 
@@ -173,16 +183,25 @@ def dedup_on_ingest(
     available_now: bool = True,
     id_col: str = "doc_id",
     text_col: str = "text",
+    prefilter=None,
 ) -> StreamingQuery:
     """Attach incremental dedup to a document stream.
 
     ``availableNow`` drains pending input and stops (the test/backfill
     mode); pass False for a continuously running ingest gate. Decisions
     land under ``state_dir``/decisions partitioned by micro-batch.
+    ``prefilter`` runs the quality gate before dedup (see
+    process_batch).
     """
     writer = docs_stream.writeStream.foreachBatch(
         lambda df, bid: process_batch(
-            df, bid, state_dir, threshold=threshold, id_col=id_col, text_col=text_col
+            df,
+            bid,
+            state_dir,
+            threshold=threshold,
+            id_col=id_col,
+            text_col=text_col,
+            prefilter=prefilter,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:

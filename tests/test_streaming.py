@@ -458,3 +458,26 @@ def test_incremental_dedup_batch_replay_idempotent(spark, tmp_path):
     sdedup.process_batch(docs, 0, state)  # replay
     assert spark.read.parquet(f"{state}/decisions").count() == 1
     assert spark.read.parquet(f"{state}/docs").count() == 1
+
+
+def test_incremental_dedup_prefilter_gates_junk(spark, tmp_path):
+    """The quality prefilter runs before dedup state: junk docs get no
+    decision row and never enter the band index."""
+    from lime_etl_spark.ops import text as optext
+    from lime_etl_spark.streaming import dedup as sdedup
+
+    good = "the quick brown fox jumps over the lazy dog near the river today"
+    docs = spark.createDataFrame(
+        [(1, good), (2, "zz")],  # doc 2: too short -> filtered at the door
+        "doc_id bigint, text string",
+    )
+
+    def gate(d):
+        keep = optext.filter_decisions(d, min_quality=0.0).filter("keep")
+        return d.join(keep.select("doc_id"), "doc_id", "left_semi")
+
+    state = str(tmp_path / "state")
+    sdedup.process_batch(docs, 0, state, prefilter=gate)
+    dec = {r["doc_id"] for r in spark.read.parquet(f"{state}/decisions").collect()}
+    assert dec == {1}
+    assert {r["doc_id"] for r in spark.read.parquet(f"{state}/docs").collect()} == {1}
