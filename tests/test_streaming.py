@@ -481,3 +481,32 @@ def test_incremental_dedup_prefilter_gates_junk(spark, tmp_path):
     dec = {r["doc_id"] for r in spark.read.parquet(f"{state}/decisions").collect()}
     assert dec == {1}
     assert {r["doc_id"] for r in spark.read.parquet(f"{state}/docs").collect()} == {1}
+
+
+def test_stream_static_broadcast_enrichment(spark, sf_dir, tmp_path):
+    """Stream-static join: the events stream enriched with the customer
+    dimension via broadcast — the static side is re-resolved per
+    micro-batch (dim refreshes are picked up), and the streaming plan
+    carries a broadcast join, never a stream-side shuffle-for-join."""
+    from lime_etl_spark.io.sources import read_table
+
+    stream = sevents.read_events_stream(spark, sevents.stage_events_dir(sf_dir))
+    dim = F.broadcast(
+        read_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    enriched = stream.join(dim, "user_id", "left").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = sevents.run_to_memory(enriched, checkpoint_dir=str(tmp_path / "ck_enrich"))
+    got = {r["c_mktsegment"]: r["n_events"] for r in out.collect()}
+    events = read_table(spark, sf_dir, "events")
+    batch = {
+        r["c_mktsegment"]: r["n"]
+        for r in events.join(
+            dim, "user_id", "left"
+        ).groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == batch
+    assert sum(got.values()) == events.count()
