@@ -3932,3 +3932,88 @@ def embedding_quantized(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     out = similarity.quantize_embeddings(emb)
     return out.select("vec_id", "scale", "qvec")
+
+
+# ===========================================================================
+# Time-series: gap filling, forward fill, trailing z-score anomalies
+# ===========================================================================
+
+
+@register(
+    "events_gap_filled",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) AS bucket_start,
+             count(*) AS n_events,
+             round(sum(value::DECIMAL(12,2)), 2)::DOUBLE AS total_value,
+             round(avg(value), 4) AS bucket_avg
+      FROM events GROUP BY 1, 2),
+    s AS (SELECT user_id, min(bucket_start) AS b0, max(bucket_start) AS b1
+          FROM a GROUP BY 1),
+    g AS (SELECT user_id,
+                 unnest(generate_series(b0, b1, INTERVAL 30 MINUTE)) AS bucket_start
+          FROM s),
+    j AS (SELECT g.user_id, g.bucket_start, a.n_events, a.total_value, a.bucket_avg
+          FROM g LEFT JOIN a ON a.user_id = g.user_id
+                            AND a.bucket_start = g.bucket_start)
+    SELECT user_id, bucket_start,
+           coalesce(n_events, 0)::BIGINT AS n_events,
+           coalesce(total_value, 0.0) AS total_value,
+           (n_events IS NULL) AS is_gap,
+           last_value(bucket_avg IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_avg_value
+    FROM j
+    """,
+)
+def events_gap_filled(spark, sf_dir):
+    """Dense per-user 30-minute grid (ops/timeseries.py gap_fill):
+    zero-filled silent buckets with a gap flag and the last known
+    bucket-average forward-filled — regularizing the irregular event
+    stream is the precondition of any downstream time-series model.
+    Grid size is bounded by each user's own active span."""
+    from lime_etl_spark.ops import timeseries
+
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.gap_fill(ev)
+
+
+@register(
+    "events_zscore_anomalies",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, user_id, ts, value,
+             round(value * 100)::BIGINT AS v100
+      FROM events),
+    g AS (
+      SELECT event_id, user_id, ts, value,
+             count(value) OVER w AS n,
+             (sum(v100) OVER w)::DOUBLE AS s1,
+             (sum(v100 * v100) OVER w)::DOUBLE AS s2
+      FROM f
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+    z AS (
+      SELECT event_id, user_id, ts, value,
+             CASE WHEN n >= 1 THEN s1 / n / 100.0 END AS trail_mean,
+             CASE WHEN n >= 2
+                  THEN sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) / 100.0
+             END AS trail_std
+      FROM g)
+    SELECT event_id, user_id, ts, value, trail_mean, trail_std,
+           (value - trail_mean) / nullif(trail_std, 0) AS zscore,
+           coalesce(abs((value - trail_mean) / nullif(trail_std, 0)) >= 3.0,
+                    false) AS is_anomaly
+    FROM z
+    """,
+)
+def events_zscore_anomalies(spark, sf_dir):
+    """Trailing z-score outlier detection (ops/timeseries.py
+    zscore_anomalies): each event scored against ITS OWN user's
+    previous 20 events (current row excluded from the frame) — the
+    per-entity baseline that a global threshold can't give. Rounded
+    mean/std keep the score engine-exact; one window shuffle."""
+    from lime_etl_spark.ops import timeseries
+
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.zscore_anomalies(ev)

@@ -120,3 +120,46 @@ def test_approx_aggregates_error_bounds(spark, sf_dir):
     ).collect()[0]
     for e, a in zip(row["exact"], row["approx"]):
         assert abs(a - e) / e < 0.02, (e, a)
+
+
+def test_gap_fill_dense_grid_and_forward_fill(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.ops import timeseries
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 5), 10.0),
+        (1, datetime(2024, 1, 1, 0, 20), 20.0),   # same bucket as 0:05
+        (1, datetime(2024, 1, 1, 2, 10), 40.0),   # 3 silent buckets before
+        (2, datetime(2024, 1, 1, 5, 0), 7.0),     # single-bucket user
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    out = timeseries.gap_fill(df).orderBy("user_id", "bucket_start").collect()
+    u1 = [r for r in out if r["user_id"] == 1]
+    assert len(u1) == 5  # 00:00 .. 02:00 inclusive, every 30 min
+    assert [r["n_events"] for r in u1] == [2, 0, 0, 0, 1]
+    assert [r["is_gap"] for r in u1] == [False, True, True, True, False]
+    # forward fill carries the bucket average across the silence
+    assert [r["last_avg_value"] for r in u1] == [15.0, 15.0, 15.0, 15.0, 40.0]
+    assert u1[0]["total_value"] == 30.0 and u1[1]["total_value"] == 0.0
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["n_events"] == 1
+
+
+def test_zscore_flags_spike_not_baseline(spark):
+    from datetime import datetime, timedelta
+
+    from lime_etl_spark.ops import timeseries
+
+    base = datetime(2024, 1, 1)
+    rows = [(i, 1, base + timedelta(minutes=i), 10.0 + (i % 2)) for i in range(10)]
+    rows.append((99, 1, base + timedelta(minutes=99), 500.0))  # spike
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, value double"
+    )
+    out = {r["event_id"]: r for r in timeseries.zscore_anomalies(df).collect()}
+    assert out[99]["is_anomaly"] and out[99]["zscore"] > 3
+    assert not any(out[i]["is_anomaly"] for i in range(10))
+    assert out[0]["zscore"] is None  # no priors -> unscored, never flagged
