@@ -59,6 +59,28 @@ def _rowset(rows, columns):
 
 ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
 
+# Declared-type correspondence: the driver hashes RAW values, so a DuckDB
+# HUGEINT (int128) next to a Spark bigint mismatches even when every value
+# is equal — exactly how events_sessionized went red in round 1 while this
+# gate (comparing post-fetch Python objects) stayed green. Pin the allowed
+# (spark dtype -> duckdb type) pairs; anything else (HUGEINT above all)
+# must be CAST in the oracle.
+TYPE_TWINS = {
+    "bigint": {"BIGINT"},
+    "int": {"INTEGER"},
+    "double": {"DOUBLE"},
+    "boolean": {"BOOLEAN"},
+    "string": {"VARCHAR"},
+    # session TZ is pinned to UTC, so instant and wall-clock agree
+    "timestamp": {"TIMESTAMP"},
+    "timestamp_ntz": {"TIMESTAMP"},
+    "date": {"DATE"},
+    "array<double>": {"DOUBLE[]"},
+    "array<int>": {"INTEGER[]"},
+    "array<bigint>": {"BIGINT[]"},
+    "array<string>": {"VARCHAR[]"},
+}
+
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_match(name, spark, duck, oracle_sf_dir):
@@ -68,12 +90,20 @@ def test_oracle_match(name, spark, duck, oracle_sf_dir):
     spark_cols = sdf.columns
 
     rel = duck.sql(q.oracle)
+    duck_types = dict(zip(rel.columns, (str(t) for t in rel.types)))
     duck_rows = rel.fetchall()
     duck_cols = [c for c in rel.columns]
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
     )
+    for col, sdt in sdf.dtypes:
+        allowed = TYPE_TWINS.get(sdt)
+        assert allowed is not None and duck_types[col] in allowed, (
+            f"{name}.{col}: spark dtype {sdt!r} vs duckdb {duck_types[col]!r} "
+            f"would mismatch under the driver's raw-value hash "
+            f"(allowed twins: {sorted(allowed) if allowed else 'none declared'})"
+        )
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
     )
