@@ -38,22 +38,31 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Fixture timestamps are wall-clock values compared against DuckDB's
+    # naive TIMESTAMP; the session TZ is pinned to UTC, so load them as
+    # plain TIMESTAMP (LTZ) rather than letting Spark 4 infer
+    # TIMESTAMP_NTZ from isAdjustedToUTC=false parquet annotations —
+    # NTZ is rejected by instant functions (unix_micros & co) and the
+    # two types render identically under UTC.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
-    # Parquet TIMESTAMP(NANOS) columns arrive as nano-epoch longs under
-    # nanosAsLong (Spark has no nanos timestamp type); convert to
-    # microsecond timestamps — lossless for this fixture (values are
-    # micro-precision) and the same truncation DuckDB-vs-Spark-safe rule
-    # a production ingest would document.
     expected = schemas.TESTDATA_TABLES.get(name)
     if expected is not None:
         for field in expected.fields:
-            if (
-                field.dataType.typeName() == "timestamp"
-                and dict(df.dtypes).get(field.name) == "bigint"
-            ):
+            if field.dataType.typeName() != "timestamp":
+                continue
+            actual = dict(df.dtypes).get(field.name)
+            if actual == "bigint":
+                # Parquet TIMESTAMP(NANOS) under nanosAsLong: nano-epoch
+                # longs (Spark has no nanos type); truncate to micros —
+                # lossless for this fixture (values are micro-precision).
                 df = df.withColumn(
                     field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
                 )
+            elif actual == "timestamp_ntz":
+                # Belt-and-braces if NTZ inference was re-enabled on the
+                # session: wall clock == instant under the UTC pin.
+                df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
         missing = set(expected.fieldNames()) - set(df.columns)
         if missing:
             raise ValueError(f"table {name} at {path} missing columns {sorted(missing)}")

@@ -43,6 +43,12 @@ def get_spark(
         # Parquet TIMESTAMP(NANOS) (the events fixture) is unreadable by
         # Spark natively; read as long and convert in io.sources.read_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Fixture timestamps are wall-clock values compared against
+        # DuckDB's naive TIMESTAMP under a UTC session TZ; load
+        # isAdjustedToUTC=false parquet micros as plain TIMESTAMP rather
+        # than TIMESTAMP_NTZ (NTZ is rejected by instant functions like
+        # unix_micros, and the two render identically under UTC).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Spark 4.1's checksum checkpoint manager deadlocks stateful-op
         # state-store commits on local filesystems (async checksum write
         # never resolves); corruption detection matters on real HDFS/S3

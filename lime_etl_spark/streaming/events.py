@@ -62,20 +62,32 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     explicit schema is mandatory for streaming sources.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the fixture's ts is parquet TIMESTAMP(NANOS) → read as nano-epoch
-    # long, convert to a microsecond timestamp (see io.sources.read_table)
-    nanos_schema = T.StructType(
-        [
-            f if f.name != "ts" else T.StructField("ts", T.LongType())
-            for f in schemas.EVENTS.fields
-        ]
-    )
-    raw = (
-        spark.readStream.schema(nanos_schema)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # The fixture's ts encoding has varied across driver refreshes:
+    # parquet TIMESTAMP(NANOS) (surfaces as nano-epoch long under
+    # nanosAsLong — Spark has no nanos type) vs TIMESTAMP(MICROS).
+    # Streaming sources need the schema up front, so probe it with a
+    # footer-only batch read (no data scan) and pick the matching path,
+    # exactly mirroring io.sources.read_table.
+    ts_is_nanos = dict(spark.read.parquet(events_dir).dtypes).get("ts") == "bigint"
+    if ts_is_nanos:
+        nanos_schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in schemas.EVENTS.fields
+            ]
+        )
+        raw = (
+            spark.readStream.schema(nanos_schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(events_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        spark.readStream.schema(schemas.EVENTS)
         .option("maxFilesPerTrigger", 8)
         .parquet(events_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_counts(events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes") -> DataFrame:

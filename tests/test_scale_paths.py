@@ -160,3 +160,19 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path):
     # partition pruning: only the tag=3 directory is scanned
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "tag=3" in plan or "PartitionFilters" in plan
+
+
+def test_read_table_normalizes_fixture_schemas(spark):
+    """read_table must yield EXACTLY the registered schema for every
+    table at every SF, whatever parquet encoding the driver's fixture
+    generator used this round (TIMESTAMP(NANOS)-as-long in round 1,
+    TIMESTAMP(MICROS) NTZ-annotated in round 2). Catches the next
+    fixture regeneration as one clear assertion instead of a deep
+    AnalysisException inside whichever query touches `ts` first."""
+    from lime_etl_spark import schemas
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        for name, expected in schemas.TESTDATA_TABLES.items():
+            got = dict(read_table(spark, f"/root/testdata/{sf}", name).dtypes)
+            want = {f.name: f.dataType.simpleString() for f in expected.fields}
+            assert got == want, f"{sf}/{name}: {got} != {want}"
