@@ -125,6 +125,70 @@ def weighted_resample(
     return df.filter(b < rate)
 
 
+def global_shuffle_rank(
+    df: DataFrame,
+    key_col: str,
+    seed: str = "42",
+    partitions: int | None = None,
+    out: str = "shuffle_rank",
+) -> DataFrame:
+    """Deterministic global shuffle order for training: every row gets a
+    dense 1-based rank in ascending order of a portable content hash
+    (md5 of key + seed, tie-broken by key). Epoch ordering for a corpus
+    needs exactly this — shuffled once, reproducibly, identically on
+    any cluster layout; a different ``seed`` gives an independent order.
+
+    Scale shape: the naive ``row_number() OVER (ORDER BY hash)`` plans a
+    window with NO partition spec — Spark funnels the whole corpus
+    through one task. Two-phase instead:
+
+    1. range-repartition + sort within partitions on (hash, key): the
+       distributed sort a shuffle-write performs anyway, so partitions
+       are globally ordered ranges;
+    2. per-partition row counts (one row per partition — scalar-sized,
+       the only driver traffic) prefix-summed into offsets, joined back
+       as a broadcast literal table; rank = offset + local row_number,
+       where the local window partitions by ``spark_partition_id()`` —
+       ~|corpus|/P rows each, never one global partition.
+
+    ``localCheckpoint`` pins partition identity between the count pass
+    and the rank pass: range boundaries come from a per-execution
+    sample job, so two independent recomputes of the sorted plan could
+    legally disagree on which row lands in which partition. At 100 TB
+    the equivalent is writing the sorted corpus and ranking from file
+    position; the checkpoint is the in-session stand-in and costs what
+    that shuffle-write would.
+    """
+    h = F.md5(F.concat_ws("-", F.col(key_col).cast("string"), F.lit(seed)))
+    nparts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    srt = (
+        df.withColumn("__h", h)
+        .repartitionByRange(nparts, "__h", key_col)
+        .sortWithinPartitions("__h", key_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = srt.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets.append((row["__pid"], acc))
+        acc += row["__n"]
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(offsets, "__pid int, __off bigint")
+    )
+    from pyspark.sql import Window
+
+    wlocal = Window.partitionBy("__pid").orderBy("__h", key_col)
+    return (
+        srt.join(off_df, "__pid")
+        .withColumn(
+            out,
+            (F.col("__off") + F.row_number().over(wlocal)).cast("bigint"),
+        )
+        .drop("__h", "__pid", "__off")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     key_col: str = "doc_id",

@@ -3144,6 +3144,29 @@ def sample_10pct_docs(spark, sf_dir):
     )
 
 
+@register(
+    "sample_global_shuffle",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY md5(doc_id::VARCHAR || '-42'), doc_id)
+                AS BIGINT) AS shuffle_rank
+    FROM documents
+    """,
+)
+def sample_global_shuffle(spark, sf_dir):
+    """Deterministic global shuffle order (sampling.global_shuffle_rank):
+    dense 1-based epoch-order rank by portable hash, computed the
+    distributed way — range-sorted partitions + broadcast prefix-sum
+    offsets, never a single-partition global window (which is how the
+    oracle's naive ``row_number() OVER (ORDER BY ...)`` would plan)."""
+    from lime_etl_spark.ops import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.global_shuffle_rank(docs, "doc_id", seed="42", partitions=8).select(
+        "doc_id", "shuffle_rank"
+    )
+
+
 # ===========================================================================
 # Corpus hygiene: near-dup components, repetition metrics,
 # decontamination, TF-IDF (training-data extras, round 2)

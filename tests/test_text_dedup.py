@@ -679,3 +679,42 @@ def test_stratified_sample_exact_counts_and_determinism(spark, sf_dir):
     assert {tuple(r) for r in s1.select("label", "vec_id").collect()} == {
         tuple(r) for r in s2.select("label", "vec_id").collect()
     }  # layout-independent pick
+
+
+def test_global_shuffle_rank_matches_naive_and_is_deterministic(spark, sf_dir):
+    """Two-phase distributed rank == naive single-window rank, twice
+    (determinism across executions despite per-execution range-boundary
+    sampling), across multiple partition counts (rank must not depend
+    on the physical split)."""
+    from pyspark.sql import Window
+
+    from lime_etl_spark.io.sources import read_table
+    from lime_etl_spark.ops import sampling
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(F.concat_ws("-", F.col("doc_id").cast("string"), F.lit("42")))
+    naive = {
+        (r.doc_id, r.rank)
+        for r in docs.withColumn("__h", h)
+        .withColumn("rank", F.row_number().over(Window.orderBy("__h", "doc_id")))
+        .select("doc_id", "rank")
+        .collect()
+    }
+    for nparts in (3, 8):
+        got = {
+            (r.doc_id, r.shuffle_rank)
+            for r in sampling.global_shuffle_rank(
+                docs, "doc_id", seed="42", partitions=nparts
+            ).collect()
+        }
+        assert got == naive, f"partitions={nparts}"
+    again = {
+        (r.doc_id, r.shuffle_rank)
+        for r in sampling.global_shuffle_rank(docs, "doc_id", partitions=8).collect()
+    }
+    assert again == naive
+    # a different seed yields a different (but still dense 1..N) order
+    other = sampling.global_shuffle_rank(docs, "doc_id", seed="7", partitions=8)
+    ranks = sorted(r.shuffle_rank for r in other.collect())
+    assert ranks == list(range(1, len(naive) + 1))
+    assert {(r.doc_id, r.shuffle_rank) for r in other.collect()} != naive
