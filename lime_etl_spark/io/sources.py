@@ -122,6 +122,49 @@ def read_csv(
     return reader.csv(path)
 
 
+DOCUMENTS_JSONL_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+)
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Read a JSON-lines corpus dump (one document object per line — the
+    standard interchange format for crawled text corpora).
+
+    Line-delimited mode (NOT multiLine) keeps files splittable: a 100 TB
+    dump parallelizes by byte range, while a multiLine document pins
+    each file to one task. The explicit schema (default: the
+    ``documents`` table contract) skips inference's full extra pass and
+    keeps width constant; unknown keys are simply not projected.
+
+    PERMISSIVE + ``_corrupt_record`` surfaces malformed lines as rows
+    instead of failing the load; ``strict=True`` counts them and raises
+    (a corrupt dump should fail loudly, matching
+    ``read_survey_export_json``). Callers who want to *quarantine* bad
+    lines filter on ``_corrupt_record IS NOT NULL`` before dropping it.
+    """
+    full = (schema or DOCUMENTS_JSONL_SCHEMA) + ", _corrupt_record STRING"
+    raw = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    if strict:
+        raw = raw.cache()
+        bad = raw.filter(F.col("_corrupt_record").isNotNull()).count()
+        if bad:
+            raw.unpersist()
+            raise ValueError(f"jsonl corpus at {path}: {bad} corrupt line(s)")
+        raw.unpersist()
+    return raw
+
+
 def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """ORC scan — same columnar pushdown/pruning properties as parquet
     (Hive-ecosystem interchange). An explicit schema skips footer

@@ -176,3 +176,36 @@ def test_read_table_normalizes_fixture_schemas(spark):
             got = dict(read_table(spark, f"/root/testdata/{sf}", name).dtypes)
             want = {f.name: f.dataType.simpleString() for f in expected.fields}
             assert got == want, f"{sf}/{name}: {got} != {want}"
+
+
+def test_jsonl_corpus_read_permissive_and_strict(spark, tmp_path):
+    """JSONL corpus ingest: good lines load under the documents
+    contract, a malformed line surfaces as _corrupt_record in
+    PERMISSIVE mode (with NULL data columns) and raises under
+    strict=True."""
+    import json
+
+    import pytest
+
+    from lime_etl_spark.io.sources import read_documents_jsonl
+
+    path = str(tmp_path / "corpus.jsonl")
+    lines = [
+        json.dumps({"doc_id": 1, "text": "hello world", "lang": "en",
+                    "source": "crawl", "n_chars": 11}),
+        json.dumps({"doc_id": 2, "text": "bonjour", "lang": "fr",
+                    "source": "crawl", "n_chars": 7}),
+        '{"doc_id": 3, "text": "truncated...',
+    ]
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines))
+
+    df = read_documents_jsonl(spark, path)
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows[1].text == "hello world" and rows[2].lang == "fr"
+    assert rows[1]._corrupt_record is None
+    bad = [r for r in rows.values() if r._corrupt_record is not None]
+    assert len(bad) == 1 and bad[0].text is None
+
+    with pytest.raises(ValueError, match="1 corrupt line"):
+        read_documents_jsonl(spark, path, strict=True)
