@@ -115,6 +115,58 @@ def extract_features_histogram(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload", "byte_len").mapInPandas(run, out_schema)
 
 
+def resize_media(df: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Deterministic fake media resize: resample each payload's byte
+    stream to exactly ``width*height`` bytes by nearest-neighbor index
+    mapping (the 1-D analogue of NN image scaling; empty payloads yield
+    zeros). Output is structurally what a real resize produces — a new
+    binary payload of fixed size plus (width, height) metadata — so the
+    pipeline downstream of a pillow-backed version is exercised as-is;
+    swapping in real pixels changes only the per-batch kernel
+    (decode_media gates that path on library presence).
+
+    mapInPandas, Arrow-batched: media rows are fat, so the batch size
+    knob (``arrow.maxRecordsPerBatch``) bounds executor memory; the
+    kernel itself is vectorized numpy per payload, no per-byte Python.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_len = width * height
+    out_schema = (
+        "media_id BIGINT, width INT, height INT, payload BINARY, "
+        "byte_len BIGINT, content_md5 STRING"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        idx_base = np.arange(out_len, dtype=np.float64)
+        for pdf in batches:
+            payloads, md5s = [], []
+            for payload in pdf["payload"]:
+                src = np.frombuffer(payload, dtype=np.uint8)
+                if len(src) == 0:
+                    resized = np.zeros(out_len, dtype=np.uint8)
+                else:
+                    resized = src[(idx_base * len(src) / out_len).astype(np.int64)]
+                raw = resized.tobytes()
+                payloads.append(raw)
+                md5s.append(hashlib.md5(raw).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": np.int32(width),
+                    "height": np.int32(height),
+                    "payload": payloads,
+                    "byte_len": np.int64(out_len),
+                    "content_md5": md5s,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, out_schema)
+
+
 def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     """Deterministic fake frame sampler: slice the payload into
     ``n_frames`` evenly spaced chunks (stand-in for video frame

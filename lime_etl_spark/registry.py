@@ -3895,6 +3895,37 @@ def multimodal_frame_sample(spark, sf_dir):
 
 
 @register(
+    "multimodal_resized",
+    oracle="""
+    WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    r AS (SELECT doc_id,
+                 string_agg(substr(text, (i * n) // 64 + 1, 1), '' ORDER BY i)
+                   AS resized
+          FROM m, (SELECT unnest(range(0, 64)) AS i) g
+          GROUP BY doc_id)
+    SELECT doc_id AS media_id,
+           8 AS width,
+           8 AS height,
+           CAST(64 AS BIGINT) AS byte_len,
+           md5(resized) AS content_md5
+    FROM r
+    """,
+)
+def multimodal_resized(spark, sf_dir):
+    """Deterministic media resize (ops/multimodal.py resize_media):
+    nearest-neighbor byte-stream resample to an 8x8 payload via
+    Arrow-batched mapInPandas — the image-resize plumbing with the
+    real decoder container-gated. The resampled payload's md5 is
+    oracle-checked byte-for-byte (ASCII fixture ⇒ the SQL char-level
+    twin builds identical bytes; floor index math mirrored with //)."""
+    docs = _tp(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(docs, "doc_id", "text", "text/plain")
+    return multimodal.resize_media(media, width=8, height=8).select(
+        "media_id", "width", "height", "byte_len", "content_md5"
+    )
+
+
+@register(
     "collection_funcs_order_lines",
     oracle="""
     WITH a AS (

@@ -140,3 +140,25 @@ def test_quantize_embeddings_error_bound_and_zero_vec(spark):
         assert all(-127 <= qi <= 127 for qi in q)
         for x, qi in zip(vec, q):
             assert abs(qi * scale - x) <= scale / 2 + 1e-12  # dequant error bound
+
+
+def test_resize_media_nearest_neighbor_and_empty(spark):
+    """resize_media == direct numpy nearest-neighbor resample; empty
+    payloads become zero bytes; output length is always width*height."""
+    import hashlib
+
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [(1, "0123456789"), (2, ""), (3, "x" * 200)], "doc_id BIGINT, text STRING"
+    )
+    media = multimodal.attach_binary_payload(df, "doc_id", "text")
+    out = {r.media_id: r for r in multimodal.resize_media(media, 4, 4).collect()}
+    assert all(r.byte_len == 16 and len(r.payload) == 16 for r in out.values())
+    for mid, text in [(1, "0123456789"), (3, "x" * 200)]:
+        src = np.frombuffer(text.encode(), dtype=np.uint8)
+        idx = (np.arange(16, dtype=np.float64) * len(src) / 16).astype(np.int64)
+        want = src[idx].tobytes()
+        assert bytes(out[mid].payload) == want
+        assert out[mid].content_md5 == hashlib.md5(want).hexdigest()
+    assert bytes(out[2].payload) == b"\x00" * 16
