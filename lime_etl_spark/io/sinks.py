@@ -23,6 +23,7 @@ lime_survey_nps.py:78, becomes real partition columns).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = False) -> None:
@@ -95,6 +96,55 @@ def write_parquet_clustered(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_parquet_zordered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-column data-skipping write: cluster files by a Z-order
+    (Morton) key over ``cluster_by`` (integer-valued SQL expressions).
+
+    Single-key range clustering (write_parquet_clustered) makes ONE
+    column's per-file min/max ranges narrow and leaves every other
+    column spanning the whole domain in every file — predicates on the
+    second column prune nothing. Interleaving the columns' bucket bits
+    keeps each dimension locally compact, so parquet min/max stats
+    prune scans filtered on ANY clustered column. Cost model is the
+    same single sampled range shuffle at write time; the key is pure
+    JVM bit math (ops/analytics.zorder_key), no UDF.
+
+    The min/max needed for bucket scaling come from one scalar
+    aggregate broadcast back over the data — at 100 TB that is one
+    cheap pre-pass, or supply known domain bounds upstream.
+    """
+    from lime_etl_spark.ops.analytics import zorder_bucket, zorder_key
+
+    aggs = []
+    for i, c in enumerate(cluster_by):
+        aggs.append(F.expr(f"min({c})").alias(f"__lo_{i}"))
+        aggs.append(F.expr(f"max({c})").alias(f"__hi_{i}"))
+    stats = df.agg(*aggs)
+    buckets = [
+        zorder_bucket(c, f"__lo_{i}", f"__hi_{i}", bits)
+        for i, c in enumerate(cluster_by)
+    ]
+    keyed = df.crossJoin(F.broadcast(stats)).withColumn(
+        "__z", zorder_key(buckets, bits)
+    )
+    out = (
+        keyed.repartitionByRange(n_files, "__z")
+        if n_files is not None
+        else keyed.repartitionByRange("__z")
+    )
+    # projection after the sort is narrow: partitioning and in-file
+    # order survive dropping the helper columns
+    out = out.sortWithinPartitions("__z").select(*df.columns)
+    out.write.mode(mode).parquet(path)
 
 
 def idempotent_reload(

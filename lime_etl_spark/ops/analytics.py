@@ -236,3 +236,52 @@ def sort_topn(df: DataFrame, order_by: Sequence[Column], n: int) -> DataFrame:
     heap + driver merge), not a full sort shuffle. order_by needs a
     total-order tiebreak for determinism."""
     return df.orderBy(*order_by).limit(n)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering key — multi-column data skipping
+# ---------------------------------------------------------------------------
+
+
+def zorder_bucket(col: str, cmin: str, cmax: str, bits: int = 16) -> Column:
+    """Map an integer-valued column into [0, 2^bits) by min/max scaling,
+    in PURE INTEGER math — ``((x - min) * (2^bits - 1)) div (max - min)``
+    — so the bucket is bit-identical across engines: SQL ``div`` is
+    exact int64 division, where a float path would misplace values near
+    bucket boundaries once the scaled numerator exceeds 2^53. Arguments
+    are SQL expression strings (encode non-integers first: decimals as
+    scaled ints, dates as epoch days); a constant column (max == min)
+    buckets to 0. Caller guarantees (span) * (2^bits) fits in int64.
+    """
+    top = (1 << bits) - 1
+    lo, hi = f"CAST(({cmin}) AS BIGINT)", f"CAST(({cmax}) AS BIGINT)"
+    return F.expr(
+        f"CASE WHEN {hi} - {lo} = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE (CAST(({col}) AS BIGINT) - {lo}) * {top} div ({hi} - {lo}) END"
+    )
+
+
+def zorder_key(bucket_cols: "Sequence[Column]", bits: int = 16) -> Column:
+    """Interleave pre-bucketed integer columns' bits into one Morton
+    (Z-order) key: bit i of column j lands at position ``i*ncols + j``.
+    Sorting/range-clustering on this key keeps EVERY dimension's values
+    locally compact, so parquet min/max file stats prune on any of the
+    clustered columns — the multi-column upgrade of single-key range
+    clustering (write_parquet_clustered), which leaves every other
+    column's per-file range spanning the whole domain.
+
+    The key is a sum of ``bits * ncols`` shift/mask terms — pure JVM
+    expressions inside whole-stage codegen, no UDF. ncols * bits must
+    be <= 63.
+    """
+    cols = list(bucket_cols)
+    ncols = len(cols)
+    if ncols * bits > 63:
+        raise ValueError(f"zorder key needs {ncols * bits} bits; max 63")
+    key = F.lit(0).cast("bigint")
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            key = key + F.shiftleft(
+                F.shiftright(c.cast("bigint"), i).bitwiseAND(F.lit(1)), i * ncols + j
+            )
+    return key.cast("bigint")

@@ -4071,3 +4071,63 @@ def events_zscore_anomalies(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return timeseries.zscore_anomalies(ev)
+
+
+# ===========================================================================
+# Z-order clustering key (multi-column data skipping; io/sinks.py
+# write_parquet_zordered sorts files by this key)
+# ===========================================================================
+
+
+def _z_interleave_sql(bexpr: str, offset: int, bits: int = 16, ncols: int = 2) -> str:
+    """Morton-interleave one bucketed column in SQL — the same
+    shift/mask terms ops/analytics.zorder_key emits JVM-side."""
+    return " + ".join(
+        f"(((({bexpr}) >> {i}) & 1) << {i * ncols + offset})" for i in range(bits)
+    )
+
+
+@register(
+    "zorder_key_orders",
+    oracle=f"""
+    WITH s AS (
+      SELECT min(o_custkey) AS k_lo, max(o_custkey) AS k_hi,
+             min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS c_lo,
+             max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS c_hi
+      FROM orders),
+    b AS (
+      SELECT o_orderkey,
+             (o_custkey - k_lo) * 65535 // (k_hi - k_lo) AS bk,
+             (CAST(floor(o_totalprice * 100) AS BIGINT) - c_lo) * 65535
+               // (c_hi - c_lo) AS bc
+      FROM orders, s)
+    SELECT o_orderkey,
+           CAST({_z_interleave_sql("bk", 0)}
+                + {_z_interleave_sql("bc", 1)} AS BIGINT) AS zkey
+    FROM b
+    """,
+)
+def zorder_key_orders(spark, sf_dir):
+    """Z-order (Morton) clustering key over (o_custkey, o_totalprice
+    cents): per-column min/max integer bucketing (exact int64 `div` —
+    no float boundary drift) with bits interleaved JVM-side
+    (ops/analytics.zorder_key, pure shift/mask inside codegen). The
+    oracle rebuilds the identical bit math, so the key every file
+    would be clustered by is value-checked end-to-end."""
+    from lime_etl_spark.ops import analytics
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "cents", F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+    )
+    stats = o.agg(
+        F.min("o_custkey").alias("k_lo"),
+        F.max("o_custkey").alias("k_hi"),
+        F.min("cents").alias("c_lo"),
+        F.max("cents").alias("c_hi"),
+    )
+    bk = analytics.zorder_bucket("o_custkey", "k_lo", "k_hi", 16)
+    bc = analytics.zorder_bucket("cents", "c_lo", "c_hi", 16)
+    return (
+        o.crossJoin(F.broadcast(stats))
+        .select("o_orderkey", analytics.zorder_key([bk, bc], 16).alias("zkey"))
+    )

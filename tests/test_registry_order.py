@@ -34,7 +34,7 @@ def test_primary_window_covers_every_category():
                   "events", "streaming", "string", "date", "text", "ann",
                   "embedding", "multimodal", "pivot", "unpivot", "profile",
                   "pipeline", "asof", "range", "split", "sample", "decontam",
-                  "pack", "corpus", "collection"):
+                  "pack", "corpus", "collection", "zorder"):
             if name == p or name.startswith(p + "_") or (p == "q" and name[1:2].isdigit()):
                 return p
         return name
@@ -57,6 +57,9 @@ def test_primary_window_covers_every_category():
         "pack",
         "corpus",
         "collection",
+        # zorder_key_orders: beyond-survey scale extra (the write path is
+        # gated by its own file-range test); window categories outrank it
+        "zorder",
     }
 
 

@@ -209,3 +209,41 @@ def test_jsonl_corpus_read_permissive_and_strict(spark, tmp_path):
 
     with pytest.raises(ValueError, match="1 corrupt line"):
         read_documents_jsonl(spark, path, strict=True)
+
+
+def test_zordered_write_compacts_both_dimensions(spark, tmp_path):
+    """Z-order clustering must keep BOTH columns' per-file min/max
+    ranges narrow (that is its whole point); single-key range
+    clustering narrows the sort column and leaves the other spanning
+    ~the full domain in every file."""
+    import glob
+
+    from lime_etl_spark.io.sinks import write_parquet_clustered, write_parquet_zordered
+
+    # two independent uniform dims (id bits decorrelated via multiplier)
+    df = spark.range(0, 65_536).selectExpr(
+        "id AS x", "CAST((id * 2654435761) % 65536 AS BIGINT) AS y"
+    ).repartition(8)
+
+    def avg_file_span(path, col, domain=65_535.0):
+        spans = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            r = spark.read.parquet(f).agg(F.min(col), F.max(col)).collect()[0]
+            spans.append((r[1] - r[0]) / domain)
+        assert len(spans) >= 8
+        return sum(spans) / len(spans)
+
+    zpath = str(tmp_path / "zordered")
+    write_parquet_zordered(df, zpath, ["x", "y"], bits=8, n_files=16)
+    rpath = str(tmp_path / "ranged")
+    write_parquet_clustered(df, rpath, ["x"], n_files=16)
+
+    # single-key clustering: x narrow, y spans everything
+    assert avg_file_span(rpath, "x") < 0.1
+    assert avg_file_span(rpath, "y") > 0.9
+    # z-order: both dims compact enough to prune (16 files over a
+    # 2-D grid -> each file covers ~1/4 of each axis)
+    assert avg_file_span(zpath, "x") < 0.5
+    assert avg_file_span(zpath, "y") < 0.5
+    # and nothing was lost or duplicated
+    assert spark.read.parquet(zpath).count() == 65_536
