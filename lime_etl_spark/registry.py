@@ -3167,6 +3167,41 @@ def sample_global_shuffle(spark, sf_dir):
     )
 
 
+@register(
+    "corpus_training_mix",
+    oracle="""
+    WITH kept AS (
+      SELECT doc_id, source FROM documents
+      WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'mix1'), 1, 15))::BIGINT % 100
+            < CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 30
+                          WHEN 'src2' THEN 10 ELSE 50 END)
+    SELECT doc_id, source,
+           CAST(row_number() OVER (ORDER BY md5(doc_id::VARCHAR || '-epoch1'),
+                                   doc_id) AS BIGINT) AS shuffle_rank
+    FROM kept
+    """,
+)
+def corpus_training_mix(spark, sf_dir):
+    """Capstone training-mix composition: per-source weighted resample
+    (src0 kept 100%, src1 30%, src2 10%, rest 50% — the domain
+    rebalance knob) piped into the deterministic epoch shuffle
+    (sampling.global_shuffle_rank). Both stages are pure functions of
+    (doc_id, salt/seed), so the ENTIRE mix — membership AND training
+    order — reproduces bit-for-bit in the oracle and on any cluster
+    layout. One narrow filter + one range shuffle end-to-end."""
+    from lime_etl_spark.ops import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"src0": 100, "src1": 30, "src2": 10}
+    mixed = sampling.weighted_resample(
+        docs, "doc_id", "source", rates, default_pct=50, salt="mix1"
+    )
+    ranked = sampling.global_shuffle_rank(
+        mixed, "doc_id", seed="epoch1", partitions=8
+    )
+    return ranked.select("doc_id", "source", "shuffle_rank")
+
+
 # ===========================================================================
 # Corpus hygiene: near-dup components, repetition metrics,
 # decontamination, TF-IDF (training-data extras, round 2)
