@@ -247,3 +247,64 @@ def test_zordered_write_compacts_both_dimensions(spark, tmp_path):
     assert avg_file_span(zpath, "y") < 0.5
     # and nothing was lost or duplicated
     assert spark.read.parquet(zpath).count() == 65_536
+
+
+def test_zorder_key_property_vs_python_reference(spark):
+    """zorder_bucket + zorder_key == a direct Python reimplementation
+    (integer bucket then bit interleave) over random int domains,
+    including constant columns and span edge cases."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lime_etl_spark.ops.analytics import zorder_bucket, zorder_key
+
+    def py_bucket(x, lo, hi, bits):
+        if hi == lo:
+            return 0
+        return (x - lo) * ((1 << bits) - 1) // (hi - lo)
+
+    def py_key(buckets, bits):
+        key = 0
+        for j, b in enumerate(buckets):
+            for i in range(bits):
+                key |= ((b >> i) & 1) << (i * len(buckets) + j)
+        return key
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=-(10**6), max_value=10**6),
+                st.integers(min_value=0, max_value=10**9),
+            ),
+            min_size=1,
+            max_size=30,
+        ),
+        bits=st.sampled_from([4, 8, 16]),
+    )
+    def check(rows, bits):
+        df = spark.createDataFrame(
+            [(i, x, y) for i, (x, y) in enumerate(rows)], "i BIGINT, x BIGINT, y BIGINT"
+        )
+        stats = df.agg(
+            F.min("x").alias("x_lo"), F.max("x").alias("x_hi"),
+            F.min("y").alias("y_lo"), F.max("y").alias("y_hi"),
+        )
+        bx = zorder_bucket("x", "x_lo", "x_hi", bits)
+        by = zorder_bucket("y", "y_lo", "y_hi", bits)
+        got = {
+            r.i: r.z
+            for r in df.crossJoin(F.broadcast(stats))
+            .select("i", zorder_key([bx, by], bits).alias("z"))
+            .collect()
+        }
+        xs, ys = [x for x, _ in rows], [y for _, y in rows]
+        for i, (x, y) in enumerate(rows):
+            want = py_key(
+                [py_bucket(x, min(xs), max(xs), bits),
+                 py_bucket(y, min(ys), max(ys), bits)],
+                bits,
+            )
+            assert got[i] == want, (i, x, y, got[i], want)
+
+    check()
