@@ -51,6 +51,23 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != "")
 
 
+# GPT-2-style pretokenizer, restricted to an RE2-safe subset (no
+# lookahead) so the DuckDB oracle runs the IDENTICAL pattern: common
+# contraction suffixes, space-prefixed letter runs, digit runs,
+# punctuation runs, residual whitespace. Counting these pieces tracks
+# BPE token counts far better than whitespace words (punctuation and
+# digits split off), without needing a merges table.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
+
+
+def bpe_like_tokens(col: Column | str) -> Column:
+    """Pretokenized pieces under BPE_PRETOKEN_RE (lowercased input) —
+    the units a byte-pair encoder would merge within; piece count is
+    the standard cheap token-budget estimator."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(BPE_PRETOKEN_RE), F.lit(0))
+
+
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 

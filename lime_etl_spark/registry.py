@@ -895,6 +895,47 @@ def text_doc_stats(spark, sf_dir):
 
 
 @register(
+    "text_bpe_token_stats",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text),
+               '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+|\s+')
+               AS pieces,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(pieces) AS BIGINT) AS n_bpe_pieces,
+           CAST(coalesce(list_sum(list_transform(pieces, p -> length(p))), 0)
+                AS BIGINT) AS total_piece_chars,
+           CAST(len(words) AS BIGINT) AS n_word_tokens
+    FROM t
+    """,
+)
+def text_bpe_token_stats(spark, sf_dir):
+    """BPE-ish token counting (ops/text.py bpe_like_tokens): GPT-2-style
+    pretokenizer pieces — the cheap token-budget estimator that splits
+    digits/punctuation off words — alongside the whitespace word count.
+    The pattern is an RE2-safe subset (no lookahead) so the DuckDB twin
+    runs the IDENTICAL regex; piece counts and total piece chars are
+    value-checked. Narrow projection, no shuffle."""
+    docs = _tp(spark, sf_dir, "documents")
+    pieces = text.bpe_like_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(pieces).cast("bigint").alias("n_bpe_pieces"),
+        F.aggregate(
+            F.transform(pieces, lambda p: F.length(p)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        .cast("bigint")
+        .alias("total_piece_chars"),
+        text.token_count("text").cast("bigint").alias("n_word_tokens"),
+    )
+
+
+@register(
     "text_quality_scores",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS_CTE} AS toks FROM documents),

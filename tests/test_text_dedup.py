@@ -718,3 +718,31 @@ def test_global_shuffle_rank_matches_naive_and_is_deterministic(spark, sf_dir):
     ranks = sorted(r.shuffle_rank for r in other.collect())
     assert ranks == list(range(1, len(naive) + 1))
     assert {(r.doc_id, r.shuffle_rank) for r in other.collect()} != naive
+
+
+def test_bpe_like_tokens_vs_python_re(spark):
+    """bpe_like_tokens == Python re.findall of the same pattern on
+    contraction / digit / punctuation / multi-space cases (Java regex,
+    RE2 and Python re must all agree on this lookahead-free subset)."""
+    import re
+
+    from lime_etl_spark.ops.text import BPE_PRETOKEN_RE, bpe_like_tokens
+
+    cases = [
+        "It's 2024, don't panic!",
+        "hello   world",
+        "a1b2 c3--d4",
+        "'tis 'x odd'",
+        "",
+        "...",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "i BIGINT, s STRING"
+    )
+    got = {
+        r.i: r.toks
+        for r in df.select("i", bpe_like_tokens("s").alias("toks")).collect()
+    }
+    for i, s in enumerate(cases):
+        want = re.findall(BPE_PRETOKEN_RE, s.lower())
+        assert got[i] == want, (s, got[i], want)
