@@ -252,6 +252,12 @@ def zorder_bucket(col: str, cmin: str, cmax: str, bits: int = 16) -> Column:
     are SQL expression strings (encode non-integers first: decimals as
     scaled ints, dates as epoch days); a constant column (max == min)
     buckets to 0. Caller guarantees (span) * (2^bits) fits in int64.
+
+    Linear min/max scaling assumes a roughly uniform dimension; for a
+    heavily skewed one (power-law doc lengths), pre-transform upstream
+    (log-scale, or rank-encode via ntile) so buckets carry information
+    — otherwise most rows collapse into a few buckets and that
+    dimension stops contributing to file pruning.
     """
     top = (1 << bits) - 1
     lo, hi = f"CAST(({cmin}) AS BIGINT)", f"CAST(({cmax}) AS BIGINT)"
