@@ -160,11 +160,38 @@ def global_shuffle_rank(
     that shuffle-write would.
     """
     h = F.md5(F.concat_ws("-", F.col(key_col).cast("string"), F.lit(seed)))
+    return _two_phase_rank(
+        df.withColumn("__h", h), ["__h", key_col], out, partitions
+    ).drop("__h")
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: "list[str]",
+    out: str = "rank",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Dense 1-based global rank in ``order_cols`` order, computed the
+    distributed two-phase way (see global_shuffle_rank's scale notes —
+    same machinery, arbitrary sort columns). ``order_cols`` must
+    totally order rows (append a unique key as tiebreak) or ranks are
+    nondeterministic. Ranking a column by ITSELF is the empirical-CDF
+    transform — the skew-robust encoding for zorder_bucket: buckets of
+    ranks are equi-populated whatever the value distribution.
+    """
+    return _two_phase_rank(df, order_cols, out, partitions)
+
+
+def _two_phase_rank(
+    df: DataFrame,
+    order_cols: "list[str]",
+    out: str,
+    partitions: int | None,
+) -> DataFrame:
     nparts = partitions or df.sparkSession.sparkContext.defaultParallelism
     srt = (
-        df.withColumn("__h", h)
-        .repartitionByRange(nparts, "__h", key_col)
-        .sortWithinPartitions("__h", key_col)
+        df.repartitionByRange(nparts, *order_cols)
+        .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -178,14 +205,14 @@ def global_shuffle_rank(
     )
     from pyspark.sql import Window
 
-    wlocal = Window.partitionBy("__pid").orderBy("__h", key_col)
+    wlocal = Window.partitionBy("__pid").orderBy(*order_cols)
     return (
         srt.join(off_df, "__pid")
         .withColumn(
             out,
             (F.col("__off") + F.row_number().over(wlocal)).cast("bigint"),
         )
-        .drop("__h", "__pid", "__off")
+        .drop("__pid", "__off")
     )
 
 

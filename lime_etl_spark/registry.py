@@ -4164,6 +4164,52 @@ def _z_interleave_sql(bexpr: str, offset: int, bits: int = 16, ncols: int = 2) -
 
 
 @register(
+    "zorder_key_rank_encoded",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS cdf_rank
+      FROM documents),
+    s AS (SELECT min(cdf_rank) AS r_lo, max(cdf_rank) AS r_hi,
+                 min(doc_id) AS d_lo, max(doc_id) AS d_hi FROM r),
+    b AS (SELECT doc_id, cdf_rank,
+                 (cdf_rank - r_lo) * 255 // (r_hi - r_lo) AS b1,
+                 (doc_id - d_lo) * 255 // (d_hi - d_lo) AS b2
+          FROM r, s)
+    SELECT doc_id, cdf_rank,
+           CAST({_z_interleave_sql("b1", 0, bits=8)}
+                + {_z_interleave_sql("b2", 1, bits=8)} AS BIGINT) AS zkey
+    FROM b
+    """,
+)
+def zorder_key_rank_encoded(spark, sf_dir):
+    """Skew-robust z-order: the skewed dimension (n_chars) is first
+    rank-encoded via the distributed two-phase global rank
+    (sampling.global_rank — the empirical-CDF transform, so its
+    buckets are equi-populated whatever the value distribution), then
+    interleaved with a linearly bucketed uniform dimension. Oracle
+    rebuilds rank, buckets and bit interleave exactly."""
+    from lime_etl_spark.ops import analytics, sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = sampling.global_rank(
+        docs, ["n_chars", "doc_id"], out="cdf_rank", partitions=8
+    )
+    stats = ranked.agg(
+        F.min("cdf_rank").alias("r_lo"),
+        F.max("cdf_rank").alias("r_hi"),
+        F.min("doc_id").alias("d_lo"),
+        F.max("doc_id").alias("d_hi"),
+    )
+    b1 = analytics.zorder_bucket("cdf_rank", "r_lo", "r_hi", 8)
+    b2 = analytics.zorder_bucket("doc_id", "d_lo", "d_hi", 8)
+    return (
+        ranked.crossJoin(F.broadcast(stats))
+        .select("doc_id", "cdf_rank", analytics.zorder_key([b1, b2], 8).alias("zkey"))
+    )
+
+
+@register(
     "zorder_key_orders",
     oracle=f"""
     WITH s AS (

@@ -98,16 +98,16 @@ def test_no_cartesian_in_registry_except_ann(spark, sf_dir):
     # skipped only because spark_fn RUNS the stream (no lazy plan to
     # inspect), not because cartesians would be acceptable there —
     # their batch twins (events_*) are covered by this loop.
-    # zorder_key_orders broadcast-joins a ONE-ROW min/max aggregate back
-    # over the data (the scalar-subquery plan shape) — a BNLJ whose
-    # build side is a single row, not a data-sized cartesian; assert
-    # that narrowness instead of exempting the name blindly.
+    # zorder_key_* broadcast-join a ONE-ROW min/max aggregate back over
+    # the data (the scalar-subquery plan shape) — a BNLJ whose build
+    # side is a single row, not a data-sized cartesian; assert that
+    # narrowness instead of exempting the names blindly.
     for name, q in REGISTRY.items():
         if name.startswith(("ann_", "streaming_", "dedup_embedding_cosine")):
             continue
         plan = _plan(q.spark_fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
-        if name == "zorder_key_orders":
+        if name.startswith("zorder_key_"):
             assert plan.count("BroadcastNestedLoopJoin") <= 1, name
             # keys=[] = a GLOBAL aggregate feeds the broadcast: one row
             assert "keys=[]" in plan, name
