@@ -145,7 +145,7 @@ def resize_media(df: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
         for pdf in batches:
             payloads, md5s = [], []
             for payload in pdf["payload"]:
-                src = np.frombuffer(payload, dtype=np.uint8)
+                src = np.frombuffer(payload or b"", dtype=np.uint8)
                 if len(src) == 0:
                     resized = np.zeros(out_len, dtype=np.uint8)
                 else:

@@ -69,7 +69,12 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     # Streaming sources need the schema up front, so probe it with a
     # footer-only batch read (no data scan) and pick the matching path,
     # exactly mirroring io.sources.read_table.
-    ts_is_nanos = dict(spark.read.parquet(events_dir).dtypes).get("ts") == "bigint"
+    try:
+        ts_is_nanos = dict(spark.read.parquet(events_dir).dtypes).get("ts") == "bigint"
+    except Exception:
+        # directory empty at start-up (stream will fill it): no footers
+        # to probe — assume the registered schema (micros path)
+        ts_is_nanos = False
     if ts_is_nanos:
         nanos_schema = T.StructType(
             [

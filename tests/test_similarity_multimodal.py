@@ -162,3 +162,11 @@ def test_resize_media_nearest_neighbor_and_empty(spark):
         assert bytes(out[mid].payload) == want
         assert out[mid].content_md5 == hashlib.md5(want).hexdigest()
     assert bytes(out[2].payload) == b"\x00" * 16
+
+
+def test_resize_media_null_payload(spark):
+    """NULL payloads (e.g. a failed upstream fetch) resize to zero
+    bytes rather than crashing the Arrow batch."""
+    df = spark.createDataFrame([(1, None)], "media_id BIGINT, payload BINARY")
+    out = multimodal.resize_media(df, 2, 2).collect()[0]
+    assert bytes(out.payload) == b"\x00" * 4 and out.byte_len == 4

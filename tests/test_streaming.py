@@ -510,3 +510,24 @@ def test_stream_static_broadcast_enrichment(spark, sf_dir, tmp_path):
     }
     assert got == batch
     assert sum(got.values()) == events.count()
+
+
+def test_read_events_stream_empty_dir_starts(spark, tmp_path):
+    """An initially-empty source directory (normal at stream start-up)
+    must not crash the schema probe; the stream builds against the
+    registered schema and drains zero rows."""
+    from lime_etl_spark.streaming import events as sevents
+
+    src = tmp_path / "empty_events"
+    src.mkdir()
+    stream = sevents.read_events_stream(spark, str(src))
+    agg = sevents.tumbling_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("empty_dir_probe")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("empty_dir_probe").count() == 0
