@@ -124,6 +124,15 @@ def write_parquet_zordered(
     """
     from lime_etl_spark.ops.analytics import zorder_bucket, zorder_key
 
+    if not cluster_by:
+        raise ValueError("write_parquet_zordered needs at least one cluster_by column")
+    if len(cluster_by) * bits > 63:
+        raise ValueError(
+            f"z-order key needs {len(cluster_by)} cols x {bits} bits = "
+            f"{len(cluster_by) * bits} bits but at most 63 fit a signed long; "
+            f"lower bits to <= {63 // len(cluster_by)} "
+            f"(e.g. bits={63 // len(cluster_by)}) or cluster fewer columns"
+        )
     aggs = []
     for i, c in enumerate(cluster_by):
         aggs.append(F.expr(f"min({c})").alias(f"__lo_{i}"))

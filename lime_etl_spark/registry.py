@@ -3973,8 +3973,10 @@ def multimodal_frame_sample(spark, sf_dir):
 @register(
     "multimodal_resized",
     oracle="""
-    WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
-    r AS (SELECT doc_id,
+    WITH m AS (SELECT doc_id, coalesce(text, '') AS text,
+                      length(coalesce(text, '')) AS n
+               FROM documents),
+    r AS (SELECT doc_id, any_value(n) AS n,
                  string_agg(substr(text, (i * n) // 64 + 1, 1), '' ORDER BY i)
                    AS resized
           FROM m, (SELECT unnest(range(0, 64)) AS i) g
@@ -3983,7 +3985,8 @@ def multimodal_frame_sample(spark, sf_dir):
            8 AS width,
            8 AS height,
            CAST(64 AS BIGINT) AS byte_len,
-           md5(resized) AS content_md5
+           CASE WHEN n = 0 THEN md5(repeat(chr(0), 64))
+                ELSE md5(resized) END AS content_md5
     FROM r
     """,
 )
@@ -3993,7 +3996,11 @@ def multimodal_resized(spark, sf_dir):
     Arrow-batched mapInPandas — the image-resize plumbing with the
     real decoder container-gated. The resampled payload's md5 is
     oracle-checked byte-for-byte (ASCII fixture ⇒ the SQL char-level
-    twin builds identical bytes; floor index math mirrored with //)."""
+    twin builds identical bytes; floor index math mirrored with //;
+    empty/NULL payloads mirrored as md5 of 64 NUL chars — the
+    ASCII/non-empty fixture assumption itself is pinned by
+    tests/test_scale_paths.py::test_documents_fixture_ascii_nonempty
+    so a fixture regeneration with UTF-8 text fails loudly there)."""
     docs = _tp(spark, sf_dir, "documents")
     media = multimodal.attach_binary_payload(docs, "doc_id", "text", "text/plain")
     return multimodal.resize_media(media, width=8, height=8).select(

@@ -68,13 +68,38 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     # nanosAsLong — Spark has no nanos type) vs TIMESTAMP(MICROS).
     # Streaming sources need the schema up front, so probe it with a
     # footer-only batch read (no data scan) and pick the matching path,
-    # exactly mirroring io.sources.read_table.
+    # exactly mirroring io.sources.read_table. mergeSchema=true makes
+    # the probe see EVERY footer: a directory mixing both encodings
+    # fails the merge (bigint vs timestamp) instead of silently reading
+    # whichever subset matches the sampled file's schema — the stream
+    # reader assumes one homogeneous encoding per directory.
+    from pyspark.errors import AnalysisException
+
     try:
-        ts_is_nanos = dict(spark.read.parquet(events_dir).dtypes).get("ts") == "bigint"
-    except Exception:
-        # directory empty at start-up (stream will fill it): no footers
-        # to probe — assume the registered schema (micros path)
-        ts_is_nanos = False
+        ts_is_nanos = (
+            dict(
+                spark.read.option("mergeSchema", "true").parquet(events_dir).dtypes
+            ).get("ts")
+            == "bigint"
+        )
+    except AnalysisException as exc:
+        if exc.getCondition() in ("UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND"):
+            # directory empty / not yet created at start-up (stream will
+            # fill it): no footers to probe — assume the registered
+            # schema (micros path)
+            ts_is_nanos = False
+        else:
+            raise
+    except Exception as exc:  # Py4J-wrapped JVM errors (not AnalysisException)
+        if "CANNOT_MERGE_SCHEMAS" in str(exc):
+            raise ValueError(
+                f"events dir {events_dir} mixes parquet ts encodings "
+                "(TIMESTAMP(NANOS) and TIMESTAMP(MICROS) files in one "
+                "directory — e.g. a partial fixture regeneration while a "
+                "stream runs). read_events_stream needs one homogeneous "
+                "encoding per directory; rewrite the stragglers."
+            ) from exc
+        raise  # genuine probe failure (corrupt footer, permissions): loud
     if ts_is_nanos:
         nanos_schema = T.StructType(
             [

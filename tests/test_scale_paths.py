@@ -178,6 +178,31 @@ def test_read_table_normalizes_fixture_schemas(spark):
             assert got == want, f"{sf}/{name}: {got} != {want}"
 
 
+def test_documents_fixture_ascii_nonempty(spark):
+    """The multimodal_resized oracle indexes CHARACTERS while the Spark
+    path indexes BYTES, so the two agree only while documents.text is
+    all-ASCII and non-empty. The driver regenerates fixtures between
+    rounds — this guard turns a regeneration with UTF-8 or empty docs
+    into one clear failure instead of a silent oracle divergence.
+    (The empty case itself is mirrored in the oracle — md5 of 64 NULs —
+    so only the byte-vs-char indexing assumption truly needs ASCII.)"""
+    from pyspark.sql import functions as F
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        docs = read_table(spark, f"/root/testdata/{sf}", "documents")
+        bad = docs.filter(
+            F.col("text").isNull()
+            | (F.length("text") == 0)
+            | (F.length("text") != F.octet_length("text"))
+        ).count()
+        assert bad == 0, (
+            f"{sf}/documents: {bad} rows with NULL/empty/non-ASCII text — "
+            "the multimodal_resized char-level oracle no longer matches the "
+            "byte-level Spark path; switch the oracle to byte indexing "
+            "(DuckDB encode()/blob slicing) before trusting that query."
+        )
+
+
 def test_jsonl_corpus_read_permissive_and_strict(spark, tmp_path):
     """JSONL corpus ingest: good lines load under the documents
     contract, a malformed line surfaces as _corrupt_record in
@@ -308,3 +333,24 @@ def test_zorder_key_property_vs_python_reference(spark):
             assert got[i] == want, (i, x, y, got[i], want)
 
     check()
+
+
+def test_zordered_write_validates_bits_budget_at_entry(spark, tmp_path):
+    """A 4-column cluster_by at the default bits=16 needs 64 interleaved
+    bits — one more than a signed long holds. That must fail AT THE API
+    BOUNDARY with a message naming the bits parameter and the fix, not
+    deep inside zorder_key."""
+    import pytest
+
+    from lime_etl_spark.io.sinks import write_parquet_zordered
+
+    df = spark.range(10).selectExpr("id a", "id b", "id c", "id d")
+    with pytest.raises(ValueError, match=r"bits=15"):
+        write_parquet_zordered(df, str(tmp_path / "z"), ["a", "b", "c", "d"])
+    with pytest.raises(ValueError, match="at least one cluster_by"):
+        write_parquet_zordered(df, str(tmp_path / "z"), [])
+    # auto-suggested budget works end-to-end
+    write_parquet_zordered(
+        df, str(tmp_path / "z_ok"), ["a", "b", "c", "d"], bits=15, n_files=1
+    )
+    assert spark.read.parquet(str(tmp_path / "z_ok")).count() == 10

@@ -170,3 +170,47 @@ def test_resize_media_null_payload(spark):
     df = spark.createDataFrame([(1, None)], "media_id BIGINT, payload BINARY")
     out = multimodal.resize_media(df, 2, 2).collect()[0]
     assert bytes(out.payload) == b"\x00" * 4 and out.byte_len == 4
+
+
+def test_multimodal_resized_oracle_parity_on_empty_and_null_docs(spark, tmp_path):
+    """The multimodal_resized DuckDB oracle must mirror resize_media's
+    empty/NULL-payload behavior (64 zero bytes -> their md5), not
+    md5('')/NULL. The shared fixture is all-ASCII non-empty (guarded in
+    test_scale_paths), so this parity only shows up on a synthetic table
+    that actually contains the edge rows — exactly the drift a driver
+    fixture regeneration could introduce."""
+    import duckdb
+    import pandas as pd
+
+    from lime_etl_spark.registry import REGISTRY
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([1, 2, 3, 4], dtype="int64"),
+            "text": ["plain ascii body text", "", None, "x"],
+            "lang": ["en"] * 4,
+            "source": ["synthetic"] * 4,
+            "n_chars": pd.array([21, 0, 0, 1], dtype="int64"),
+        }
+    )
+    path = str(tmp_path / "documents.parquet")
+    docs.to_parquet(path, index=False)
+
+    q = REGISTRY["multimodal_resized"]
+    sdf = q.spark_fn(spark, str(tmp_path))
+    spark_md5 = {r.media_id: r.content_md5 for r in sdf.collect()}
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    duck_md5 = {
+        r[0]: r[4] for r in con.sql(q.oracle).fetchall()
+    }
+    con.close()
+
+    assert spark_md5 == duck_md5
+    # empty and NULL both resample to 64 zero bytes
+    import hashlib
+
+    nul64 = hashlib.md5(b"\x00" * 64).hexdigest()
+    assert spark_md5[2] == nul64 and spark_md5[3] == nul64
+    assert spark_md5[1] != nul64

@@ -531,3 +531,34 @@ def test_read_events_stream_empty_dir_starts(spark, tmp_path):
     )
     q.awaitTermination()
     assert spark.table("empty_dir_probe").count() == 0
+
+
+def test_read_events_stream_rejects_mixed_ts_encodings(spark, tmp_path):
+    """A source dir mixing TIMESTAMP(NANOS) and TIMESTAMP(MICROS) files
+    (e.g. a partial fixture regeneration mid-stream) must fail the
+    schema probe LOUDLY — reading one subset under the other's schema
+    silently corrupts ts. (Empty-dir start-up is covered above;
+    nonexistent dirs are rejected by readStream itself.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from lime_etl_spark import schemas
+    from lime_etl_spark.streaming import events as sevents
+
+    src = tmp_path / "mixed_events"
+    src.mkdir()
+    names = [f.name for f in schemas.EVENTS.fields]
+    row = {
+        "event_id": [1], "user_id": [7], "event_type": ["click"],
+        "value": [1.0], "props": ["{}"],
+    }
+    for fname, unit in (("a.parquet", "us"), ("b.parquet", "ns")):
+        cols = dict(row)
+        cols["ts"] = pa.array([1_000_000_000], pa.timestamp(unit))
+        pq.write_table(
+            pa.table({n: cols[n] for n in names}), str(src / fname)
+        )
+
+    with pytest.raises(ValueError, match="mixes parquet ts encodings"):
+        sevents.read_events_stream(spark, str(src))
