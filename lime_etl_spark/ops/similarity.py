@@ -201,6 +201,64 @@ def lsh_bucketed_topk(
     )
 
 
+def embedding_near_dup_bucketed(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 4,
+    threshold: float = 0.3,
+    multi_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup PAIRS via LSH buckets — the linear-ish
+    scale path for pairwise embedding dedup (vs the exact all-pairs
+    O(n²) form, which stays as the verification twin).
+
+    Candidate generation: one side carries its bucket plus every
+    flip-one-bit probe (multi_probe=1), the other side only its bucket;
+    joining probe==bucket with id_a < id_b yields each candidate pair
+    EXACTLY once (hamming-0 pairs match on the identity probe, hamming-1
+    pairs on the single flipping probe — probe sets are disjoint), so no
+    distinct() is needed. Exact cosine + threshold inside the candidate
+    set. Deterministic hyperplanes (_hyperplanes) make the whole thing
+    SQL-expressible, hence oracle-checkable despite being approximate.
+
+    Scale: the join is keyed on bucket — cost is sum over buckets of
+    |bucket|², i.e. ~n²/2^n_planes for balanced buckets; n_planes must
+    grow with the corpus (each +1 plane halves in-bucket pair work).
+    At 100 TB pair the bucket key with AQE skew splitting: a degenerate
+    bucket (all-near-duplicate corpus) is data skew, not plan skew.
+    """
+    b = with_lsh_bucket(df, dim, n_planes, vec_col)
+    a_side = b.select(
+        F.col(id_col).alias("id_a"),
+        _to_double(F.col(vec_col)).alias("ea"),
+        F.col("bucket"),
+    )
+    if multi_probe >= 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(2**i).cast("bigint"))
+                for i in range(n_planes)
+            ],
+        )
+        a_side = a_side.select("id_a", "ea", F.explode(probes).alias("bucket"))
+    b_side = b.select(
+        F.col(id_col).alias("id_b"),
+        _to_double(F.col(vec_col)).alias("eb"),
+        F.col("bucket"),
+    )
+    pairs = a_side.join(b_side, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = F.round(
+        _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6
+    )
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — k-means cells, probe top cells only
 # ---------------------------------------------------------------------------

@@ -1952,10 +1952,10 @@ def text_rolling_hash(spark, sf_dir):
 )
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (all pairs ≥ threshold) — the
-    fourth dedup modality (exact / jaccard / minhash / embedding). At
-    scale the pair generation runs through the LSH buckets
-    (similarity.lsh_bucketed_topk); this exact form is the oracle-able
-    verification path."""
+    EXACT verification twin of dedup_embedding_cosine_bucketed, kept
+    out of the primary window because the all-pairs join is O(n²) by
+    construction; the bucketed form below is the scale path and the
+    primary-gated artifact."""
     from lime_etl_spark.ops.similarity import _dot, _norm, _to_double
     from lime_etl_spark.ops.util import ensure_parallelism
 
@@ -1972,6 +1972,70 @@ def dedup_embedding_cosine(spark, sf_dir):
     return (
         pairs.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.3)
+    )
+
+
+def _bucketed_cosine_dedup_oracle() -> str:
+    """SQL twin of similarity.embedding_near_dup_bucketed(dim=64,
+    n_planes=4, threshold=0.3, multi_probe=1): deterministic literal
+    hyperplanes make bucket assignment, one-bit probe expansion, and
+    in-bucket exact cosine all SQL-expressible (same machinery as
+    _lsh_ann_oracle). Each pair is generated exactly once — hamming-0
+    on the identity probe, hamming-1 on its single flipping probe."""
+    from lime_etl_spark.ops.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 4)
+    values = ", ".join(
+        f"({p}, [{', '.join(repr(x) for x in plane)}]::DOUBLE[])"
+        for p, plane in enumerate(planes)
+    )
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {2**i}::BIGINT)" for i in range(4)])
+    return f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+               FROM embeddings),
+    pl AS (SELECT p, plane FROM (VALUES {values}) t(p, plane)),
+    proj AS (
+      SELECT vec_id, p, sum(e[i] * plane[i]) AS pr
+      FROM (SELECT vec_id, p, e, plane, unnest(range(1, 65)) AS i FROM v, pl)
+      GROUP BY vec_id, p),
+    buck AS (
+      SELECT vec_id,
+             sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)::BIGINT AS bucket
+      FROM proj GROUP BY vec_id),
+    ap AS (SELECT vec_id AS id_a, unnest([{probes}]) AS probe FROM buck),
+    cand AS (
+      SELECT ap.id_a, cb.vec_id AS id_b
+      FROM ap JOIN buck cb ON cb.bucket = ap.probe
+      WHERE ap.id_a < cb.vec_id),
+    {_NORMS_CTE},
+    dots AS (
+      SELECT id_a, id_b, sum(ae[i] * be[i]) AS dot
+      FROM (SELECT c.id_a, c.id_b, a.e AS ae, b.e AS be,
+                   unnest(range(1, 65)) AS i
+            FROM cand c
+            JOIN v a ON a.vec_id = c.id_a
+            JOIN v b ON b.vec_id = c.id_b)
+      GROUP BY id_a, id_b)
+    SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots JOIN norms na ON na.vec_id = id_a
+              JOIN norms nb ON nb.vec_id = id_b
+    WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.3
+    """
+
+
+@register("dedup_embedding_cosine_bucketed", oracle=_bucketed_cosine_dedup_oracle())
+def dedup_embedding_cosine_bucketed(spark, sf_dir):
+    """Embedding-cosine near-dup pairs through LSH buckets — the SCALE
+    path for the fourth dedup modality and the primary-gated artifact
+    (the exact all-pairs form above is its out-of-window verification
+    twin). Candidate generation is a bucket-keyed join (~n²/2^n_planes
+    for balanced buckets, each +1 plane halves in-bucket work); exact
+    cosine + threshold only inside candidate pairs. Deterministic
+    hyperplanes keep the approximation oracle-checkable; recall vs the
+    exact twin is pinned in tests/test_similarity_multimodal.py."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_bucketed(
+        emb, dim=64, n_planes=4, threshold=0.3, multi_probe=1
     )
 
 
@@ -2663,7 +2727,8 @@ PRIMARY_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh_candidates",
     "dedup_simhash",
-    "dedup_embedding_cosine",
+    # scale path gated; exact all-pairs twin stays out-of-window
+    "dedup_embedding_cosine_bucketed",
     # similarity / embeddings
     "ann_cosine_topk",
     "ann_lsh_bucketed_topk",

@@ -214,3 +214,30 @@ def test_multimodal_resized_oracle_parity_on_empty_and_null_docs(spark, tmp_path
     nul64 = hashlib.md5(b"\x00" * 64).hexdigest()
     assert spark_md5[2] == nul64 and spark_md5[3] == nul64
     assert spark_md5[1] != nul64
+
+
+def test_embedding_near_dup_bucketed_subset_of_exact(spark, sf_dir):
+    """The bucketed near-dup pairs must be a strict SUBSET of the exact
+    all-pairs result (same cosine expression, candidate pruning only)
+    with non-trivial recall on the fixture — the property that makes it
+    safe to gate the bucketed form and demote the O(n²) exact form to a
+    verification twin."""
+    from lime_etl_spark.registry import REGISTRY
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["dedup_embedding_cosine"].spark_fn(spark, sf_dir).collect()
+    }
+    bucketed = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["dedup_embedding_cosine_bucketed"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert bucketed <= exact
+    assert len(exact) > 0
+    recall = len(bucketed) / len(exact)
+    # 4 planes + 1-bit probe at threshold 0.3 (~72° apart): analytic
+    # expectation ~0.4-0.5; assert a loose floor so plane/bucket bugs
+    # (dead bits, wrong probe set) fail without flaking on the fixture
+    assert recall >= 0.25, f"recall {recall:.3f} below floor"
