@@ -1174,9 +1174,7 @@ _NORMS_CTE = """
 """
 
 
-@register(
-    "ann_cosine_topk",
-    oracle=f"""
+_ANN_COSINE_ORACLE = f"""
     WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> x::DOUBLE) AS qe
                FROM embeddings WHERE vec_id < 32),
     c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS ce
@@ -1196,9 +1194,10 @@ _NORMS_CTE = """
                                    ORDER BY score DESC, neighbor_id) AS rank
       FROM scored)
     WHERE rank <= 5
-    """,
-    headline=True,
-)
+    """
+
+
+@register("ann_cosine_topk", oracle=_ANN_COSINE_ORACLE, headline=True)
 def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 for a 32-vector probe set — the exact
     baseline; lsh_bucketed_topk is the approximate scale path (checked
@@ -1206,6 +1205,22 @@ def ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 32)
     out = similarity.cosine_topk(queries, emb, k=5)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register("ann_cosine_topk_arrow", oracle=_ANN_COSINE_ORACLE)
+def ann_cosine_topk_arrow(spark, sf_dir):
+    """The SAME exact top-k through the Arrow matmul scorer
+    (similarity.cosine_topk_arrow): one narrow mapInPandas pass with
+    numpy BLAS dot products and per-batch top-k pruning, vs the JVM
+    path's per-element aggregate(zip_with) fold — same oracle, same
+    result after the pinned 6dp rounding (per-row parity with the JVM
+    path asserted in tests/test_similarity_multimodal.py). This is the
+    throughput path for large corpora; the JVM form stays the
+    pure-SQL-plan baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 32)
+    out = similarity.cosine_topk_arrow(queries, emb, k=5)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 

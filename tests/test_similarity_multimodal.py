@@ -241,3 +241,37 @@ def test_embedding_near_dup_bucketed_subset_of_exact(spark, sf_dir):
     # expectation ~0.4-0.5; assert a loose floor so plane/bucket bugs
     # (dead bits, wrong probe set) fail without flaking on the fixture
     assert recall >= 0.25, f"recall {recall:.3f} below floor"
+
+
+def test_cosine_topk_arrow_parity_with_jvm(spark, sf_dir):
+    """cosine_topk_arrow must reproduce cosine_topk row-for-row after
+    the pinned 6dp rounding (the simhash/simhash_arrow contract): numpy
+    pairwise-summed matmul and the JVM sequential fold may differ at
+    ~1e-15, which the rounding absorbs — this is what licenses the
+    Arrow scorer to share the JVM path's oracle."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 32)
+    jvm = similarity.cosine_topk(queries, emb, k=5)
+    arrow = similarity.cosine_topk_arrow(queries, emb, k=5)
+    j = sorted(map(tuple, jvm.collect()))
+    a = sorted(map(tuple, arrow.collect()))
+    assert j == a
+
+
+def test_cosine_topk_arrow_batch_pruning_tie_safe(spark):
+    """Per-batch pruning must keep boundary TIES (equal score, smaller
+    neighbor_id wins) — a plain argpartition head drops them."""
+    import math
+
+    # 1 query + 12 candidates: ids 2..7 all identical vectors (score
+    # ties at 1.0), the rest orthogonal-ish. Top-5 must be ids 2..6.
+    rows = [(1, [1.0, 0.0])]
+    rows += [(i, [2.0, 0.0]) for i in range(2, 8)]
+    rows += [(i, [0.0, 1.0]) for i in range(8, 14)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    out = similarity.cosine_topk_arrow(
+        df.filter(F.col("vec_id") == 1), df, k=5
+    ).collect()
+    got = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert got == [2, 3, 4, 5, 6]
+    assert all(math.isclose(r.score, 1.0) for r in out)
