@@ -396,7 +396,9 @@ def kmeans_centroids_embeddings(
         new = cents.copy()
         for r in means:
             new[r.cluster][r.dim] = r.m
-        cents = np.round(new, 9)
+        # half-away-from-zero 9dp (np.round is banker's): matches SQL
+        # round(), keeping the whole training loop oracle-reproducible
+        cents = np.sign(new) * np.floor(np.abs(new) * 1e9 + 0.5) / 1e9
     return cents
 
 
@@ -412,7 +414,13 @@ def _assign_cluster(df: DataFrame, cents, vec_col: str, out: str = "cluster") ->
     def assign(batch: pd.Series) -> pd.Series:
         x = np.array(batch.tolist(), dtype=np.float64)
         xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(xn @ cn.T, axis=1).astype(np.int32))
+        m = xn @ cn.T
+        # 9dp half-away rounding BEFORE argmax: summation-order noise
+        # (~1e-16) must not pick the winner — this is what lets a SQL
+        # oracle reproduce the assignment (argmax ties -> lowest id,
+        # matching ORDER BY score DESC, cluster ASC)
+        s = np.sign(m) * np.floor(np.abs(m) * 1e9 + 0.5) / 1e9
+        return pd.Series(np.argmax(s, axis=1).astype(np.int32))
 
     return df.withColumn(out, assign(vec_col))
 
@@ -428,7 +436,10 @@ def _probe_clusters(df: DataFrame, cents, vec_col: str, nprobe: int) -> DataFram
     def probe(batch: pd.Series) -> pd.Series:
         x = np.array(batch.tolist(), dtype=np.float64)
         xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        scores = xn @ cn.T
+        m = xn @ cn.T
+        # 9dp half-away rounding before ranking (see assign): makes the
+        # probe order SQL-reproducible
+        scores = np.sign(m) * np.floor(np.abs(m) * 1e9 + 0.5) / 1e9
         # stable argsort on (-score, cluster_id): deterministic probe order
         order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(order.astype(np.int32)))

@@ -1703,9 +1703,12 @@ def agg_approx_distinct_parts(spark, sf_dir):
 
 
 # ===========================================================================
-# Reference-pipeline smoke queries (rows-only: input is the synthetic
-# LimeSurvey export fixture, not a warehouse table — golden-value checks
-# live in tests/test_pipelines.py)
+# Reference-pipeline queries. Input is the synthetic LimeSurvey export
+# fixture, not a warehouse table, so each oracle embeds the SAME fixture
+# as a VALUES literal (generated from make_survey_payload at import
+# time) and re-expresses the whole transform chain — flatten → project →
+# rename → dropna → keep-latest dedup → whitelist → regex-strip-cast —
+# in SQL. Golden-value checks additionally live in tests/test_pipelines.py.
 # ===========================================================================
 
 _PIPELINE_RUN_TS = "2024-04-01 12:00:00"
@@ -1718,22 +1721,107 @@ def _survey_flat(spark):
     return responses_payload_to_df(spark, make_survey_payload())
 
 
-@register("pipeline_nps", oracle=None)
+def _survey_flat_cte() -> str:
+    """The flattened survey export as a VALUES CTE — the DuckDB twin of
+    responses_payload_to_df(make_survey_payload()): one row per
+    response, index = the outer response key, all columns VARCHAR
+    (matching the export's stringly landing contract)."""
+    from lime_etl_spark.pipelines.fixtures import make_survey_payload
+
+    cols = [
+        "index", "id", "submitdate", "lastpage", "startlanguage",
+        "startdate", "datestamp", "token", "q01", "q03", "q06", "q12", "q22",
+    ]
+    rows = []
+    for entry in make_survey_payload()["responses"]:
+        ((outer, base),) = entry.items()
+        vals = {"index": outer, **base}
+        lits = [
+            "NULL" if vals.get(c) is None
+            else "'" + str(vals[c]).replace("'", "''") + "'"
+            for c in cols
+        ]
+        rows.append("(" + ", ".join(lits) + ")")
+    collist = ", ".join(f'"{c}"' for c in cols)
+    return f"flat({collist}) AS (VALUES {', '.join(rows)})"
+
+
+@register(
+    "pipeline_nps",
+    oracle=f"""
+    WITH {_survey_flat_cte()}
+    SELECT "index" AS id_answer, submitdate AS date_sent,
+           lastpage AS last_page, startlanguage AS language,
+           startdate AS start_date, datestamp AS last_action_date,
+           try_cast(regexp_replace(q01, 'A|N', '', 'g') AS DOUBLE) AS nps,
+           q03 AS email, q06 AS cohort,
+           '{_PIPELINE_RUN_TS}' AS updated_ts
+    FROM flat
+    WHERE q03 IS NOT NULL AND q01 IS NOT NULL
+    """,
+)
 def pipeline_nps(spark, sf_dir):
+    """NPS pipeline (pipelines/surveys.nps) over the synthetic export:
+    project 9 → rename → audit ts → dropna subset [email, nps] →
+    'A|N'-strip + try_cast. The dropna runs on the PRE-cast strings, so
+    the ""-answer row survives with a NULL nps — the ""≠NULL parity pin."""
     from lime_etl_spark.pipelines import surveys
 
     return surveys.nps(_survey_flat(spark), _PIPELINE_RUN_TS)
 
 
-@register("pipeline_returns", oracle=None)
+@register(
+    "pipeline_returns",
+    oracle=f"""
+    WITH {_survey_flat_cte()}
+    SELECT id AS id_answer, datestamp AS date_sent,
+           try_cast(regexp_replace(q01, 'A', '', 'g') AS DOUBLE) AS grade,
+           q03 AS email, q06 AS order_number,
+           q22 AS return_order_number, startlanguage AS language,
+           '{_PIPELINE_RUN_TS}' AS updated_ts, q12 AS return_channel
+    FROM flat
+    WHERE id IS NOT NULL AND datestamp IS NOT NULL AND q01 IS NOT NULL
+      AND q03 IS NOT NULL AND q06 IS NOT NULL AND q12 IS NOT NULL
+      AND q22 IS NOT NULL AND startlanguage IS NOT NULL
+    """,
+)
 def pipeline_returns(spark, sf_dir):
+    """Returns pipeline (pipelines/surveys.returns): all-column dropna
+    on the 8 projected columns BEFORE rename (the reference's ordering
+    quirk), then rename → audit → 'A'-strip cast."""
     from lime_etl_spark.pipelines import surveys
 
     return surveys.returns(_survey_flat(spark), _PIPELINE_RUN_TS)
 
 
-@register("pipeline_orders_shipped", oracle=None)
+@register(
+    "pipeline_orders_shipped",
+    oracle=f"""
+    WITH {_survey_flat_cte()},
+    proj AS (
+      SELECT id AS id_answer, datestamp AS date_sent, q01 AS grade0,
+             q03 AS email, q06 AS order_number
+      FROM flat
+      WHERE id IS NOT NULL AND datestamp IS NOT NULL AND q01 IS NOT NULL
+        AND q03 IS NOT NULL AND q06 IS NOT NULL),
+    dedup AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY order_number
+        ORDER BY date_sent DESC, id_answer DESC) AS rn
+      FROM proj)
+    SELECT id_answer, date_sent,
+           try_cast(regexp_replace(grade0, 'A', '', 'g') AS DOUBLE) AS grade,
+           email, order_number, '{_PIPELINE_RUN_TS}' AS updated_ts
+    FROM dedup
+    WHERE rn = 1 AND grade0 IN ('A1', 'A2', 'A3', 'A4', 'A5')
+    """,
+)
 def pipeline_orders_shipped(spark, sf_dir):
+    """Orders-shipped pipeline (pipelines/surveys.orders_shipped):
+    project 5 → all-col dropna → rename → audit → keep-latest dedup per
+    order_number (date_sent desc, id_answer desc tiebreak — both VARCHAR
+    in both engines, so the lexicographic order matches) → A1..A5
+    whitelist on the RAW grade → 'A'-strip cast."""
     from lime_etl_spark.pipelines import surveys
 
     return surveys.orders_shipped(_survey_flat(spark), _PIPELINE_RUN_TS)
@@ -2768,15 +2856,119 @@ def ordered_registry() -> dict[str, Query]:
     return out
 
 
-@register("ann_ivf_topk", oracle=None)  # iterative k-means → rows-only check
+def _ivf_oracle(n_iter: int = 5, n_clusters: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    """SQL twin of similarity.ivf_topk(dim=64, k=5, n_clusters=16,
+    nprobe=4, n_iter=5). The 'iterative training is not SQL-expressible'
+    claim from round 2 was wrong for a FIXED iteration count: Lloyd's
+    with deterministic init (k lowest-id vectors) unrolls into n_iter
+    chained CTE rounds of assignment (argmax 9dp-rounded cosine, ties →
+    lowest cluster — both engines round half-away and the numpy paths
+    now round before argmax/argsort) and per-dim means (round(avg, 9),
+    empty clusters carrying the previous centroid forward). Search is
+    then probe-top-nprobe + in-cell exact cosine, same as the LSH
+    oracle."""
+    parts = [
+        """v AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+               FROM embeddings)""",
+        _NORMS_CTE.strip(),
+        f"""c0 AS MATERIALIZED (
+      SELECT rn - 1 AS cluster, e
+      FROM (SELECT e, row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+      WHERE rn <= {n_clusters})""",
+    ]
+    prev = "c0"
+    for t in range(1, n_iter + 1):
+        parts.append(f"""cn{t} AS MATERIALIZED (
+      SELECT cluster, sqrt(sum(val * val)) AS cnrm
+      FROM (SELECT cluster, unnest(e) AS val FROM {prev})
+      GROUP BY cluster)""")
+        parts.append(f"""d{t} AS MATERIALIZED (
+      SELECT vec_id, cluster, sum(e[i] * ce[i]) AS dot
+      FROM (SELECT v.vec_id, v.e, c.cluster, c.e AS ce,
+                   unnest(range(1, 65)) AS i
+            FROM v, {prev} c)
+      GROUP BY vec_id, cluster)""")
+        parts.append(f"""a{t} AS MATERIALIZED (
+      SELECT vec_id, cluster FROM (
+        SELECT d.vec_id, d.cluster,
+               row_number() OVER (PARTITION BY d.vec_id
+                 ORDER BY round(d.dot / (nv.nrm * cn.cnrm), 9) DESC,
+                          d.cluster) AS r
+        FROM d{t} d
+        JOIN norms nv ON nv.vec_id = d.vec_id
+        JOIN cn{t} cn ON cn.cluster = d.cluster)
+      WHERE r = 1)""")
+        parts.append(f"""m{t} AS MATERIALIZED (
+      SELECT cluster, i, round(avg(e[i]), 9) AS m
+      FROM (SELECT a.cluster, v.e, unnest(range(1, 65)) AS i
+            FROM a{t} a JOIN v ON v.vec_id = a.vec_id)
+      GROUP BY cluster, i)""")
+        parts.append(f"""c{t} AS MATERIALIZED (
+      SELECT o.cluster, list(round(coalesce(m.m, o.e[o.i]), 9) ORDER BY o.i) AS e
+      FROM (SELECT cluster, e, unnest(range(1, 65)) AS i FROM {prev}) o
+      LEFT JOIN m{t} m ON m.cluster = o.cluster AND m.i = o.i
+      GROUP BY o.cluster)""")
+        prev = f"c{t}"
+    parts.append(f"""cnF AS MATERIALIZED (
+      SELECT cluster, sqrt(sum(val * val)) AS cnrm
+      FROM (SELECT cluster, unnest(e) AS val FROM {prev})
+      GROUP BY cluster)""")
+    parts.append(f"""dF AS MATERIALIZED (
+      SELECT vec_id, cluster, sum(e[i] * ce[i]) AS dot
+      FROM (SELECT v.vec_id, v.e, c.cluster, c.e AS ce,
+                   unnest(range(1, 65)) AS i
+            FROM v, {prev} c)
+      GROUP BY vec_id, cluster)""")
+    parts.append("""rF AS MATERIALIZED (
+      SELECT d.vec_id, d.cluster,
+             row_number() OVER (PARTITION BY d.vec_id
+               ORDER BY round(d.dot / (nv.nrm * cn.cnrm), 9) DESC,
+                        d.cluster) AS r
+      FROM dF d
+      JOIN norms nv ON nv.vec_id = d.vec_id
+      JOIN cnF cn ON cn.cluster = d.cluster)""")
+    parts.append("""cand AS MATERIALIZED (SELECT vec_id AS neighbor_id, cluster FROM rF WHERE r = 1)""")
+    parts.append(f"""qp AS MATERIALIZED (
+      SELECT vec_id AS query_id, cluster FROM rF
+      WHERE r <= {nprobe} AND vec_id < 32)""")
+    parts.append("""pairs AS MATERIALIZED (
+      SELECT q.query_id, c.neighbor_id
+      FROM qp q JOIN cand c USING (cluster)
+      WHERE c.neighbor_id != q.query_id)""")
+    parts.append("""pd_ AS MATERIALIZED (
+      SELECT query_id, neighbor_id, sum(qe[i] * ce[i]) AS dot
+      FROM (SELECT p.query_id, p.neighbor_id, q.e AS qe, c.e AS ce,
+                   unnest(range(1, 65)) AS i
+            FROM pairs p
+            JOIN v q ON q.vec_id = p.query_id
+            JOIN v c ON c.vec_id = p.neighbor_id)
+      GROUP BY query_id, neighbor_id)""")
+    parts.append("""scored AS MATERIALIZED (
+      SELECT query_id, neighbor_id,
+             round(dot / (nq.nrm * nc.nrm), 6) AS score
+      FROM pd_ JOIN norms nq ON nq.vec_id = query_id
+               JOIN norms nc ON nc.vec_id = neighbor_id)""")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT query_id, neighbor_id, rank, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+@register("ann_ivf_topk", oracle=_ivf_oracle())
 def ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (similarity.ivf_topk): deterministic
-    k-means cells (init = lowest-id vectors, argmax-cosine assignment,
-    means rounded 9dp), nprobe=4 of 16 cells searched per query via a
-    keyed cluster-id join — no cross join anywhere in the plan.
-    Iterative float training is not SQL-expressible, so this entry is
-    rows-only; recall >= the LSH path is pinned in
-    tests/test_similarity_multimodal.py."""
+    k-means cells (init = lowest-id vectors, argmax of 9dp-rounded
+    cosine assignment, means rounded 9dp, empty cells carried forward),
+    nprobe=4 of 16 cells searched per query via a keyed cluster-id
+    join — no cross join anywhere in the plan. The fixed 5-iteration
+    training unrolls into chained CTEs (see _ivf_oracle), upgrading
+    this from rows-only to fully oracled; recall >= the LSH path is
+    separately pinned in tests/test_similarity_multimodal.py."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 32)
     out = similarity.ivf_topk(queries, emb, dim=64, k=5, n_clusters=16, nprobe=4)
