@@ -1,0 +1,51 @@
+"""Scale-rehearsal generator: schema parity with the driver fixture and
+pure-hash determinism (partition-layout invariance)."""
+
+from __future__ import annotations
+
+from lime_etl_spark.io.sources import read_table
+from lime_etl_spark.tools import datagen
+
+ALL_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def test_generated_schema_matches_fixture(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "gen")
+    datagen.generate(spark, 0.001, out)
+    for name in ALL_TABLES:
+        fixture = read_table(spark, sf_dir, name)
+        gen = read_table(spark, out, name)
+        assert [(f.name, f.dataType.simpleString()) for f in gen.schema.fields] == [
+            (f.name, f.dataType.simpleString()) for f in fixture.schema.fields
+        ], f"schema drift vs fixture for {name}"
+
+
+def test_generation_is_partition_invariant(spark):
+    """Every cell is a closed-form hash of the row id, so regenerating
+    under a different partition layout must produce identical bytes."""
+    a = datagen.gen_documents(spark, 0.001).repartition(7)
+    b = datagen.gen_documents(spark, 0.001).coalesce(1)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_documents_have_controlled_duplicates(spark):
+    docs = datagen.gen_documents(spark, 0.01)
+    total = docs.count()
+    distinct_texts = docs.select("text").distinct().count()
+    # exact dups (~0.8%) collapse some texts
+    assert distinct_texts < total
+    assert total - distinct_texts < total * 0.05
+
+
+def test_lineitem_fanout_and_integrity(spark):
+    orders = datagen.gen_orders(spark, 0.001)
+    li = datagen.gen_lineitem(spark, 0.001)
+    n_orders, n_li = orders.count(), li.count()
+    # avg 4 lines/order within tolerance
+    assert 3.5 <= n_li / n_orders <= 4.5
+    # referential integrity by construction
+    orphans = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+    assert orphans.count() == 0
