@@ -23,6 +23,14 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# local[N] runs driver + all N executor threads in ONE JVM, so the
+# default 1g driver heap is the whole engine's memory — enough for
+# sf0.1, but the sf1 scale rehearsal (6M lineitem rows, ~1e8-row
+# shuffles) dies in GC (GCLocker allocation retries) long before the
+# 128 GiB host is touched. Size the local heap explicitly; on a real
+# cluster spark-submit owns executor memory and this knob is inert.
+DEFAULT_LOCAL_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+
 
 def get_spark(
     app_name: str = "lime_etl_spark",
@@ -82,7 +90,9 @@ def get_spark(
     if master:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
-        builder = builder.master(f"local[{DEFAULT_SHUFFLE_PARTITIONS}]")
+        builder = builder.master(f"local[{DEFAULT_SHUFFLE_PARTITIONS}]").config(
+            "spark.driver.memory", DEFAULT_LOCAL_DRIVER_MEM
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

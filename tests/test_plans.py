@@ -92,18 +92,20 @@ def test_semi_anti_join_types(spark, sf_dir):
 
 
 def test_no_cartesian_in_registry_except_ann(spark, sf_dir):
-    # brute-force ANN and exact cosine pair-gen are the intentional
-    # cross-join-shaped ops (broadcast side bounded; LSH is the scale
-    # path); everything else must be join-keyed. streaming_* are
-    # skipped only because spark_fn RUNS the stream (no lazy plan to
-    # inspect), not because cartesians would be acceptable there —
-    # their batch twins (events_*) are covered by this loop.
+    # brute-force ANN and the exact cosine all-pairs twin are the
+    # intentional cross-join-shaped ops (broadcast side bounded; LSH /
+    # bucketed forms are the scale path and ARE audited); everything
+    # else must be join-keyed. streaming_* entries run their stream and
+    # return the materialized memory-sink table, so they pass through
+    # this audit trivially (plan = local scan) — their actual dataflow
+    # is audited pre-start by
+    # test_no_cartesian_in_streaming_transformations below.
     # zorder_key_* broadcast-join a ONE-ROW min/max aggregate back over
     # the data (the scalar-subquery plan shape) — a BNLJ whose build
     # side is a single row, not a data-sized cartesian; assert that
     # narrowness instead of exempting the names blindly.
     for name, q in REGISTRY.items():
-        if name.startswith(("ann_", "streaming_", "dedup_embedding_cosine")):
+        if name.startswith("ann_") or name == "dedup_embedding_cosine":
             continue
         plan = _plan(q.spark_fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name

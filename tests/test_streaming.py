@@ -562,3 +562,79 @@ def test_read_events_stream_rejects_mixed_ts_encodings(spark, tmp_path):
 
     with pytest.raises(ValueError, match="mixes parquet ts encodings"):
         sevents.read_events_stream(spark, str(src))
+
+
+def test_incremental_dedup_heals_torn_batch(spark, tmp_path, monkeypatch):
+    """Crash BETWEEN the state writes of one micro-batch (decisions +
+    bands committed, doc store not) must heal on replay: the replayed
+    batch sees its own docs already in the band index (the s.id != n.id
+    guard) but missing from the doc store (the batch-version-wins
+    corpus), recomputes identical decisions, and the partition
+    overwrites converge to exactly the clean run's state."""
+    import pytest as _pytest
+
+    from lime_etl_spark.streaming import dedup as sdedup
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    b1 = [(1, base), (2, "completely different words about spark shuffles and joins everywhere")]
+    b2 = [
+        (10, base.replace("today", "tonight")),  # near-dup of accepted doc 1
+        (12, "another unrelated doc on window functions and state stores"),
+    ]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    # clean reference run, separate state dir
+    ref = str(tmp_path / "ref")
+    sdedup.process_batch(mk(b1), 0, ref)
+    sdedup.process_batch(mk(b2), 1, ref)
+
+    state = str(tmp_path / "state")
+    sdedup.process_batch(mk(b1), 0, state)
+
+    # fault injection: let the first two idempotent_reload calls of the
+    # next batch succeed (decisions, bands), kill the third (doc store)
+    real = sdedup.sinks.idempotent_reload
+    seen = {"n": 0}
+
+    def torn(df, path, partition_column):
+        seen["n"] += 1
+        if seen["n"] >= 3:
+            raise RuntimeError("simulated crash before doc-store commit")
+        real(df, path, partition_column)
+
+    monkeypatch.setattr(sdedup.sinks, "idempotent_reload", torn)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        sdedup.process_batch(mk(b2), 1, state)
+    monkeypatch.undo()
+
+    # state is genuinely torn: batch-1 decisions and bands landed, the
+    # doc store still only has batch 0
+    dec_torn = spark.read.parquet(f"{state}/decisions")
+    assert dec_torn.filter(F.col("ingest_batch") == 1).count() == 2
+    bands_torn = spark.read.parquet(f"{state}/bands")
+    assert bands_torn.filter(F.col("ingest_batch") == 1).count() > 0
+    docs_torn = spark.read.parquet(f"{state}/docs")
+    assert docs_torn.filter(F.col("ingest_batch") == 1).count() == 0
+
+    # replay the same batch id — the idempotent overwrite heals the tear
+    sdedup.process_batch(mk(b2), 1, state)
+
+    def snap(d, sub, cols):
+        return sorted(
+            map(tuple, spark.read.parquet(f"{d}/{sub}").select(*cols).collect())
+        )
+
+    dec_cols = ["doc_id", "is_dup", "dup_of", "best_jaccard", "ingest_batch"]
+    assert snap(state, "decisions", dec_cols) == snap(ref, "decisions", dec_cols)
+    assert snap(state, "docs", ["doc_id", "text", "ingest_batch"]) == snap(
+        ref, "docs", ["doc_id", "text", "ingest_batch"]
+    )
+    assert snap(state, "bands", ["id", "band", "bkey", "ingest_batch"]) == snap(
+        ref, "bands", ["id", "band", "bkey", "ingest_batch"]
+    )
+    # and the healed state is semantically right: 10 is a dup of 1
+    dec = {r["doc_id"]: r for r in spark.read.parquet(f"{state}/decisions").collect()}
+    assert dec[10]["is_dup"] and dec[10]["dup_of"] == 1
+    assert not dec[12]["is_dup"]
