@@ -170,27 +170,26 @@ def ngram_jaccard_pairs(
       quadratic in docs-per-shingle. This is the verification mode
       minhash_near_dups uses; beyond ~1M docs never run without it.
     """
-    from lime_etl_spark.ops.text import shingles_from_tokens
+    from lime_etl_spark.ops.text import hashed_shingles_from_tokens
     from lime_etl_spark.ops.util import ensure_parallelism
 
-    # join/count on xxhash64(shingle), not the shingle string: the
+    # join/count on hashed shingles, never the shingle string: the
     # self-join shuffles every index row — an 8-byte key vs a ~20-byte
-    # string halves shuffle volume and speeds the hash join. Collisions
-    # would perturb counts but P(collision) over ~1e5 distinct shingles
-    # is ~1e-10 (64-bit). NO persist(): caching the exploded index
+    # string halves shuffle volume and speeds the hash join. The hash is
+    # computed straight off the n-token window (hashed_shingles_from_
+    # tokens), so the shingle string is never materialized at all, and
+    # array_distinct dedups longs instead of strings. Collisions would
+    # perturb counts but P(collision) over ~1e5 distinct shingles is
+    # ~1e-10 (64-bit). NO persist(): caching the exploded index
     # measured 3x SLOWER than recomputing it — persist blocks codegen
     # fusion and exchange reuse and pays block-store serialization; the
     # index is a narrow pipeline off the scan, cheap to evaluate twice.
     base = (
         ensure_parallelism(df.select(F.col(id_col).alias("id"), text_col))
         .withColumn("__toks", tokens(text_col))
-        .withColumn("__sh", F.array_distinct(shingles_from_tokens(F.col("__toks"), n)))
+        .withColumn("__sh", F.array_distinct(hashed_shingles_from_tokens(F.col("__toks"), n)))
     )
-    idx = (
-        base.select("id", F.explode("__sh").alias("shingle"))
-        .withColumn("sh", F.xxhash64("shingle"))
-        .drop("shingle")
-    )
+    idx = base.select("id", F.explode("__sh").alias("sh"))
     if max_docs_per_shingle is not None:
         from pyspark.sql import Window
 

@@ -202,6 +202,29 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def hashed_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """xxhash64 per n-gram window, skipping string-shingle construction.
+
+    For consumers that only need shingles as join/grouping keys (the
+    Jaccard inverted index), building the ``concat_ws`` shingle string
+    and hashing it afterwards is pure allocation overhead: hashing the
+    n window tokens directly (Spark's XxHash64 folds each argument into
+    the running seed, so ("ab","c") and ("a","bc") diverge) yields keys
+    with the same distinctness semantics at the same ~1e-10 64-bit
+    collision tolerance, minus one string materialization per shingle.
+    NOT for MinHash: signatures are pinned to ``_hash28(shingle_string)``
+    and mirrored by the DuckDB oracle — changing their input hash would
+    silently re-key every persisted band index.
+    """
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.xxhash64(*[F.element_at(toks, i + k) for k in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Token n-gram shingle array straight from a text column.
 
