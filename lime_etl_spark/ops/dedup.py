@@ -225,12 +225,15 @@ def ngram_jaccard_pairs(
             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
-    # per-doc set sizes: derived from idx so both broadcast builds share
-    # one canonical subplan (BroadcastExchange reuse) — one row per doc,
-    # always broadcastable relative to the pair table
+    # per-doc set sizes: derived from idx so both join builds share one
+    # canonical subplan (exchange reuse). Deliberately NOT broadcast-
+    # hinted: sizes has one row per document, which scales with the
+    # corpus — at 1e9 docs a forced broadcast is a ~16 GB OOM. AQE picks
+    # broadcast when the table is actually small and a shuffle join on
+    # the (linear-in-candidates) pair table otherwise.
     sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    sa = F.broadcast(sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a")))
-    sb = F.broadcast(sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
     return (
         common.join(sa, "id_a")
         .join(sb, "id_b")

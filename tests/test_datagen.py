@@ -49,3 +49,14 @@ def test_lineitem_fanout_and_integrity(spark):
     # referential integrity by construction
     orphans = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
     assert orphans.count() == 0
+
+
+def test_scale_rehearsal_sf_dir_resolution(tmp_path):
+    """Fixture SFs resolve to the read-only driver directory; anything
+    else lands under the caller's workdir (never /root/testdata)."""
+    from lime_etl_spark.tools.scale_rehearsal import _sf_dir
+
+    assert _sf_dir(0.1, str(tmp_path)) == "/root/testdata/sf0.1"
+    assert _sf_dir(0.001, str(tmp_path)) == "/root/testdata/sf0.001"
+    assert _sf_dir(1.0, str(tmp_path)) == str(tmp_path / "sf1")
+    assert _sf_dir(4.0, str(tmp_path)) == str(tmp_path / "sf4")
