@@ -35,6 +35,97 @@ def _sf_dir(sf: float, workdir: str) -> str:
     return fixture if os.path.isdir(fixture) else os.path.join(workdir, label)
 
 
+def assert_scale_plans(spark, sdir: str) -> dict:
+    """Plan-shape assertions the 100 TB posture depends on, executed at
+    a rehearsal SF (not just the tiny test fixture):
+
+    - salted_join == plain join on real fact/dim volumes;
+    - AQE splits a genuinely skewed shuffle join (skew=true in the
+      final adaptive plan);
+    - the ngram df-cap rides the self-join exchange (ReusedExchange)
+      at volume, i.e. the cap still adds no shuffle when the index is
+      tens of millions of rows.
+    Returns {check: bool}; raises nothing — the caller prints/records.
+    """
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.io.sources import read_table
+    from lime_etl_spark.ops import analytics
+    from lime_etl_spark.registry import REGISTRY
+
+    results: dict[str, bool] = {}
+
+    orders = read_table(spark, sdir, "orders")
+    cust = read_table(spark, sdir, "customer").select("c_custkey", "c_mktsegment")
+    plain = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        analytics.salted_join(
+            orders.withColumnRenamed("o_custkey", "k"),
+            cust.withColumnRenamed("c_custkey", "k"),
+            key="k", salt=8,
+        ).groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    )
+    results["salted_join_equivalence"] = sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+    # skew: collapse 30% of lineitem keys onto one value, join against
+    # orders — a hot key big enough that AQE must split it. Disable the
+    # broadcast escape hatch so the skewed SMJ path is actually taken.
+    # the payload columns matter: a bare constant join key compresses to
+    # ~nothing in the shuffle write, so the skewed partition never
+    # crosses the byte threshold — carry random-mantissa doubles that
+    # LZ4 cannot collapse, and aggregate them so pruning keeps them.
+    li = read_table(spark, sdir, "lineitem").select(
+        F.when(F.pmod(F.col("l_orderkey"), F.lit(10)) < 3, F.lit(0))
+        .otherwise(F.col("l_orderkey")).alias("k"),
+        "l_quantity", "l_extendedprice",
+    )
+    right = read_table(spark, sdir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_totalprice"
+    )
+    # The default skew trigger (partition > 256 MB AND > 5x median) is
+    # sized for real executors; a rehearsal SF never crosses 256 MB, so
+    # scale the byte threshold down and check the MECHANISM fires — the
+    # production trigger point is AQE's own tuning, not ours.
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+    try:
+        joined = li.join(right, "k").groupBy().agg(
+            F.count(F.lit(1)), F.sum(F.col("l_quantity") * F.col("l_extendedprice") + F.col("o_totalprice"))
+        )
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        results["aqe_splits_skewed_join"] = "skew=true" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    # collect(), not a noop write: a write spawns its OWN QueryExecution,
+    # leaving df's plan un-executed — AQE's final plan (where exchange
+    # reuse materializes) only exists on the executed instance.
+    df = REGISTRY["dedup_ngram_jaccard"].spark_fn(spark, sdir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    results["ngram_cap_reuses_exchange"] = plan.count("ReusedExchange") >= 3
+    return results
+
+
 def run(sfs: list[float], runs: int, workdir: str, queries: list[str] | None) -> dict:
     from lime_etl_spark.registry import REGISTRY
     from lime_etl_spark.session import get_spark
@@ -88,8 +179,20 @@ def main() -> None:
     ap.add_argument("--workdir", default="/tmp", help="where generated SFs live")
     ap.add_argument("--queries", nargs="*", default=None)
     ap.add_argument("--out", default=None, help="write full JSON here too")
+    ap.add_argument(
+        "--assert-plans", action="store_true",
+        help="also run the skew/salted/exchange-reuse plan assertions at the LARGEST sf",
+    )
     args = ap.parse_args()
     result = run(args.sfs, args.runs, args.workdir, args.queries)
+    if args.assert_plans:
+        from lime_etl_spark.session import get_spark
+
+        spark = get_spark("scale-rehearsal-plans")
+        spark.sparkContext.setLogLevel("ERROR")
+        sdir = _sf_dir(max(args.sfs), args.workdir)
+        result["plan_assertions"] = {f"sf{max(args.sfs):g}": assert_scale_plans(spark, sdir)}
+        spark.stop()
     line = json.dumps(result)
     print(line)
     if args.out:
