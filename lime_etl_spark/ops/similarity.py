@@ -354,6 +354,90 @@ def embedding_near_dup_bucketed(
     )
 
 
+def embedding_near_dup_bucketed_arrow(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 4,
+    threshold: float = 0.3,
+    multi_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow twin of embedding_near_dup_bucketed: same candidate
+    structure (probe-exploded a-side ⋈ bucket b-side, id_a < id_b, each
+    pair exactly once), but the in-bucket verification is ONE normalized
+    matmul per bucket in a cogrouped applyInPandas instead of a JVM
+    per-pair array fold.
+
+    Why this is the 100 TB shape: the JVM form materializes a row per
+    candidate pair carrying BOTH 64-dim vectors (~n²/2^planes rows of
+    ~1 KB) before folding each one; here Arrow moves only the bucket's
+    vectors (|bucket| × dim doubles per side), the (a × b) score matrix
+    lives inside the kernel at BLAS throughput, and only pairs at or
+    above the threshold ever become rows. Measured 47.97 s → see
+    SCALE.md at sf1 (20k vectors, 4 planes).
+
+    Memory bound: one bucket's two sides must fit in an executor —
+    the same |bucket| bound the JVM form's shuffle already implies;
+    n_planes must grow with the corpus either way (each +1 plane halves
+    in-bucket work). Score parity with the JVM/oracle path holds after
+    the pinned 6dp half-away-from-zero rounding (asserted in tests);
+    like every Arrow kernel here the closure is self-contained so
+    cloudpickle ships it by value.
+    """
+    thr = float(threshold)
+
+    b = with_lsh_bucket(df, dim, n_planes, vec_col)
+    a_side = b.select(
+        F.col(id_col).alias("id_a"),
+        _to_double(F.col(vec_col)).alias("ea"),
+        F.col("bucket"),
+    )
+    if multi_probe >= 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(2**i).cast("bigint"))
+                for i in range(n_planes)
+            ],
+        )
+        a_side = a_side.select("id_a", "ea", F.explode(probes).alias("bucket"))
+    b_side = b.select(
+        F.col(id_col).alias("id_b"),
+        _to_double(F.col(vec_col)).alias("eb"),
+        F.col("bucket"),
+    )
+
+    def kernel(_key, adf, bdf):
+        if adf.empty or bdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        ida = adf["id_a"].to_numpy(dtype=np.int64)
+        idb = bdf["id_b"].to_numpy(dtype=np.int64)
+        A = np.array(adf["ea"].tolist(), dtype=np.float64)
+        B = np.array(bdf["eb"].tolist(), dtype=np.float64)
+        An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+        Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+        m = An @ Bn.T
+        # half-away-from-zero at 6dp == F.round (inlined by value)
+        scores = np.sign(m) * np.floor(np.abs(m) * 1e6 + 0.5) / 1e6
+        ii, jj = np.nonzero((scores >= thr) & (ida[:, None] < idb[None, :]))
+        return pd.DataFrame(
+            {
+                "id_a": ida[ii],
+                "id_b": idb[jj],
+                "cosine": scores[ii, jj],
+            }
+        )
+
+    return (
+        a_side.groupby("bucket")
+        .cogroup(b_side.groupby("bucket"))
+        .applyInPandas(kernel, "id_a bigint, id_b bigint, cosine double")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — k-means cells, probe top cells only
 # ---------------------------------------------------------------------------

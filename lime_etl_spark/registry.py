@@ -2135,9 +2135,13 @@ def dedup_embedding_cosine_bucketed(spark, sf_dir):
     for balanced buckets, each +1 plane halves in-bucket work); exact
     cosine + threshold only inside candidate pairs. Deterministic
     hyperplanes keep the approximation oracle-checkable; recall vs the
-    exact twin is pinned in tests/test_similarity_multimodal.py."""
+    exact twin is pinned in tests/test_similarity_multimodal.py.
+
+    Runs the Arrow form (one normalized matmul per bucket in a
+    cogrouped applyInPandas — measured 28x the JVM per-pair fold at
+    sf1, SCALE.md); the JVM form is its bit-parity semantics twin."""
     emb = _tp(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_bucketed(
+    return similarity.embedding_near_dup_bucketed_arrow(
         emb, dim=64, n_planes=4, threshold=0.3, multi_probe=1
     )
 

@@ -275,3 +275,24 @@ def test_cosine_topk_arrow_batch_pruning_tie_safe(spark):
     got = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
     assert got == [2, 3, 4, 5, 6]
     assert all(math.isclose(r.score, 1.0) for r in out)
+
+
+def test_embedding_near_dup_bucketed_arrow_parity_with_jvm(spark, sf_dir):
+    """The cogrouped-matmul form must reproduce the JVM per-pair fold
+    row-for-row after the pinned 6dp rounding — identical candidate
+    structure (probe-exploded a-side against bucket b-side, id_a < id_b
+    exactly once), so any divergence is arithmetic, and the rounding
+    absorbs the ~1e-15 summation-order difference. This is what
+    licenses the registry gate to run the Arrow form against the JVM
+    path's oracle."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    jvm = similarity.embedding_near_dup_bucketed(
+        emb, dim=64, n_planes=4, threshold=0.3, multi_probe=1
+    )
+    arrow = similarity.embedding_near_dup_bucketed_arrow(
+        emb, dim=64, n_planes=4, threshold=0.3, multi_probe=1
+    )
+    j = sorted(map(tuple, jvm.collect()))
+    a = sorted(map(tuple, arrow.collect()))
+    assert len(j) > 0
+    assert j == a

@@ -746,3 +746,37 @@ def test_bpe_like_tokens_vs_python_re(spark):
     for i, s in enumerate(cases):
         want = re.findall(BPE_PRETOKEN_RE, s.lower())
         assert got[i] == want, (s, got[i], want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab fé"),  # tiny alphabet forces shared+distinct shingles
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_hashed_shingles_equivalent_to_string_shingles(spark, texts):
+    """The Jaccard index keys on hashed_shingles_from_tokens instead of
+    hashing string shingles; its correctness rests on the hash keys
+    having the SAME distinctness structure as the strings. Pin: per doc,
+    |distinct hashes| == |distinct shingle strings|, and for every doc
+    pair the hash-set intersection size equals the string-set one."""
+    df = spark.createDataFrame(list(enumerate(texts)), "id INT, text STRING")
+    toks = text.tokens("text")
+    rows = df.select(
+        "id",
+        F.array_distinct(text.shingles_from_tokens(toks, 3)).alias("s"),
+        F.array_distinct(text.hashed_shingles_from_tokens(toks, 3)).alias("h"),
+    ).collect()
+    for r in rows:
+        assert len(set(r.s)) == len(set(r.h)), r
+    by_id = {r.id: r for r in rows}
+    for i in by_id:
+        for j in by_id:
+            if i < j:
+                a, b = by_id[i], by_id[j]
+                assert len(set(a.s) & set(b.s)) == len(set(a.h) & set(b.h)), (a, b)
