@@ -112,6 +112,30 @@ def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     return planes
 
 
+def recommended_n_planes(n_vectors: int, per_bucket_budget: int = 1024) -> int:
+    """How many hyperplanes a corpus of ``n_vectors`` needs so balanced
+    buckets hold ~``per_bucket_budget`` vectors.
+
+    Every bucketed path here (lsh_bucketed_topk,
+    embedding_near_dup_bucketed[_arrow]) does in-bucket work that is
+    quadratic in bucket size at fixed planes — ~n²/2^planes pairs — so
+    n_planes must grow with the corpus: ceil(log2(n / budget)), each +1
+    plane halving in-bucket pair work. The registry fixtures pin 4
+    planes because their DuckDB oracles mirror the plane literals; a
+    production corpus sizes planes with this helper (1e9 vectors at the
+    default budget → 20 planes → ~1M buckets). The fold-the-planes-into
+    -the-plan construction (with_lsh_bucket) stays cheap at any count:
+    planes are literal arrays, one projection per plane.
+    """
+    if n_vectors <= 0:
+        raise ValueError(f"n_vectors must be positive, got {n_vectors}")
+    if per_bucket_budget <= 0:
+        raise ValueError(f"per_bucket_budget must be positive, got {per_bucket_budget}")
+    import math
+
+    return max(1, math.ceil(math.log2(max(1.0, n_vectors / per_bucket_budget))))
+
+
 def with_lsh_bucket(
     df: DataFrame,
     dim: int,
@@ -362,12 +386,13 @@ def embedding_near_dup_bucketed_arrow(
     multi_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    score_block_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Arrow twin of embedding_near_dup_bucketed: same candidate
     structure (probe-exploded a-side ⋈ bucket b-side, id_a < id_b, each
-    pair exactly once), but the in-bucket verification is ONE normalized
-    matmul per bucket in a cogrouped applyInPandas instead of a JVM
-    per-pair array fold.
+    pair exactly once), but the in-bucket verification is a blocked
+    normalized matmul per bucket in a cogrouped applyInPandas instead
+    of a JVM per-pair array fold.
 
     Why this is the 100 TB shape: the JVM form materializes a row per
     candidate pair carrying BOTH 64-dim vectors (~n²/2^planes rows of
@@ -380,12 +405,19 @@ def embedding_near_dup_bucketed_arrow(
     Memory bound: one bucket's two sides must fit in an executor —
     the same |bucket| bound the JVM form's shuffle already implies;
     n_planes must grow with the corpus either way (each +1 plane halves
-    in-bucket work). Score parity with the JVM/oracle path holds after
-    the pinned 6dp half-away-from-zero rounding (asserted in tests);
-    like every Arrow kernel here the closure is self-contained so
-    cloudpickle ships it by value.
+    in-bucket work; size it with recommended_n_planes). The score
+    matrix is the bigger term — |a|×|b| doubles dwarfs the vectors for
+    any non-trivial bucket (measured: 200k vectors at 4 planes = a 6 GB
+    matrix per bucket → executor OOM, while the vectors were 32 MB) —
+    so the kernel blocks the a-side to keep each score block under
+    ``score_block_bytes``; an over-budget bucket then degrades to more
+    blocks instead of dying. Score parity with the JVM/oracle path
+    holds after the pinned 6dp half-away-from-zero rounding (asserted
+    in tests); like every Arrow kernel here the closure is
+    self-contained so cloudpickle ships it by value.
     """
     thr = float(threshold)
+    blk_bytes = int(score_block_bytes)
 
     b = with_lsh_bucket(df, dim, n_planes, vec_col)
     a_side = b.select(
@@ -419,17 +451,28 @@ def embedding_near_dup_bucketed_arrow(
         B = np.array(bdf["eb"].tolist(), dtype=np.float64)
         An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
         Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
-        m = An @ Bn.T
-        # half-away-from-zero at 6dp == F.round (inlined by value)
-        scores = np.sign(m) * np.floor(np.abs(m) * 1e6 + 0.5) / 1e6
-        ii, jj = np.nonzero((scores >= thr) & (ida[:, None] < idb[None, :]))
-        return pd.DataFrame(
-            {
-                "id_a": ida[ii],
-                "id_b": idb[jj],
-                "cosine": scores[ii, jj],
-            }
-        )
+        # block the a-side so each (block x |b|) score matrix stays
+        # under the byte budget — the matrix, not the vectors, is what
+        # OOMs an oversized bucket
+        blk = max(1, blk_bytes // (8 * max(1, len(idb))))
+        out = []
+        for lo in range(0, len(ida), blk):
+            m = An[lo : lo + blk] @ Bn.T
+            # half-away-from-zero at 6dp == F.round (inlined by value)
+            scores = np.sign(m) * np.floor(np.abs(m) * 1e6 + 0.5) / 1e6
+            ii, jj = np.nonzero(
+                (scores >= thr) & (ida[lo : lo + blk, None] < idb[None, :])
+            )
+            out.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ida[lo + ii],
+                        "id_b": idb[jj],
+                        "cosine": scores[ii, jj],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
 
     return (
         a_side.groupby("bucket")

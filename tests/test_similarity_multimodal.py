@@ -296,3 +296,38 @@ def test_embedding_near_dup_bucketed_arrow_parity_with_jvm(spark, sf_dir):
     a = sorted(map(tuple, arrow.collect()))
     assert len(j) > 0
     assert j == a
+
+
+def test_recommended_n_planes():
+    """ceil(log2(n/budget)), floored at 1 — the corpus-sized plane knob
+    every bucketed path's in-bucket quadratic depends on."""
+    import pytest
+
+    from lime_etl_spark.ops.similarity import recommended_n_planes
+
+    assert recommended_n_planes(1024, 1024) == 1  # floor
+    assert recommended_n_planes(2048, 1024) == 1
+    assert recommended_n_planes(2049, 1024) == 2
+    assert recommended_n_planes(10**9, 1024) == 20
+    assert recommended_n_planes(100, 1024) == 1
+    with pytest.raises(ValueError):
+        recommended_n_planes(0)
+    with pytest.raises(ValueError):
+        recommended_n_planes(10, 0)
+
+
+def test_embedding_near_dup_bucketed_arrow_blocked_parity(spark, sf_dir):
+    """A score-block budget so small every bucket needs many blocks must
+    change nothing: same rows as the unblocked/JVM path. (The block
+    loop exists because the |a|x|b| score matrix, not the vectors, is
+    what OOMs an oversized bucket — 6 GB/bucket at 200k vectors with 4
+    planes, measured.)"""
+    emb = read_table(spark, sf_dir, "embeddings")
+    jvm = similarity.embedding_near_dup_bucketed(
+        emb, dim=64, n_planes=4, threshold=0.3, multi_probe=1
+    )
+    tiny = similarity.embedding_near_dup_bucketed_arrow(
+        emb, dim=64, n_planes=4, threshold=0.3, multi_probe=1,
+        score_block_bytes=1 << 10,  # ~one a-row per block at any bucket size
+    )
+    assert sorted(map(tuple, jvm.collect())) == sorted(map(tuple, tiny.collect()))
