@@ -223,9 +223,14 @@ def run_ingest_batchlike(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = os.path.join(sf_dir, "documents.parquet")
     work = tempfile.mkdtemp(prefix=f"lime_ingest_{uuid.uuid4().hex[:8]}_")
-    src_dir = os.path.join(work, "src")
-    os.makedirs(src_dir)
-    shutil.copyfile(src, os.path.join(src_dir, "documents.parquet"))
+    if os.path.isdir(src):
+        # generated rehearsal SFs write the table AS a directory of part
+        # files — exactly what the file stream source wants
+        src_dir = src
+    else:
+        src_dir = os.path.join(work, "src")
+        os.makedirs(src_dir)
+        shutil.copyfile(src, os.path.join(src_dir, "documents.parquet"))
     state = os.path.join(work, "state")
     ck = os.path.join(work, "ck")
     stream = spark.readStream.schema("doc_id bigint, text string, lang string, source string, n_chars bigint").parquet(src_dir)

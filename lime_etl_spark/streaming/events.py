@@ -268,12 +268,17 @@ def run_to_memory(
 
 
 def stage_events_dir(sf_dir: str) -> str:
-    """The fixture is a single parquet file; the file stream source
-    wants a directory. Stage a copy into a temp dir (tiny file; on a
-    real deployment the source is already a directory of files)."""
+    """The driver fixture is a single parquet file; the file stream
+    source wants a directory. Stage a copy into a temp dir (tiny file;
+    on a real deployment the source is already a directory of files).
+    Generated rehearsal SFs (tools.datagen) already write
+    ``events.parquet`` AS a directory of part files — use it directly,
+    zero copies."""
     import shutil
 
     src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        return src
     dest_dir = os.path.join(
         tempfile.gettempdir(), f"lime_events_{os.path.basename(os.path.normpath(sf_dir))}"
     )

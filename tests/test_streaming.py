@@ -638,3 +638,16 @@ def test_incremental_dedup_heals_torn_batch(spark, tmp_path, monkeypatch):
     dec = {r["doc_id"]: r for r in spark.read.parquet(f"{state}/decisions").collect()}
     assert dec[10]["is_dup"] and dec[10]["dup_of"] == 1
     assert not dec[12]["is_dup"]
+
+
+def test_stage_events_dir_uses_directory_layout_directly(tmp_path):
+    """Generated rehearsal SFs write events.parquet AS a directory of
+    part files — staging must hand that directory to the file stream
+    source untouched (zero copies), reserving the copy only for the
+    driver fixture's single-file layout."""
+    from lime_etl_spark.streaming.events import stage_events_dir
+
+    sf_dir = tmp_path / "sfX"
+    (sf_dir / "events.parquet").mkdir(parents=True)
+    (sf_dir / "events.parquet" / "part-00000.parquet").write_bytes(b"x")
+    assert stage_events_dir(str(sf_dir)) == str(sf_dir / "events.parquet")
