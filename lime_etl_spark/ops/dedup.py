@@ -15,7 +15,7 @@ needs, each designed scale-first and each with an exact DuckDB-SQL twin
   md5-derived shingle hashes, 16 perms) + banded LSH (4 bands × 4 rows)
   — the scale path: candidate generation is a groupBy on band keys, so
   cost is ~linear in corpus size instead of quadratic.
-- simhash64: 32-bit SimHash via bit-position explode + sign aggregation
+- simhash: 60-bit SimHash via bit-position explode + sign aggregation
   (pure JVM exprs, no UDF); hamming-near pairs via band-bucketing.
 
 Hash portability contract (shared with the oracle): shingle hash is the
@@ -58,12 +58,6 @@ def _hash60(col: Column) -> Column:
 def _hash28(col: Column) -> Column:
     """Portable 28-bit hash (7 hex digits) — safe for a*h in int64."""
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint")
-
-
-def _hash32(col: Column) -> Column:
-    """Portable 32-bit hash (8 hex digits) — full bit width for simhash
-    (not used in minhash permutations, which need a*h headroom)."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
 # ---------------------------------------------------------------------------
@@ -504,11 +498,11 @@ def ngram_overlap(
 # SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 60  # 4 bands x 15 bits; 15 hex md5 chars stay BIGINT-safe in both engines
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """32-bit SimHash over distinct tokens, pure JVM expressions.
+    """60-bit SimHash over distinct tokens, pure JVM expressions.
 
     Per (doc, bit): sum of ±1 over token hashes' bit values; bit set iff
     sum > 0 (ties → 0, deterministic). The bit explode multiplies rows
@@ -522,7 +516,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     toks = (
         ensure_parallelism(df.select(F.col(id_col).alias("id"), text_col))
         .select("id", F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
-        .withColumn("h", _hash32(F.col("tok")))
+        .withColumn("h", _hash60(F.col("tok")))
     )
     bits = toks.select(
         "id", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit")
@@ -540,7 +534,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
-SIMHASH_PAIR_BANDS = 4  # 4 bands x 8 bits over the 32-bit hash
+SIMHASH_PAIR_BANDS = 4  # 4 bands x 15 bits over the 60-bit hash
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_PAIR_BANDS  # 15
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1  # 32767
 
 
 def simhash_near_pairs(
@@ -552,14 +548,19 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance, band-bucketed.
 
-    Pigeonhole guarantee: the 32-bit hash splits into 4 bands of 8
+    Pigeonhole guarantee: the 60-bit hash splits into 4 bands of 15
     bits; two hashes within hamming distance ``max_hamming`` ≤ 3 must
     agree EXACTLY on at least one band — so candidate generation is a
     keyed self-join on (band, band value), ~linear like MinHash-LSH,
-    with 100% recall at the distance bound (never a 32-bit cross
+    with 100% recall at the distance bound (never a full-width cross
     compare). Verification is ``bit_count(xor) <= max_hamming`` on the
     candidate pairs only. Pass ``sims`` to reuse precomputed
     signatures (e.g. the Arrow variant's output).
+
+    Band width is the bucket-count knob: 15-bit bands give 32768
+    buckets per band, so in-band candidate volume is ~n²/32768 — the
+    32-bit/8-bit-band layout this replaced saturated at 256 buckets
+    (measured 60 s at sf1, quadratic onset at ~50k docs).
 
     Returns (id_a, id_b, hamming), id_a < id_b.
     """
@@ -573,8 +574,8 @@ def simhash_near_pairs(
         *[
             F.struct(
                 F.lit(band).alias("band"),
-                F.shiftright(F.col("simhash"), 8 * band)
-                .bitwiseAND(F.lit(255))
+                F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * band)
+                .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
                 .alias("bval"),
             )
             for band in range(SIMHASH_PAIR_BANDS)
@@ -611,11 +612,11 @@ def simhash_arrow(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     """SimHash via Arrow-batched mapInPandas — bit-identical to
     ``simhash`` (asserted in tests), different execution profile.
 
-    The JVM path multiplies rows ×32 (bit explode) and pays two
+    The JVM path multiplies rows ×60 (bit explode) and pays two
     doc-keyed shuffles; this variant is a single NARROW pass — no
     explode, no shuffle, numpy bit arithmetic per batch — so it wins
     when documents are long (the explode volume scales with
-    tokens×32) or when the cluster is shuffle-bound. The hash is the
+    tokens×60) or when the cluster is shuffle-bound. The hash is the
     same md5-prefix construction, so either implementation can feed
     the same downstream hamming bucketing.
     """
@@ -634,7 +635,7 @@ def simhash_arrow(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
                 toks = set(_re.findall(r"[a-z0-9]+", (t or "").lower()))
                 acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
                 for tok in toks:
-                    h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+                    h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
                     acc += np.where((h >> bit_idx) & 1 == 1, 1, -1)
                 out_ids.append(i)
                 out_sim.append(int(((acc > 0).astype(np.int64) << bit_idx).sum()))

@@ -1147,8 +1147,8 @@ def dedup_minhash_lsh_candidates(spark, sf_dir):
     WITH toks AS (
       SELECT DISTINCT doc_id AS id, tok FROM (
         SELECT doc_id, unnest({_TOKS_CTE}) AS tok FROM documents)),
-    h AS (SELECT id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
-    bits AS (SELECT id, h, unnest(range(0, 32)) AS bit FROM h),
+    h AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+    bits AS (SELECT id, h, unnest(range(0, 60)) AS bit FROM h),
     s AS (SELECT id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
           FROM bits GROUP BY id, bit)
     SELECT id, sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
@@ -1156,7 +1156,7 @@ def dedup_minhash_lsh_candidates(spark, sf_dir):
     """,
 )
 def dedup_simhash(spark, sf_dir):
-    """32-bit SimHash per document, pure JVM expressions."""
+    """60-bit SimHash per document, pure JVM expressions."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash(docs)
 
@@ -4118,14 +4118,14 @@ def streaming_incremental_dedup(spark, sf_dir):
     WITH toks AS (
       SELECT DISTINCT doc_id AS id, tok FROM (
         SELECT doc_id, unnest({_TOKS_CTE}) AS tok FROM documents)),
-    h AS (SELECT id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
-    bits AS (SELECT id, h, unnest(range(0, 32)) AS bit FROM h),
+    h AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+    bits AS (SELECT id, h, unnest(range(0, 60)) AS bit FROM h),
     s AS (SELECT id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
           FROM bits GROUP BY id, bit),
     sh AS (SELECT id, sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
            FROM s GROUP BY id),
     bands AS (
-      SELECT id, simhash, band, (simhash >> (8 * band)) & 255 AS bval
+      SELECT id, simhash, band, (simhash >> (15 * band)) & 32767 AS bval
       FROM sh, (SELECT unnest(range(0, 4)) AS band) b),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b,
@@ -4139,9 +4139,10 @@ def streaming_incremental_dedup(spark, sf_dir):
 )
 def dedup_simhash_near_pairs(spark, sf_dir):
     """Hamming-near pairs over the SimHash (ops/dedup.py
-    simhash_near_pairs): 4x8-bit band bucketing gives a keyed ~linear
-    candidate join with pigeonhole-exact recall at hamming <= 3;
-    verification is bit_count(xor) on candidates only."""
+    simhash_near_pairs): 4x15-bit band bucketing (32768 buckets/band)
+    gives a keyed ~linear candidate join with pigeonhole-exact recall
+    at hamming <= 3; verification is bit_count(xor) on candidates
+    only."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(docs, max_hamming=3)
 
