@@ -3484,6 +3484,59 @@ def sample_global_shuffle(spark, sf_dir):
     )
 
 
+_DIFF_FP = (
+    "md5(concat_ws(chr(31), coalesce(text, chr(1) || '<NULL>'), "
+    "coalesce(lang, chr(1) || '<NULL>'), coalesce(source, chr(1) || '<NULL>'), "
+    "coalesce(n_chars::VARCHAR, chr(1) || '<NULL>')))"
+)
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle=f"""
+    WITH fpo AS (SELECT doc_id, {_DIFF_FP} AS fp FROM documents),
+    snap AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 89 = 3 THEN text || ' v2' ELSE text END AS text,
+             lang, source,
+             CASE WHEN doc_id % 89 = 3 THEN n_chars + 3 ELSE n_chars END AS n_chars
+      FROM documents WHERE doc_id % 97 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 101 = 5),
+    fpn AS (SELECT doc_id, {_DIFF_FP} AS fp FROM snap)
+    SELECT coalesce(fpo.doc_id, fpn.doc_id) AS doc_id,
+           CASE WHEN fpo.doc_id IS NULL THEN 'added'
+                WHEN fpn.doc_id IS NULL THEN 'removed'
+                WHEN fpo.fp <> fpn.fp THEN 'changed' END AS change
+    FROM fpo FULL OUTER JOIN fpn ON fpo.doc_id = fpn.doc_id
+    WHERE (fpo.doc_id IS NULL OR fpn.doc_id IS NULL OR fpo.fp <> fpn.fp)
+    """,
+)
+def corpus_snapshot_diff(spark, sf_dir):
+    """Incremental corpus delta (core.table_diff): diff the documents
+    snapshot against a deterministically simulated next crawl (~1%
+    deleted, ~1.1% edited, ~1% new) — one full-outer join on the key,
+    emitting only added/removed/changed. The recurring-pipeline
+    primitive: reprocess the delta, not the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    edited = F.col("doc_id") % 89 == 3
+    snap_b = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.when(edited, F.concat(F.col("text"), F.lit(" v2"))).otherwise(F.col("text")).alias("text"),
+        "lang",
+        "source",
+        F.when(edited, F.col("n_chars") + 3).otherwise(F.col("n_chars")).alias("n_chars"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 101 == 5).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source", "n_chars"
+        )
+    )
+    return core.table_diff(
+        docs, snap_b, key="doc_id", compare_cols=["text", "lang", "source", "n_chars"]
+    )
+
+
 @register(
     "corpus_training_mix",
     oracle="""

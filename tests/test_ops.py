@@ -163,3 +163,26 @@ def test_zscore_flags_spike_not_baseline(spark):
     assert out[99]["is_anomaly"] and out[99]["zscore"] > 3
     assert not any(out[i]["is_anomaly"] for i in range(10))
     assert out[0]["zscore"] is None  # no priors -> unscored, never flagged
+
+
+def test_table_diff_semantics_and_null_sentinel(spark):
+    """added/removed/changed classification; unchanged rows dropped;
+    ("a", NULL) must NOT collide with ("a", "") (chr(1) sentinel)."""
+    from lime_etl_spark.ops import core
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", None), (3, "c", "z"), (4, "d", "w")],
+        "id BIGINT, t STRING, u STRING",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", ""), (3, "c2", "z"), (5, "e", "v")],
+        "id BIGINT, t STRING, u STRING",
+    )
+    got = {r.id: r.change for r in core.table_diff(old, new, "id", ["t", "u"]).collect()}
+    # id=1 unchanged (absent); id=2 NULL->"" MUST surface as changed
+    assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="compare_cols"):
+        core.table_diff(old, new, "id", [])
