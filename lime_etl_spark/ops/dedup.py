@@ -156,12 +156,16 @@ def ngram_jaccard_pairs(
       the capped universe, and the DuckDB oracle mirrors the same cap.
       The frequency count is a window over the same ``sh`` key the
       self-join shuffles on, so the cap adds no extra exchange
-      (ReusedExchange).
+      (ReusedExchange). Applies ONLY to the self-join mode: in
+      candidate-driven mode the cap protects nothing and, because df
+      grows linearly with corpus size, would eventually empty the
+      similarity universe — it is skipped there (see inline comment).
     - ``pairs``: restrict computation to a candidate pair list
       (id_a, id_b) — the inverted index is semi-joined to candidate
       docs and common-shingle counting is driven per candidate pair, so
       cost is linear in candidates × shingles-per-doc instead of
-      quadratic in docs-per-shingle. This is the verification mode
+      quadratic in docs-per-shingle. Jaccard is computed over the TRUE
+      (uncapped) shingle sets. This is the verification mode
       minhash_near_dups uses; beyond ~1M docs never run without it.
     """
     from lime_etl_spark.ops.text import hashed_shingles_from_tokens
@@ -184,7 +188,16 @@ def ngram_jaccard_pairs(
         .withColumn("__sh", F.array_distinct(hashed_shingles_from_tokens(F.col("__toks"), n)))
     )
     idx = base.select("id", F.explode("__sh").alias("sh"))
-    if max_docs_per_shingle is not None:
+    # The df cap exists ONLY to bound the all-pairs-per-shingle
+    # self-join (df² pair blowup). In candidate-driven mode the cost is
+    # candidates × shingles-per-doc no matter how common a shingle is —
+    # and a fixed absolute cap actively DESTROYS the similarity signal
+    # as the corpus grows, because every shingle's doc frequency rises
+    # linearly with corpus size (measured: at 100× the fixture, every
+    # distinct shingle crossed the cap, the capped universe was empty,
+    # and near-dup verification silently found nothing). So the cap is
+    # skipped whenever ``pairs`` drives the computation.
+    if max_docs_per_shingle is not None and pairs is None:
         from pyspark.sql import Window
 
         wsh = Window.partitionBy("sh")

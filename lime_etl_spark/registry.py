@@ -3839,11 +3839,9 @@ def agg_approx_percentiles(spark, sf_dir):
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
-    dshc AS (
-      SELECT doc_id, shingle FROM (
-        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
-        FROM dsh)
-      WHERE df <= {dedup.MAX_DOCS_PER_SHINGLE}),
+    -- candidate-driven verification: Jaccard over the TRUE shingle
+    -- sets (the df cap applies only to the self-join mode)
+    dshc AS (SELECT doc_id, shingle FROM dsh),
     csizes AS (SELECT doc_id, count(*) AS n FROM dshc GROUP BY doc_id),
     ccommon AS (
       SELECT c.id_a, c.id_b, count(*) AS n_common
@@ -3996,11 +3994,9 @@ def sample_label_weighted(spark, sf_dir):
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
-    dshc AS (
-      SELECT doc_id, shingle FROM (
-        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
-        FROM dsh)
-      WHERE df <= {dedup.MAX_DOCS_PER_SHINGLE}),
+    -- candidate-driven verification: Jaccard over the TRUE shingle
+    -- sets (the df cap applies only to the self-join mode)
+    dshc AS (SELECT doc_id, shingle FROM dsh),
     csizes AS (SELECT doc_id, count(*) AS n FROM dshc GROUP BY doc_id),
     ccommon AS (
       SELECT c.id_a, c.id_b, count(*) AS n_common
@@ -4128,11 +4124,9 @@ def corpus_filter_decisions(spark, sf_dir):
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
-    dshc AS (
-      SELECT doc_id, shingle FROM (
-        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
-        FROM dsh)
-      WHERE df <= {dedup.MAX_DOCS_PER_SHINGLE}),
+    -- candidate-driven verification: Jaccard over the TRUE shingle
+    -- sets (the df cap applies only to the self-join mode)
+    dshc AS (SELECT doc_id, shingle FROM dsh),
     csizes AS (SELECT doc_id, count(*) AS n FROM dshc GROUP BY doc_id),
     ccommon AS (
       SELECT c.id_a, c.id_b, count(*) AS n_common
