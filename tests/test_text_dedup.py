@@ -780,3 +780,27 @@ def test_hashed_shingles_equivalent_to_string_shingles(spark, texts):
             if i < j:
                 a, b = by_id[i], by_id[j]
                 assert len(set(a.s) & set(b.s)) == len(set(a.h) & set(b.h)), (a, b)
+
+
+def test_candidate_mode_ignores_df_cap(spark):
+    """Regression for the sf10 silent-no-dedup bug: shingle document
+    frequency grows linearly with the corpus, so in a big-enough corpus
+    EVERY shingle crosses any absolute df cap — capping inside pairs=
+    verification mode then empties the similarity universe and LSH
+    candidates all verify to nothing. The cap must bind only in the
+    self-join mode it was built to protect."""
+    # 20 identical docs: EVERY shingle has df=20, above cap=10
+    rows = [(i, "shared boilerplate text across all documents here")
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    cand = spark.createDataFrame([(0, 2), (1, 3)], "id_a BIGINT, id_b BIGINT")
+    # self-join mode: cap drops everything (its documented contract)
+    assert dedup.ngram_jaccard_pairs(
+        df, threshold=0.5, max_docs_per_shingle=10
+    ).count() == 0
+    # candidate mode with the SAME cap argument: true shingle sets,
+    # identical docs verify at jaccard 1.0
+    driven = dedup.ngram_jaccard_pairs(
+        df, threshold=0.5, max_docs_per_shingle=10, pairs=cand
+    ).collect()
+    assert {(r.id_a, r.id_b): r.jaccard for r in driven} == {(0, 2): 1.0, (1, 3): 1.0}
