@@ -4584,3 +4584,192 @@ def zorder_key_orders(spark, sf_dir):
         o.crossJoin(F.broadcast(stats))
         .select("o_orderkey", analytics.zorder_key([bk, bc], 16).alias("zkey"))
     )
+
+
+# ===========================================================================
+# Behavioral analytics: cohorts, funnels, SCD2, point-in-time joins
+# ===========================================================================
+
+
+@register(
+    "cohort_weekly_retention",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts,
+             min(ts) OVER (PARTITION BY user_id) AS first_ts
+      FROM events),
+    marked AS (
+      SELECT DISTINCT
+             CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+             CAST(date_diff('day', CAST(date_trunc('week', first_ts) AS DATE),
+                            CAST(date_trunc('week', ts) AS DATE)) // 7
+                  AS BIGINT) AS week_offset,
+             user_id
+      FROM e),
+    active AS (
+      SELECT cohort_week, week_offset, count(*) AS n_active
+      FROM marked GROUP BY 1, 2),
+    sizes AS (
+      SELECT cohort_week, n_active AS n_cohort FROM active WHERE week_offset = 0)
+    SELECT a.cohort_week, a.week_offset,
+           CAST(a.n_active AS BIGINT) AS n_active,
+           CAST(s.n_cohort AS BIGINT) AS n_cohort,
+           round(a.n_active / s.n_cohort::DOUBLE, 6) AS retention
+    FROM active a JOIN sizes s USING (cohort_week)
+    """,
+)
+def cohort_weekly_retention(spark, sf_dir):
+    """Weekly cohort retention (ops/behavior.cohort_retention): cohort
+    = Monday week of each user's first event; n_active = distinct
+    users of that cohort active k weeks later. One fact-table shuffle
+    (window min over user), then reductions over strictly smaller
+    keys; cohort sizes are broadcast back. Both engines truncate weeks
+    to Monday and count whole-week offsets in integral days/7."""
+    from lime_etl_spark.ops import behavior
+
+    ev = _t(spark, sf_dir, "events")
+    return behavior.cohort_retention(ev)
+
+
+@register(
+    "funnel_signup_view_purchase",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY 1),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'view' AND e.ts > t1.t
+        AND e.ts <= t1.t + INTERVAL 7 DAY
+      GROUP BY 1),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t
+        AND e.ts <= t1.t + INTERVAL 7 DAY
+      GROUP BY 1),
+    counts AS (
+      SELECT 1 AS step_idx, 'signup' AS step, (SELECT count(*) FROM t1) AS n_users
+      UNION ALL
+      SELECT 2, 'view', (SELECT count(*) FROM t2)
+      UNION ALL
+      SELECT 3, 'purchase', (SELECT count(*) FROM t3))
+    SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+           CAST(n_users AS BIGINT) AS n_users,
+           round(n_users / (first_value(n_users)
+                 OVER (ORDER BY step_idx))::DOUBLE, 6) AS pct_of_first,
+           round(n_users / (lag(n_users)
+                 OVER (ORDER BY step_idx))::DOUBLE, 6) AS pct_of_prev
+    FROM counts
+    """,
+)
+def funnel_signup_view_purchase(spark, sf_dir):
+    """Ordered 3-step funnel (ops/behavior.funnel): signup → first view
+    strictly after it → first purchase strictly after that view, all
+    within 7 days of the signup anchor. The chained earliest-qualifying
+    timestamps are window mins over one reused partitionBy(user)
+    exchange — no self-joins on the fact table (the oracle's join
+    phrasing is the SQL equivalent, not the physical plan)."""
+    from lime_etl_spark.ops import behavior
+
+    ev = _t(spark, sf_dir, "events")
+    return behavior.funnel(
+        ev, ["signup", "view", "purchase"], window_days=7
+    )
+
+
+@register(
+    "scd2_user_state_history",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    ch AS (
+      SELECT user_id, event_type AS state, ts, event_id
+      FROM o WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, state,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS BIGINT) AS version,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM ch
+    """,
+)
+def scd2_user_state_history(spark, sf_dir):
+    """SCD Type-2 history built from a change stream
+    (ops/behavior.scd2_from_change_stream): the events table is the
+    per-user state feed (state = event_type); consecutive unchanged
+    states collapse, each version gets [valid_from, valid_to) bounds,
+    a version number, and is_current. Two window passes over one
+    user-key exchange; (ts, event_id) makes the order total so both
+    engines emit identical versions."""
+    from lime_etl_spark.ops import behavior
+
+    ev = _t(spark, sf_dir, "events")
+    return behavior.scd2_from_change_stream(
+        ev, "user_id", "event_type", "ts", "event_id"
+    )
+
+
+@register(
+    "scd2_point_in_time_purchases",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events WHERE event_type <> 'purchase'),
+    ch AS (
+      SELECT user_id, event_type AS state, ts, event_id
+      FROM o WHERE prev IS NULL OR prev <> event_type),
+    hist AS (
+      SELECT user_id, state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM ch),
+    pit AS (
+      SELECT p.event_id, p.value, h.state AS pit_state
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN hist h
+        ON p.user_id = h.user_id
+       AND h.valid_from <= p.ts
+       AND (h.valid_to IS NULL OR p.ts < h.valid_to))
+    SELECT coalesce(pit_state, '__none__') AS pit_state,
+           count(*) AS n_purchases,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM pit GROUP BY 1
+    """,
+)
+def scd2_point_in_time_purchases(spark, sf_dir):
+    """Point-in-time join (ops/behavior.point_in_time_join): each
+    purchase event picks the SCD2 state version (built from the
+    non-purchase stream) whose validity interval contains its
+    timestamp — the classic 'dimension as of the fact time' lookup.
+    Intervals are disjoint per key, so the band predicate needs no
+    row_number pass (contrast as_of_join); purchases before any state
+    survive the left join as '__none__'. Equi-join on user with a
+    residual band filter — sort-merge at scale."""
+    from lime_etl_spark.ops import behavior
+
+    ev = _t(spark, sf_dir, "events")
+    hist = behavior.scd2_from_change_stream(
+        ev.filter(F.col("event_type") != "purchase"),
+        "user_id", "event_type", "ts", "event_id",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    pit = behavior.point_in_time_join(purchases, hist, "user_id", "ts")
+    return pit.groupBy(
+        F.coalesce("pit_state", F.lit("__none__")).alias("pit_state")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )

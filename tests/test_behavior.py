@@ -1,0 +1,147 @@
+"""Semantic tests for ops/behavior.py (cohort retention, ordered
+funnel, SCD2 history, point-in-time join) on hand-built frames —
+the oracle differential in test_oracle.py covers the fixture-scale
+parity; these pin the edge semantics."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from lime_etl_spark.ops import behavior
+
+
+def _ts(day, hour=0, minute=0):
+    return datetime(2024, 1, day, hour, minute)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, ts, u, t, 1.0) for i, (u, t, ts) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+def test_funnel_requires_strict_order(spark):
+    ev = _events(
+        spark,
+        [
+            (1, "a", _ts(1)), (1, "b", _ts(2)),   # completes a->b
+            (2, "b", _ts(1)), (2, "a", _ts(2)),   # b BEFORE a: step b must not count
+            (3, "a", _ts(3)),                     # a only
+        ],
+    )
+    out = {r["step"]: r["n_users"] for r in behavior.funnel(ev, ["a", "b"]).collect()}
+    assert out == {"a": 3, "b": 1}
+
+
+def test_funnel_window_bound_excludes_late_steps(spark):
+    ev = _events(
+        spark,
+        [
+            (1, "a", _ts(1)), (1, "b", _ts(2)),    # within 7d
+            (2, "a", _ts(1)), (2, "b", _ts(20)),   # b lands after the 7d anchor
+        ],
+    )
+    out = {
+        r["step"]: r["n_users"]
+        for r in behavior.funnel(ev, ["a", "b"], window_days=7).collect()
+    }
+    assert out == {"a": 2, "b": 1}
+
+
+def test_funnel_conversion_rates(spark):
+    ev = _events(
+        spark,
+        [
+            (1, "a", _ts(1)), (1, "b", _ts(2)),
+            (2, "a", _ts(1)),
+            (3, "a", _ts(1)), (3, "b", _ts(2)),
+            (4, "a", _ts(1)),
+        ],
+    )
+    rows = {r["step"]: r for r in behavior.funnel(ev, ["a", "b"]).collect()}
+    assert rows["b"]["pct_of_first"] == 0.5
+    assert rows["b"]["pct_of_prev"] == 0.5
+    assert rows["a"]["pct_of_first"] == 1.0
+    assert rows["a"]["pct_of_prev"] is None
+
+
+def test_cohort_retention_counts_distinct_users_per_offset(spark):
+    # Mondays: 2024-01-01 and 2024-01-08. Users 1,2 start week 1;
+    # only user 1 returns in week 2 (twice — must count once).
+    ev = _events(
+        spark,
+        [
+            (1, "x", _ts(2)), (1, "x", _ts(9)), (1, "x", _ts(10)),
+            (2, "x", _ts(3)),
+            (3, "x", _ts(9)),  # cohort of week 2
+        ],
+    )
+    out = {
+        (str(r["cohort_week"]), r["week_offset"]): (r["n_active"], r["n_cohort"], r["retention"])
+        for r in behavior.cohort_retention(ev).collect()
+    }
+    assert out[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert out[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert out[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert len(out) == 3
+
+
+def test_scd2_collapses_unchanged_states(spark):
+    ev = _events(
+        spark,
+        [
+            (1, "s1", _ts(1)), (1, "s1", _ts(2)), (1, "s2", _ts(3)),
+            (1, "s1", _ts(4)),
+        ],
+    )
+    hist = behavior.scd2_from_change_stream(
+        ev, "user_id", "event_type", "ts", "event_id"
+    ).orderBy("version").collect()
+    assert [(r["state"], r["version"], r["is_current"]) for r in hist] == [
+        ("s1", 1, False), ("s2", 2, False), ("s1", 3, True)
+    ]
+    # valid_to chains to the NEXT version's start (not the last
+    # unchanged observation)
+    assert hist[0]["valid_from"] == _ts(1)
+    assert hist[0]["valid_to"] == _ts(3)
+    assert hist[2]["valid_to"] is None
+
+
+def test_point_in_time_join_picks_covering_interval(spark):
+    states = _events(
+        spark,
+        [(1, "s1", _ts(2)), (1, "s2", _ts(5))],
+    )
+    hist = behavior.scd2_from_change_stream(
+        states, "user_id", "event_type", "ts", "event_id"
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, _ts(1)), (101, 1, _ts(3)), (102, 1, _ts(5)), (103, 1, _ts(9))],
+        "fact_id long, user_id long, ts timestamp",
+    )
+    out = {
+        r["fact_id"]: r["pit_state"]
+        for r in behavior.point_in_time_join(facts, hist, "user_id", "ts").collect()
+    }
+    # before any state -> NULL; boundary ts==valid_from of v2 -> v2
+    # (interval is [from, to)); open-ended current version covers late facts
+    assert out == {100: None, 101: "s1", 102: "s2", 103: "s2"}
+
+
+def test_funnel_single_fact_exchange(spark, sf_dir):
+    """The chained step windows must reuse ONE hash exchange of the
+    fact table (same partition spec); only the k-row reductions may
+    add more."""
+    from lime_etl_spark.io.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    plan = behavior.funnel(
+        ev, ["signup", "view", "purchase"], window_days=7
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # exchanges hashing on user_id: exactly one
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1, plan

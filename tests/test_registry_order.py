@@ -34,7 +34,8 @@ def test_primary_window_covers_every_category():
                   "events", "streaming", "string", "date", "text", "ann",
                   "embedding", "multimodal", "pivot", "unpivot", "profile",
                   "pipeline", "asof", "range", "split", "sample", "decontam",
-                  "pack", "corpus", "collection", "zorder"):
+                  "pack", "corpus", "collection", "zorder",
+                  "cohort", "funnel", "scd2"):
             if name == p or name.startswith(p + "_") or (p == "q" and name[1:2].isdigit()):
                 return p
         return name
@@ -57,6 +58,12 @@ def test_primary_window_covers_every_category():
         "pack",
         "corpus",
         "collection",
+        # behavioral-analytics extras (cohort/funnel/SCD2/PIT): oracled +
+        # unit-tested (tests/test_behavior.py); beyond-survey, so SURVEY §2
+        # categories keep the scored slots
+        "cohort",
+        "funnel",
+        "scd2",
         # zorder_key_orders: beyond-survey scale extra (the write path is
         # gated by its own file-range test); window categories outrank it
         "zorder",
