@@ -4773,3 +4773,56 @@ def scd2_point_in_time_purchases(spark, sf_dir):
         F.round(F.min("value"), 6).alias("min_value"),
         F.round(F.max("value"), 6).alias("max_value"),
     )
+
+
+def _pagerank_oracle(n_iter: int = 3, damping_pct: int = 85) -> str:
+    """SQL twin of ops/graph.pagerank over the co-purchase graph: the
+    fixed iteration count unrolls into chained CTE rounds (same pattern
+    as _ivf_oracle), and because ALL rank math is 1e12-scaled integer
+    division (`DIV` / `//`), every round matches bit-for-bit with no
+    float-accumulation rounding pins."""
+    scale = 10**12
+    base = f"(({100 - damping_pct} * {scale}) // (100 * (SELECT n_nodes FROM nn)))"
+    sql = f"""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey),
+    outd AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+    nn AS (SELECT count(*) AS n_nodes FROM nodes),
+    pr0 AS (SELECT node, CAST({scale} // (SELECT n_nodes FROM nn) AS BIGINT) AS pr
+            FROM nodes)"""
+    prev = "pr0"
+    for i in range(1, n_iter + 1):
+        sql += f""",
+    c{i} AS (
+      SELECT e.dst AS node, CAST(sum(p.pr // o.outdeg) AS BIGINT) AS s
+      FROM e JOIN {prev} p ON p.node = e.src
+             JOIN outd o ON o.src = e.src
+      GROUP BY 1),
+    pr{i} AS (
+      SELECT n.node,
+             CAST({base} + ({damping_pct} * coalesce(c.s, 0)) // 100 AS BIGINT) AS pr
+      FROM nodes n LEFT JOIN c{i} c ON c.node = n.node)"""
+        prev = f"pr{i}"
+    return sql + f"""
+    SELECT node, pr AS pr_scaled, pr / {float(scale)} AS pr FROM {prev}
+    """
+
+
+@register("graph_pagerank_copurchase", oracle=_pagerank_oracle())
+def graph_pagerank_copurchase(spark, sf_dir):
+    """Fixed-iteration PageRank (ops/graph.pagerank) over the
+    co-purchase graph (parts sharing an order, ops/graph.
+    copurchase_edges) — link-graph centrality as a document-quality
+    prior, the iterative-algorithm pattern done Spark-first: one
+    edge-join + one groupBy per round (linear in |E|), rank vector
+    partitioned on the node key throughout, localCheckpoint available
+    for deep iteration counts. All rank arithmetic is 1e12-scaled
+    integer division, so the unrolled-CTE oracle matches exactly —
+    an iterative algorithm under a full value gate, not rows-only."""
+    from lime_etl_spark.ops import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    return graph.pagerank(graph.copurchase_edges(li), n_iter=3)

@@ -114,6 +114,13 @@ def test_no_cartesian_in_registry_except_ann(spark, sf_dir):
             # keys=[] = a GLOBAL aggregate feeds the broadcast: one row
             assert "keys=[]" in plan, name
             continue
+        if name == "graph_pagerank_copurchase":
+            # the scalar n_nodes count broadcasts into the init vector
+            # and each of the 3 unrolled iterations: 4 one-row BNLJs,
+            # every one fed by the same global aggregate (keys=[])
+            assert plan.count("BroadcastNestedLoopJoin") <= 4, name
+            assert "keys=[]" in plan, name
+            continue
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
