@@ -157,16 +157,18 @@ def funnel(
         ).alias("r")
     ).select("r.*")
     wprev = Window.orderBy("step_idx")  # k rows total — single tiny partition is fine
+
+    def _rate(denom):
+        # a dead step (0 users) must yield NULL downstream rates, not a
+        # DIVIDE_BY_ZERO under ANSI mode (found by the property test)
+        return F.when(denom != 0, F.round(F.col("n_users") / denom, 6))
+
     return stacked.select(
         "step_idx",
         "step",
         "n_users",
-        F.round(F.col("n_users") / F.first("n_users").over(wprev), 6).alias(
-            "pct_of_first"
-        ),
-        F.round(F.col("n_users") / F.lag("n_users").over(wprev), 6).alias(
-            "pct_of_prev"
-        ),
+        _rate(F.first("n_users").over(wprev)).alias("pct_of_first"),
+        _rate(F.lag("n_users").over(wprev)).alias("pct_of_prev"),
     )
 
 

@@ -43,12 +43,26 @@ def pagerank(
     n_iter: int = 3,
     damping_pct: int = 85,
     checkpoint_every: int | None = None,
+    materialize_inputs: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list.
 
     Returns (node, pr_scaled BIGINT, pr DOUBLE) where ``pr_scaled`` is
     the exact 1e12-scaled integer rank and ``pr`` its float view
     (single cast+divide — deterministic IEEE, safe to hash-compare).
+
+    ``materialize_inputs`` (default OFF) localCheckpoints the prepared
+    per-iteration inputs — (edge ⋈ outdeg) and the node set — before
+    iterating. Measured at sf0.1/sf1 (BENCH_new_ops note in SCALE.md):
+    the plain lazy plan is ~3× FASTER, because AQE's final plan reuses
+    the edge-build exchanges across all iterations (14 ReusedExchange
+    nodes at n_iter=3 — the fact table is scanned and shuffled once,
+    then every iteration re-reads those shuffle files), while explicit
+    materialization pays block-manager writes AND severs codegen
+    fusion. The knob stays for executor-memory-pressure regimes where
+    evicted shuffle data would force fact-table rescans; for DEEP
+    iteration counts use ``checkpoint_every`` (lineage truncation, same
+    pattern as ops/dedup.connected_components).
     """
     if not 0 < damping_pct <= 100:
         raise ValueError("damping_pct in (0, 100]")
@@ -67,6 +81,9 @@ def pagerank(
         .select("node", F.expr(f"CAST({SCALE} AS BIGINT) DIV n_nodes").alias("pr"))
     )
     contrib_src = e.join(outdeg, "src")
+    if materialize_inputs:
+        contrib_src = contrib_src.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
     for i in range(n_iter):
         contribs = (
             contrib_src.join(pr.withColumnRenamed("node", "src"), "src")

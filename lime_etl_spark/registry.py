@@ -4655,14 +4655,21 @@ def cohort_weekly_retention(spark, sf_dir):
       UNION ALL
       SELECT 2, 'view', (SELECT count(*) FROM t2)
       UNION ALL
-      SELECT 3, 'purchase', (SELECT count(*) FROM t3))
+      SELECT 3, 'purchase', (SELECT count(*) FROM t3)),
+    annotated AS (
+      SELECT step_idx, step, n_users,
+             first_value(n_users) OVER (ORDER BY step_idx) AS n_first,
+             lag(n_users) OVER (ORDER BY step_idx) AS n_prev
+      FROM counts)
+    -- zero-user steps yield NULL rates on BOTH engines (Spark path
+    -- guards ANSI DIVIDE_BY_ZERO the same way)
     SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
            CAST(n_users AS BIGINT) AS n_users,
-           round(n_users / (first_value(n_users)
-                 OVER (ORDER BY step_idx))::DOUBLE, 6) AS pct_of_first,
-           round(n_users / (lag(n_users)
-                 OVER (ORDER BY step_idx))::DOUBLE, 6) AS pct_of_prev
-    FROM counts
+           CASE WHEN n_first <> 0
+                THEN round(n_users / n_first::DOUBLE, 6) END AS pct_of_first,
+           CASE WHEN n_prev <> 0
+                THEN round(n_users / n_prev::DOUBLE, 6) END AS pct_of_prev
+    FROM annotated
     """,
 )
 def funnel_signup_view_purchase(spark, sf_dir):

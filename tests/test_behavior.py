@@ -145,3 +145,105 @@ def test_funnel_single_fact_exchange(spark, sf_dir):
 
     # exchanges hashing on user_id: exactly one
     assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# Property tests vs pure-Python references
+# ---------------------------------------------------------------------------
+
+from datetime import timedelta  # noqa: E402
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_EV = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # user
+        st.sampled_from(["a", "b", "c"]),               # type
+        st.integers(min_value=1, max_value=20),         # day
+        st.integers(min_value=0, max_value=23),         # hour
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _py_funnel(rows, steps, window_days=None):
+    by_user: dict = {}
+    for eid, (u, t, ts) in enumerate(rows):
+        by_user.setdefault(u, []).append((ts, eid, t))
+    counts = [0] * len(steps)
+    for evs in by_user.values():
+        evs.sort()
+        prev = anchor = None
+        for i, s in enumerate(steps):
+            cand = None
+            for ts, _, t in evs:
+                if t != s:
+                    continue
+                if i > 0:
+                    if not ts > prev:
+                        continue
+                    if window_days is not None and ts > anchor + timedelta(
+                        days=window_days
+                    ):
+                        continue
+                cand = ts
+                break  # sorted ⇒ first qualifying == earliest
+            if cand is None:
+                break
+            if i == 0:
+                anchor = cand
+            prev = cand
+            counts[i] += 1
+    return counts
+
+
+@settings(max_examples=12, deadline=None)
+@given(_EV)
+def test_funnel_matches_python_reference(spark, raw):
+    rows = [(u, t, _ts(d, h)) for (u, t, d, h) in raw]
+    ev = _events(spark, rows)
+    for window_days in (None, 7):
+        got = {
+            r["step_idx"]: r["n_users"]
+            for r in behavior.funnel(
+                ev, ["a", "b", "c"], window_days=window_days
+            ).collect()
+        }
+        expected = _py_funnel(rows, ["a", "b", "c"], window_days)
+        assert [got[i + 1] for i in range(3)] == expected
+
+
+def _py_scd2(rows):
+    by_user: dict = {}
+    for eid, (u, t, ts) in enumerate(rows):
+        by_user.setdefault(u, []).append((ts, eid, t))
+    out = []
+    for u, evs in by_user.items():
+        evs.sort()
+        versions = []
+        for ts, _, t in evs:
+            if not versions or versions[-1][0] != t:
+                versions.append((t, ts))
+        for i, (state, ts) in enumerate(versions):
+            valid_to = versions[i + 1][1] if i + 1 < len(versions) else None
+            out.append((u, state, ts, valid_to, i + 1, valid_to is None))
+    return sorted(out)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_EV)
+def test_scd2_matches_python_reference(spark, raw):
+    rows = [(u, t, _ts(d, h)) for (u, t, d, h) in raw]
+    ev = _events(spark, rows)
+    got = sorted(
+        (
+            r["user_id"], r["state"], r["valid_from"], r["valid_to"],
+            r["version"], r["is_current"],
+        )
+        for r in behavior.scd2_from_change_stream(
+            ev, "user_id", "event_type", "ts", "event_id"
+        ).collect()
+    )
+    assert got == _py_scd2(rows)
