@@ -4833,3 +4833,40 @@ def graph_pagerank_copurchase(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     return graph.pagerank(graph.copurchase_edges(li), n_iter=3)
+
+
+@register(
+    "streaming_scd2_history",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    ch AS (
+      SELECT user_id, event_type AS state, ts, event_id
+      FROM o WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, state,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS BIGINT) AS version,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM ch
+    """,
+)
+def streaming_scd2_history(spark, sf_dir):
+    """Incremental SCD2 maintenance (streaming/scd2.py): the events
+    fixture drained through the MERGE-free CDC apply — append-only
+    change-point log with per-batch idempotent partition overwrites,
+    no-op updates suppressed across batch boundaries by seeding the
+    collapse with each key's current change-point, late rows
+    quarantined. The resolved history equals the batch rebuild
+    (scd2_user_state_history) by construction, so this STREAMING
+    operator carries the same full value oracle; multi-batch ==
+    batch == oracle is pinned in tests/test_streaming_scd2.py."""
+    from lime_etl_spark.streaming import scd2 as sscd2
+
+    return sscd2.run_scd2_batchlike(spark, sf_dir)

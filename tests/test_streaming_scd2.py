@@ -1,0 +1,112 @@
+"""Incremental SCD2 maintenance (streaming/scd2.py): multi-batch
+equivalence with the batch operator, replay idempotency, cross-batch
+no-op suppression, and late-data quarantine."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from lime_etl_spark.ops import behavior
+from lime_etl_spark.streaming import scd2
+
+
+def _ts(day, hour=0):
+    return datetime(2024, 1, day, hour)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, ts, u, t) for i, (u, t, ts) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+
+
+def _hist_rows(spark, state):
+    return sorted(
+        tuple(r)
+        for r in scd2.history(spark, state).collect()
+    )
+
+
+def test_multibatch_equals_batch_rebuild(spark, tmp_path):
+    rows = [
+        (1, "a", _ts(1)), (1, "a", _ts(2)), (1, "b", _ts(3)),
+        (2, "x", _ts(1)),
+        (1, "b", _ts(5)), (1, "c", _ts(6)),     # batch 2: no-op then change
+        (2, "y", _ts(4)), (3, "z", _ts(4)),
+    ]
+    state = str(tmp_path / "state")
+    scd2.process_batch(_df(spark, rows[:4]), 0, state)
+    scd2.process_batch(_df(spark, rows[4:]), 1, state)
+    # event_ids differ between the incremental frames (enumerate
+    # restarts) and the full frame — compare on (user, state, bounds)
+    got = sorted(
+        (r["user_id"], r["state"], r["valid_from"], r["valid_to"],
+         r["version"], r["is_current"])
+        for r in scd2.history(spark, state).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["state"], r["valid_from"], r["valid_to"],
+         r["version"], r["is_current"])
+        for r in behavior.scd2_from_change_stream(
+            _df(spark, rows), "user_id", "event_type", "ts", "event_id"
+        ).collect()
+    )
+    assert got == want
+
+
+def test_crossbatch_noop_update_opens_no_version(spark, tmp_path):
+    state = str(tmp_path / "state")
+    scd2.process_batch(_df(spark, [(1, "a", _ts(1))]), 0, state)
+    scd2.process_batch(_df(spark, [(1, "a", _ts(5))]), 1, state)
+    hist = scd2.history(spark, state).collect()
+    assert len(hist) == 1 and hist[0]["state"] == "a"
+    assert hist[0]["is_current"]
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    state = str(tmp_path / "state")
+    b0 = _df(spark, [(1, "a", _ts(1)), (2, "x", _ts(1))])
+    b1 = _df(spark, [(1, "b", _ts(3)), (2, "x", _ts(3))])  # 2:x is no-op
+    scd2.process_batch(b0, 0, state)
+    scd2.process_batch(b1, 1, state)
+    before = _hist_rows(spark, state)
+    scd2.process_batch(b1, 1, state)  # replay after "sink commit lost"
+    assert _hist_rows(spark, state) == before
+    scd2.process_batch(b0, 0, state)  # replay of the OLDER batch too
+    assert _hist_rows(spark, state) == before
+
+
+def test_late_rows_quarantined_not_applied(spark, tmp_path):
+    state = str(tmp_path / "state")
+    scd2.process_batch(_df(spark, [(1, "a", _ts(5))]), 0, state)
+    scd2.process_batch(
+        _df(spark, [(1, "b", _ts(2)), (1, "c", _ts(7))]), 1, state
+    )
+    hist = scd2.history(spark, state).collect()
+    assert sorted((r["state"], r["is_current"]) for r in hist) == [
+        ("a", False), ("c", True)
+    ]
+    quar = spark.read.parquet(os.path.join(state, scd2.QUARANTINE_SUBDIR))
+    q = quar.collect()
+    assert len(q) == 1 and q[0]["event_type"] == "b"
+    assert q[0]["conflicts_with_valid_from"] == _ts(5)
+
+
+def test_streamed_fixture_equals_batch_operator(spark, sf_dir):
+    from lime_etl_spark.io.sources import read_table
+
+    got = sorted(
+        tuple(r) for r in scd2.run_scd2_batchlike(spark, sf_dir).collect()
+    )
+    ev = read_table(spark, sf_dir, "events")
+    want = sorted(
+        tuple(r)
+        for r in behavior.scd2_from_change_stream(
+            ev, "user_id", "event_type", "ts", "event_id"
+        ).collect()
+    )
+    assert got == want
