@@ -1,0 +1,158 @@
+"""Declarative data-quality constraint checks (expectations).
+
+The reference trusts its inputs blindly (its pipelines drop NA rows and
+move on); a production warehouse wants the constraint layer: declare
+rules, get a violations report, gate the load on it. Rules are
+evaluated Spark-first:
+
+- all ROW-LEVEL rules (not_null / accepted_values / in_range) compile
+  into ONE aggregate pass over the table — a single scan, map-side
+  partial sums, no shuffle beyond the final 1-row reduce;
+- ``unique`` needs the key-grouped counts: one hash exchange on the
+  key columns (the minimum possible for the question);
+- ``foreign_key`` is a left-anti join against the dimension's key
+  column — broadcast when the dimension is small (the hint mirrors
+  schemas.BROADCAST_TABLES discipline), shuffle otherwise.
+
+Every rule yields (rule, column, n_violations); gate with
+``violations.filter("n_violations > 0")``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    kind: str
+    column: str
+    # rule-specific payload (accepted values / bounds / dim)
+    values: tuple = ()
+    lo: float | None = None
+    hi: float | None = None
+    dim: DataFrame | None = field(default=None, compare=False)
+    dim_key: str | None = None
+    broadcast_dim: bool = True
+
+    @property
+    def name(self) -> str:
+        return f"{self.kind}({self.column})"
+
+
+def not_null(column: str) -> Rule:
+    return Rule("not_null", column)
+
+
+def accepted_values(column: str, values: Sequence) -> Rule:
+    return Rule("accepted_values", column, values=tuple(values))
+
+
+def in_range(column: str, lo: float | None = None, hi: float | None = None) -> Rule:
+    if lo is None and hi is None:
+        raise ValueError("in_range needs at least one bound")
+    return Rule("in_range", column, lo=lo, hi=hi)
+
+
+def unique(column: str) -> Rule:
+    return Rule("unique", column)
+
+
+def foreign_key(
+    column: str, dim: DataFrame, dim_key: str, broadcast_dim: bool = True
+) -> Rule:
+    return Rule(
+        "foreign_key", column, dim=dim, dim_key=dim_key, broadcast_dim=broadcast_dim
+    )
+
+
+def _row_violation(rule: Rule) -> Column:
+    c = F.col(rule.column)
+    if rule.kind == "not_null":
+        return c.isNull()
+    if rule.kind == "accepted_values":
+        # NULL is not_null's concern, not membership's
+        return c.isNotNull() & ~c.isin(*rule.values)
+    if rule.kind == "in_range":
+        cond = F.lit(False)
+        if rule.lo is not None:
+            cond = cond | (c < F.lit(rule.lo))
+        if rule.hi is not None:
+            cond = cond | (c > F.lit(rule.hi))
+        return c.isNotNull() & cond
+    raise ValueError(f"not a row-level rule: {rule.kind}")
+
+
+def validate(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
+    """Evaluate ``rules`` against ``df`` → (rule, column, n_violations).
+
+    Row-level rules share one aggregate scan; each unique/foreign_key
+    rule adds its own (unavoidable) keyed pass. Results are unioned —
+    each leg is a 1-row (or tiny) aggregate, so the union is free.
+    """
+    legs: list[DataFrame] = []
+    row_rules = [r for r in rules if r.kind in ("not_null", "accepted_values", "in_range")]
+    if row_rules:
+        agg = df.agg(
+            *[
+                F.sum(F.when(_row_violation(r), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"__v{i}")
+                for i, r in enumerate(row_rules)
+            ]
+        )
+        legs.append(
+            agg.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(r.kind).alias("rule"),
+                                F.lit(r.column).alias("column"),
+                                F.col(f"__v{i}").alias("n_violations"),
+                            )
+                            for i, r in enumerate(row_rules)
+                        ]
+                    )
+                ).alias("r")
+            ).select("r.*")
+        )
+    for r in rules:
+        if r.kind == "unique":
+            dups = (
+                df.filter(F.col(r.column).isNotNull())
+                .groupBy(r.column)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .agg(F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("n_violations"))
+            )
+            legs.append(
+                dups.select(
+                    F.lit("unique").alias("rule"),
+                    F.lit(r.column).alias("column"),
+                    "n_violations",
+                )
+            )
+        elif r.kind == "foreign_key":
+            dim_keys = r.dim.select(F.col(r.dim_key).alias(r.column)).distinct()
+            if r.broadcast_dim:
+                dim_keys = F.broadcast(dim_keys)
+            orphans = (
+                df.filter(F.col(r.column).isNotNull())
+                .join(dim_keys, r.column, "left_anti")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+            )
+            legs.append(
+                orphans.select(
+                    F.lit("foreign_key").alias("rule"),
+                    F.lit(r.column).alias("column"),
+                    "n_violations",
+                )
+            )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -4870,3 +4870,60 @@ def streaming_scd2_history(spark, sf_dir):
     from lime_etl_spark.streaming import scd2 as sscd2
 
     return sscd2.run_scd2_batchlike(spark, sf_dir)
+
+
+@register(
+    "quality_constraint_report",
+    oracle="""
+    SELECT 'not_null' AS rule, 'o_custkey' AS "column",
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values', 'o_orderstatus',
+           CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O','F','P')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'in_range', 'o_totalprice',
+           CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                          AND (o_totalprice < 0 OR o_totalprice > 1000000)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique', 'o_orderkey',
+           CAST(coalesce((
+             SELECT sum(n) FROM (
+               SELECT count(*) AS n FROM orders
+               WHERE o_orderkey IS NOT NULL
+               GROUP BY o_orderkey HAVING count(*) > 1)), 0) AS BIGINT)
+    UNION ALL
+    SELECT 'foreign_key', 'o_custkey',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    """,
+)
+def quality_constraint_report(spark, sf_dir):
+    """Declarative constraint checks (ops/quality.validate): not-null +
+    accepted-values + range share ONE aggregate scan of orders;
+    uniqueness adds the minimal key-grouped pass; referential integrity
+    is a broadcast left-anti against the customer dimension. The report
+    is the load gate a warehouse runs before publishing a batch."""
+    from lime_etl_spark.ops import quality as Q
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return Q.validate(
+        o,
+        [
+            Q.not_null("o_custkey"),
+            Q.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            Q.in_range("o_totalprice", lo=0, hi=1_000_000),
+            Q.unique("o_orderkey"),
+            Q.foreign_key("o_custkey", c, "c_custkey"),
+        ],
+    )

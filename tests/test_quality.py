@@ -1,0 +1,60 @@
+"""ops/quality.validate semantics on hand-built frames (the registry
+oracle pins fixture-scale parity)."""
+
+from __future__ import annotations
+
+from lime_etl_spark.ops import quality as Q
+
+
+def _report(df, rules):
+    return {
+        (r["rule"], r["column"]): r["n_violations"]
+        for r in Q.validate(df, rules).collect()
+    }
+
+
+def test_row_rules_single_scan_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "O", 10.0), (2, None, -5.0), (3, "X", 2e6), (None, "F", None)],
+        "k long, status string, price double",
+    )
+    got = _report(
+        df,
+        [
+            Q.not_null("k"),
+            Q.not_null("status"),
+            Q.accepted_values("status", ["O", "F"]),
+            Q.in_range("price", lo=0, hi=1_000_000),
+        ],
+    )
+    assert got[("not_null", "k")] == 1
+    assert got[("not_null", "status")] == 1
+    # NULL status is not an accepted_values violation (not_null's job)
+    assert got[("accepted_values", "status")] == 1
+    # NULL price is not a range violation; -5 and 2e6 are
+    assert got[("in_range", "price")] == 2
+    # row rules fuse into one aggregate scan
+    plan = Q.validate(df, [Q.not_null("k"), Q.in_range("price", lo=0)])._jdf \
+        .queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("logicalrdd") == 1
+
+
+def test_unique_counts_all_rows_of_duplicated_keys(spark):
+    df = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (None,)], "k long"
+    )
+    got = _report(df, [Q.unique("k")])
+    # all 3 rows of the duplicated key count; NULLs are exempt
+    assert got[("unique", "k")] == 3
+
+
+def test_unique_zero_when_clean(spark):
+    df = spark.createDataFrame([(1,), (2,)], "k long")
+    assert _report(df, [Q.unique("k")]) == {("unique", "k"): 0}
+
+
+def test_foreign_key_orphans(spark):
+    facts = spark.createDataFrame([(1,), (2,), (9,), (None,)], "fk long")
+    dim = spark.createDataFrame([(1,), (2,)], "id long")
+    got = _report(facts, [Q.foreign_key("fk", dim, "id")])
+    assert got[("foreign_key", "fk")] == 1  # 9 is orphaned; NULL exempt

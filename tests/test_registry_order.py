@@ -35,7 +35,7 @@ def test_primary_window_covers_every_category():
                   "embedding", "multimodal", "pivot", "unpivot", "profile",
                   "pipeline", "asof", "range", "split", "sample", "decontam",
                   "pack", "corpus", "collection", "zorder",
-                  "cohort", "funnel", "scd2", "graph"):
+                  "cohort", "funnel", "scd2", "graph", "quality"):
             if name == p or name.startswith(p + "_") or (p == "q" and name[1:2].isdigit()):
                 return p
         return name
@@ -67,6 +67,9 @@ def test_primary_window_covers_every_category():
         # graph centrality extra (integer-exact PageRank): oracled +
         # unit-tested (tests/test_graph.py)
         "graph",
+        # constraint-check extra (profile_orders holds the in-window
+        # data-quality slot): oracled + unit-tested (tests/test_quality.py)
+        "quality",
         # zorder_key_orders: beyond-survey scale extra (the write path is
         # gated by its own file-range test); window categories outrank it
         "zorder",
