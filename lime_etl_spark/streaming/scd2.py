@@ -70,27 +70,21 @@ def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
-def process_batch(
+def plan_batch(
     batch: DataFrame,
+    stored: DataFrame,
     batch_id: int,
-    state_dir: str,
     key_col: str = "user_id",
     state_col: str = "event_type",
     ts_col: str = "ts",
     tiebreak_col: str = "event_id",
-) -> None:
-    """Apply one micro-batch of change events — see module docstring.
-
-    Deterministic function of (stored change-points, batch); both
-    writes are partition overwrites keyed on ``batch_id``, so replays
-    converge to the same state.
-    """
-    spark = batch.sparkSession
+) -> tuple[DataFrame, DataFrame]:
+    """Pure dataflow of one micro-batch: (surviving change-points,
+    quarantined late rows), both lazy — process_batch writes them, and
+    the plan-shape tests audit them without running a stream."""
     cols = [key_col, state_col, ts_col, tiebreak_col]
     new = batch.select(*cols)
-    schema = _schema(key_col, state_col, ts_col, tiebreak_col)
 
-    stored = _read_or_empty(spark, os.path.join(state_dir, CHANGES_SUBDIR), schema)
     # prune state to the batch's keys, then keep each key's latest
     # change-point. Only batches BEFORE this one count: micro-batch ids
     # are monotone, so this makes every batch a pure function of its
@@ -132,6 +126,33 @@ def process_batch(
         .filter(~F.col("__seed"))
         .select(*cols)
     )
+    quarantined = late.select(
+        *cols, F.col("__cur_from").alias("conflicts_with_valid_from")
+    )
+    return surviving, quarantined
+
+
+def process_batch(
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> None:
+    """Apply one micro-batch of change events — see module docstring.
+
+    Deterministic function of (stored change-points, batch); both
+    writes are partition overwrites keyed on ``batch_id``, so replays
+    converge to the same state.
+    """
+    spark = batch.sparkSession
+    schema = _schema(key_col, state_col, ts_col, tiebreak_col)
+    stored = _read_or_empty(spark, os.path.join(state_dir, CHANGES_SUBDIR), schema)
+    surviving, quarantined = plan_batch(
+        batch, stored, batch_id, key_col, state_col, ts_col, tiebreak_col
+    )
 
     sinks.idempotent_reload(
         surviving.withColumn("ingest_batch", F.lit(batch_id)),
@@ -139,8 +160,7 @@ def process_batch(
         "ingest_batch",
     )
     sinks.idempotent_reload(
-        late.select(*cols, F.col("__cur_from").alias("conflicts_with_valid_from"))
-        .withColumn("ingest_batch", F.lit(batch_id)),
+        quarantined.withColumn("ingest_batch", F.lit(batch_id)),
         os.path.join(state_dir, QUARANTINE_SUBDIR),
         "ingest_batch",
     )

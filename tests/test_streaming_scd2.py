@@ -110,3 +110,22 @@ def test_streamed_fixture_equals_batch_operator(spark, sf_dir):
         ).collect()
     )
     assert got == want
+
+
+def test_batch_dataflow_no_cartesian_single_key_exchange(spark):
+    """plan_batch's dataflow: every join is keyed on the SCD key (no
+    cartesian/BNLJ), and the current-state window + collapse window +
+    both joins all hash-partition on that one key."""
+    batch = _df(spark, [(1, "a", _ts(1))])
+    stored = spark.createDataFrame(
+        [], scd2._schema("user_id", "event_type", "ts", "event_id")
+    )
+    surviving, quarantined = scd2.plan_batch(batch, stored, 1)
+    for df in (surviving, quarantined):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        import re
+
+        keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+        assert keys <= {"user_id"}, keys
