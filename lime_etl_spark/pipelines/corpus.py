@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from lime_etl_spark.io.sinks import write_parquet_clustered
 from lime_etl_spark.io.sources import read_table
-from lime_etl_spark.ops import dedup, sampling, text
+from lime_etl_spark.ops import dedup, quality, sampling, text
 from lime_etl_spark.ops.text import token_count
 
 
@@ -53,6 +53,20 @@ def prepare_training_corpus(
     yields byte-identical artifacts.
     """
     docs = read_table(spark, sf_dir, "documents")
+
+    # 0. input contract: doc_id is the dedup/split/pack identity — a
+    # NULL or duplicated id silently corrupts every downstream stage,
+    # so the pipeline refuses such input instead of processing it
+    violations = (
+        quality.validate(docs, [quality.not_null("doc_id"), quality.unique("doc_id")])
+        .agg(F.sum("n_violations"))
+        .collect()[0][0]
+    )
+    if violations:
+        raise ValueError(
+            f"input contract violated: {violations} doc_id NULL/duplicate rows "
+            "(see ops.quality.validate on the documents table)"
+        )
     n_total = docs.count()
 
     # 1. filter verdicts — keep only 'keep'

@@ -154,3 +154,20 @@ def test_prepare_training_corpus_end_to_end(spark, sf_dir, tmp_path):
     t1 = sorted(map(tuple, train.collect()))
     t2 = sorted(map(tuple, spark.read.parquet(f"{out2}/train").collect()))
     assert t1 == t2
+
+
+def test_prepare_training_corpus_rejects_corrupt_input(spark, tmp_path):
+    """doc_id is the identity every stage keys on — a duplicated id
+    must stop the pipeline at the door, not corrupt dedup/split/pack."""
+    import pytest
+
+    from lime_etl_spark.pipelines.corpus import prepare_training_corpus
+
+    bad = spark.createDataFrame(
+        [(1, "alpha beta", "en", "web", 10), (1, "gamma delta", "en", "web", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    src = str(tmp_path / "src")
+    bad.coalesce(1).write.parquet(src + "/documents.parquet")
+    with pytest.raises(ValueError, match="input contract"):
+        prepare_training_corpus(spark, src, str(tmp_path / "out"))
