@@ -156,3 +156,28 @@ def validate(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+class QualityError(ValueError):
+    """A constraint gate failed; carries the per-rule violation counts."""
+
+    def __init__(self, failures: list[tuple[str, str, int]]):
+        self.failures = failures
+        detail = ", ".join(f"{rule}({col})={n}" for rule, col, n in failures)
+        super().__init__(f"quality gate failed: {detail}")
+
+
+def gate(df: DataFrame, rules: Sequence[Rule], max_violations: int = 0) -> DataFrame:
+    """Evaluate ``rules`` and RAISE (QualityError, with per-rule counts)
+    if any rule exceeds ``max_violations``; otherwise return ``df``
+    unchanged — the load-gate form of ``validate`` for pipelines.
+
+    The report is rules-many rows, so the collect is O(#rules)."""
+    failures = [
+        (r["rule"], r["column"], r["n_violations"])
+        for r in validate(df, rules).collect()
+        if r["n_violations"] > max_violations
+    ]
+    if failures:
+        raise QualityError(failures)
+    return df

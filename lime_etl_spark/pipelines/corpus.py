@@ -57,16 +57,7 @@ def prepare_training_corpus(
     # 0. input contract: doc_id is the dedup/split/pack identity — a
     # NULL or duplicated id silently corrupts every downstream stage,
     # so the pipeline refuses such input instead of processing it
-    violations = (
-        quality.validate(docs, [quality.not_null("doc_id"), quality.unique("doc_id")])
-        .agg(F.sum("n_violations"))
-        .collect()[0][0]
-    )
-    if violations:
-        raise ValueError(
-            f"input contract violated: {violations} doc_id NULL/duplicate rows "
-            "(see ops.quality.validate on the documents table)"
-        )
+    quality.gate(docs, [quality.not_null("doc_id"), quality.unique("doc_id")])
     n_total = docs.count()
 
     # 1. filter verdicts — keep only 'keep'

@@ -169,5 +169,5 @@ def test_prepare_training_corpus_rejects_corrupt_input(spark, tmp_path):
     )
     src = str(tmp_path / "src")
     bad.coalesce(1).write.parquet(src + "/documents.parquet")
-    with pytest.raises(ValueError, match="input contract"):
+    with pytest.raises(ValueError, match="quality gate failed"):
         prepare_training_corpus(spark, src, str(tmp_path / "out"))

@@ -58,3 +58,14 @@ def test_foreign_key_orphans(spark):
     dim = spark.createDataFrame([(1,), (2,)], "id long")
     got = _report(facts, [Q.foreign_key("fk", dim, "id")])
     assert got[("foreign_key", "fk")] == 1  # 9 is orphaned; NULL exempt
+
+
+def test_gate_passes_clean_and_raises_with_counts(spark):
+    import pytest
+
+    clean = spark.createDataFrame([(1,), (2,)], "k long")
+    assert Q.gate(clean, [Q.not_null("k"), Q.unique("k")]) is clean
+    dirty = spark.createDataFrame([(1,), (1,), (None,)], "k long")
+    with pytest.raises(Q.QualityError) as exc:
+        Q.gate(dirty, [Q.not_null("k"), Q.unique("k")])
+    assert sorted(exc.value.failures) == [("not_null", "k", 1), ("unique", "k", 2)]
