@@ -201,10 +201,16 @@ def scd2_from_change_stream(
     engines order identically.
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
-    prev = F.lag(state_col).over(w)
+    # null-safe transition detection: lag(lit(1)) marks the key's first
+    # row (a NULL state can't fake it), eqNullSafe treats NULL as a
+    # real state — A → NULL → A yields three versions, not a silently
+    # erased NULL period
     changes = (
-        df.withColumn("__prev", prev)
-        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(state_col)))
+        df.withColumn("__first", F.lag(F.lit(1)).over(w).isNull())
+        .withColumn("__prev", F.lag(state_col).over(w))
+        .filter(
+            F.col("__first") | ~F.col("__prev").eqNullSafe(F.col(state_col))
+        )
         .select(key_col, state_col, ts_col, tiebreak_col)
     )
     w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)

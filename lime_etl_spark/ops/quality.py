@@ -86,39 +86,51 @@ def _row_violation(rule: Rule) -> Column:
     raise ValueError(f"not a row-level rule: {rule.kind}")
 
 
-def validate(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
+def validate(
+    df: DataFrame, rules: Sequence[Rule], with_row_count: bool = False
+) -> DataFrame:
     """Evaluate ``rules`` against ``df`` → (rule, column, n_violations).
 
     Row-level rules share one aggregate scan; each unique/foreign_key
     rule adds its own (unavoidable) keyed pass. Results are unioned —
     each leg is a 1-row (or tiny) aggregate, so the union is free.
+
+    ``with_row_count`` appends a ('row_count', '*', count(*)) report row
+    computed inside the SAME fused scan — pipelines that want both the
+    gate and a total (audit counts) pay one pass, not two.
     """
     legs: list[DataFrame] = []
     row_rules = [r for r in rules if r.kind in ("not_null", "accepted_values", "in_range")]
-    if row_rules:
-        agg = df.agg(
-            *[
-                F.sum(F.when(_row_violation(r), 1).otherwise(0))
-                .cast("bigint")
-                .alias(f"__v{i}")
-                for i, r in enumerate(row_rules)
-            ]
-        )
+    if row_rules or with_row_count:
+        # coalesce: a global sum over ZERO rows is NULL, and an empty
+        # table violates nothing
+        sums = [
+            F.coalesce(F.sum(F.when(_row_violation(r), 1).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias(f"__v{i}")
+            for i, r in enumerate(row_rules)
+        ]
+        entries = [
+            F.struct(
+                F.lit(r.kind).alias("rule"),
+                F.lit(r.column).alias("column"),
+                F.col(f"__v{i}").alias("n_violations"),
+            )
+            for i, r in enumerate(row_rules)
+        ]
+        if with_row_count:
+            sums.append(F.count(F.lit(1)).cast("bigint").alias("__rc"))
+            entries.append(
+                F.struct(
+                    F.lit("row_count").alias("rule"),
+                    F.lit("*").alias("column"),
+                    F.col("__rc").alias("n_violations"),
+                )
+            )
         legs.append(
-            agg.select(
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(r.kind).alias("rule"),
-                                F.lit(r.column).alias("column"),
-                                F.col(f"__v{i}").alias("n_violations"),
-                            )
-                            for i, r in enumerate(row_rules)
-                        ]
-                    )
-                ).alias("r")
-            ).select("r.*")
+            df.agg(*sums)
+            .select(F.explode(F.array(*entries)).alias("r"))
+            .select("r.*")
         )
     for r in rules:
         if r.kind == "unique":
@@ -152,6 +164,10 @@ def validate(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
                     "n_violations",
                 )
             )
+    if not legs:  # no rules at all: an empty report, not an IndexError
+        return df.sparkSession.createDataFrame(
+            [], "rule string, column string, n_violations bigint"
+        )
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
@@ -167,17 +183,29 @@ class QualityError(ValueError):
         super().__init__(f"quality gate failed: {detail}")
 
 
-def gate(df: DataFrame, rules: Sequence[Rule], max_violations: int = 0) -> DataFrame:
+def gate(
+    df: DataFrame,
+    rules: Sequence[Rule],
+    max_violations: int = 0,
+    with_row_count: bool = False,
+) -> DataFrame | int:
     """Evaluate ``rules`` and RAISE (QualityError, with per-rule counts)
     if any rule exceeds ``max_violations``; otherwise return ``df``
     unchanged — the load-gate form of ``validate`` for pipelines.
 
+    ``with_row_count=True`` returns count(*) instead of ``df`` — rides
+    the validate scan, so a pipeline that gates AND audits its input
+    size pays one pass (see pipelines/corpus.py).
+
     The report is rules-many rows, so the collect is O(#rules)."""
+    report = validate(df, rules, with_row_count=with_row_count).collect()
     failures = [
         (r["rule"], r["column"], r["n_violations"])
-        for r in validate(df, rules).collect()
-        if r["n_violations"] > max_violations
+        for r in report
+        if r["rule"] != "row_count" and r["n_violations"] > max_violations
     ]
     if failures:
         raise QualityError(failures)
+    if with_row_count:
+        return next(r["n_violations"] for r in report if r["rule"] == "row_count")
     return df

@@ -42,3 +42,17 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     except Exception:
         pass  # non-file sources: fall through to the conservative spread
     return df.repartition(target)
+
+
+def cleanup_dir_at_exit(path: str) -> None:
+    """Register ``path`` for recursive removal at interpreter exit.
+
+    For batchlike streaming runners that must return a LAZY DataFrame
+    over freshly written state parquet: the state cannot be deleted
+    before the caller collects, so deletion is deferred to atexit —
+    bounded leak within a process instead of an unbounded one across
+    processes."""
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)

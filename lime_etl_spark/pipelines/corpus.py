@@ -56,9 +56,13 @@ def prepare_training_corpus(
 
     # 0. input contract: doc_id is the dedup/split/pack identity — a
     # NULL or duplicated id silently corrupts every downstream stage,
-    # so the pipeline refuses such input instead of processing it
-    quality.gate(docs, [quality.not_null("doc_id"), quality.unique("doc_id")])
-    n_total = docs.count()
+    # so the pipeline refuses such input instead of processing it.
+    # with_row_count folds the audit total into the same scan.
+    n_total = quality.gate(
+        docs,
+        [quality.not_null("doc_id"), quality.unique("doc_id")],
+        with_row_count=True,
+    )
 
     # 1. filter verdicts — keep only 'keep'
     verdicts = text.filter_decisions(docs)

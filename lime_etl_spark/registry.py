@@ -4687,17 +4687,23 @@ def funnel_signup_view_purchase(spark, sf_dir):
     )
 
 
-@register(
-    "scd2_user_state_history",
-    oracle="""
+# Shared by scd2_user_state_history (batch rebuild) and
+# streaming_scd2_history (incremental maintenance): the two paths are
+# value-identical by construction, so they carry ONE oracle. The
+# marker/IS DISTINCT FROM pair mirrors the null-safe transition rule in
+# ops/behavior.scd2_from_change_stream (lag(lit(1)) first-row marker +
+# eqNullSafe) so a NULL state opens/closes versions like any other.
+_SCD2_HISTORY_ORACLE = """
     WITH o AS (
       SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev
+                                   ORDER BY ts, event_id) AS prev,
+             lag(1) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS marker
       FROM events),
     ch AS (
       SELECT user_id, event_type AS state, ts, event_id
-      FROM o WHERE prev IS NULL OR prev <> event_type)
+      FROM o WHERE marker IS NULL OR prev IS DISTINCT FROM event_type)
     SELECT user_id, state,
            ts AS valid_from,
            lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -4707,7 +4713,12 @@ def funnel_signup_view_purchase(spark, sf_dir):
            lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
              AS is_current
     FROM ch
-    """,
+    """
+
+
+@register(
+    "scd2_user_state_history",
+    oracle=_SCD2_HISTORY_ORACLE,
 )
 def scd2_user_state_history(spark, sf_dir):
     """SCD Type-2 history built from a change stream
@@ -4731,11 +4742,13 @@ def scd2_user_state_history(spark, sf_dir):
     WITH o AS (
       SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev
+                                   ORDER BY ts, event_id) AS prev,
+             lag(1) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS marker
       FROM events WHERE event_type <> 'purchase'),
     ch AS (
       SELECT user_id, event_type AS state, ts, event_id
-      FROM o WHERE prev IS NULL OR prev <> event_type),
+      FROM o WHERE marker IS NULL OR prev IS DISTINCT FROM event_type),
     hist AS (
       SELECT user_id, state, ts AS valid_from,
              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -4837,25 +4850,7 @@ def graph_pagerank_copurchase(spark, sf_dir):
 
 @register(
     "streaming_scd2_history",
-    oracle="""
-    WITH o AS (
-      SELECT user_id, event_type, ts, event_id,
-             lag(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev
-      FROM events),
-    ch AS (
-      SELECT user_id, event_type AS state, ts, event_id
-      FROM o WHERE prev IS NULL OR prev <> event_type)
-    SELECT user_id, state,
-           ts AS valid_from,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             AS valid_to,
-           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                AS BIGINT) AS version,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-             AS is_current
-    FROM ch
-    """,
+    oracle=_SCD2_HISTORY_ORACLE,
 )
 def streaming_scd2_history(spark, sf_dir):
     """Incremental SCD2 maintenance (streaming/scd2.py): the events

@@ -222,7 +222,10 @@ def run_ingest_batchlike(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     src = os.path.join(sf_dir, "documents.parquet")
+    from lime_etl_spark.ops.util import cleanup_dir_at_exit
+
     work = tempfile.mkdtemp(prefix=f"lime_ingest_{uuid.uuid4().hex[:8]}_")
+    cleanup_dir_at_exit(work)
     if os.path.isdir(src):
         # generated rehearsal SFs write the table AS a directory of part
         # files — exactly what the file stream source wants

@@ -55,10 +55,19 @@ def use_rocksdb_state_store(spark: SparkSession, enabled: bool = True) -> None:
         spark.conf.unset(key)
 
 
-def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = 8,
+) -> DataFrame:
     """File-source stream over a directory of events parquet files.
 
-    maxFilesPerTrigger bounds micro-batch size in continuous runs; the
+    ``max_files_per_trigger`` bounds micro-batch size in continuous
+    runs; pass None to drop the bound so an availableNow drain takes
+    the whole directory in ONE batch — required when draining a static
+    TABLE SNAPSHOT (part files are not time-ordered, so multi-batch
+    drains violate any consumer that assumes per-key monotone event
+    time across batches, e.g. streaming/scd2.py's CDC contract). The
     explicit schema is mandatory for streaming sources.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -107,17 +116,15 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
                 for f in schemas.EVENTS.fields
             ]
         )
-        raw = (
-            spark.readStream.schema(nanos_schema)
-            .option("maxFilesPerTrigger", 8)
-            .parquet(events_dir)
-        )
+        reader = spark.readStream.schema(nanos_schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        raw = reader.parquet(events_dir)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return (
-        spark.readStream.schema(schemas.EVENTS)
-        .option("maxFilesPerTrigger", 8)
-        .parquet(events_dir)
-    )
+    reader = spark.readStream.schema(schemas.EVENTS)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(events_dir)
 
 
 def tumbling_counts(events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes") -> DataFrame:

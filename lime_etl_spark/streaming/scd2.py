@@ -120,9 +120,14 @@ def plan_batch(
         ontime.withColumn("__seed", F.lit(False))
     )
     worder = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    # same null-safe transition rule as the batch operator (see
+    # ops/behavior.scd2_from_change_stream): first-row marker + <=>
     surviving = (
-        seeded.withColumn("__prev", F.lag(state_col).over(worder))
-        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(state_col)))
+        seeded.withColumn("__first", F.lag(F.lit(1)).over(worder).isNull())
+        .withColumn("__prev", F.lag(state_col).over(worder))
+        .filter(
+            F.col("__first") | ~F.col("__prev").eqNullSafe(F.col(state_col))
+        )
         .filter(~F.col("__seed"))
         .select(*cols)
     )
@@ -175,20 +180,19 @@ def history(
     tiebreak_col: str = "event_id",
 ) -> DataFrame:
     """Resolve the stored change-points into the full SCD2 history —
-    (key, state, valid_from, valid_to, version, is_current), identical
-    to ops/behavior.scd2_from_change_stream over the same changes."""
+    (key, state, valid_from, valid_to, version, is_current). Delegates
+    to ops/behavior.scd2_from_change_stream: stored change-points
+    already have pairwise-distinct consecutive states, so its collapse
+    is a no-op and the resolve math lives in exactly one place."""
+    from lime_etl_spark.ops import behavior
+
     schema = _schema(key_col, state_col, ts_col, tiebreak_col)
     changes = _read_or_empty(
         spark, os.path.join(state_dir, CHANGES_SUBDIR), schema
     )
-    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
-    return changes.select(
-        F.col(key_col),
-        F.col(state_col).alias("state"),
-        F.col(ts_col).alias("valid_from"),
-        F.lead(ts_col).over(w).alias("valid_to"),
-        F.row_number().over(w).cast("bigint").alias("version"),
-    ).withColumn("is_current", F.col("valid_to").isNull())
+    return behavior.scd2_from_change_stream(
+        changes, key_col, state_col, ts_col, tiebreak_col
+    )
 
 
 def maintain_scd2(
@@ -209,18 +213,31 @@ def maintain_scd2(
 
 def run_scd2_batchlike(spark: SparkSession, sf_dir: str) -> DataFrame:
     """registry.streaming_scd2_history body: drain the events fixture
-    through the maintainer in one availableNow pass (fresh state per
+    through the maintainer in ONE availableNow batch (fresh state per
     call) and return the resolved history. Stream-maintained state
     equals the batch rebuild, so this streaming operator carries the
-    SAME full value oracle as scd2_user_state_history."""
+    SAME full value oracle as scd2_user_state_history.
+
+    max_files_per_trigger=None is load-bearing: the fixture is a table
+    SNAPSHOT whose part files are not time-ordered, so a multi-file
+    drain split across micro-batches would violate the maintainer's
+    per-key monotone-time contract and mass-quarantine later batches
+    (regression-tested in test_streaming_scd2.py). Genuinely ordered
+    multi-batch CDC feeds are the tested multi-batch path."""
     import tempfile
     import uuid
 
+    from lime_etl_spark.ops.util import cleanup_dir_at_exit
     from lime_etl_spark.streaming.events import read_events_stream, stage_events_dir
 
     work = tempfile.mkdtemp(prefix=f"lime_scd2_{uuid.uuid4().hex[:8]}_")
+    cleanup_dir_at_exit(work)
     state = os.path.join(work, "state")
     ck = os.path.join(work, "ck")
-    q = maintain_scd2(read_events_stream(spark, stage_events_dir(sf_dir)), state, ck)
+    q = maintain_scd2(
+        read_events_stream(spark, stage_events_dir(sf_dir), max_files_per_trigger=None),
+        state,
+        ck,
+    )
     q.awaitTermination()
     return history(spark, state)

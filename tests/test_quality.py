@@ -69,3 +69,33 @@ def test_gate_passes_clean_and_raises_with_counts(spark):
     with pytest.raises(Q.QualityError) as exc:
         Q.gate(dirty, [Q.not_null("k"), Q.unique("k")])
     assert sorted(exc.value.failures) == [("not_null", "k", 1), ("unique", "k", 2)]
+
+
+def test_empty_table_passes_not_crashes(spark):
+    empty = spark.createDataFrame([], "k long, s string")
+    got = _report(empty, [Q.not_null("k"), Q.accepted_values("s", ["x"])])
+    assert got == {("not_null", "k"): 0, ("accepted_values", "s"): 0}
+    assert Q.gate(empty, [Q.not_null("k")]) is empty
+
+
+def test_empty_rules_empty_report(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    assert Q.validate(df, []).collect() == []
+    assert Q.gate(df, []) is df
+
+
+def test_with_row_count_rides_the_scan(spark):
+    df = spark.createDataFrame([(1,), (2,), (None,)], "k long")
+    got = _report(df, [Q.not_null("k")])
+    assert got == {("not_null", "k"): 1}
+    rows = {
+        (r["rule"], r["column"]): r["n_violations"]
+        for r in Q.validate(df, [Q.not_null("k")], with_row_count=True).collect()
+    }
+    assert rows[("row_count", "*")] == 3
+    import pytest
+
+    with pytest.raises(Q.QualityError):
+        Q.gate(df, [Q.not_null("k")], with_row_count=True)
+    clean = df.filter("k is not null")
+    assert Q.gate(clean, [Q.not_null("k")], with_row_count=True) == 2

@@ -129,3 +129,55 @@ def test_batch_dataflow_no_cartesian_single_key_exchange(spark):
 
         keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
         assert keys <= {"user_id"}, keys
+
+
+def test_multifile_snapshot_drains_in_one_batch(spark, sf_dir, tmp_path):
+    """Regression (review finding): a generated events dir has 16
+    unordered part files; with the default maxFilesPerTrigger=8 the
+    drain split into 2+ micro-batches whose time-interleaved rows mass-
+    quarantined. The batchlike runner must take a snapshot in ONE batch
+    and still equal the batch rebuild."""
+    from lime_etl_spark.io.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    multi = str(tmp_path / "events.parquet")
+    # 4 hash-scattered part files: consecutive event times land in
+    # different files, the exact layout that broke multi-batch drains
+    ev.repartition(4).write.parquet(multi)
+    got = sorted(
+        (r["user_id"], r["state"], r["valid_from"], r["valid_to"],
+         r["version"], r["is_current"])
+        for r in scd2.run_scd2_batchlike(spark, str(tmp_path)).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["state"], r["valid_from"], r["valid_to"],
+         r["version"], r["is_current"])
+        for r in behavior.scd2_from_change_stream(
+            ev, "user_id", "event_type", "ts", "event_id"
+        ).collect()
+    )
+    assert got == want
+
+
+def test_null_state_opens_and_closes_versions(spark, tmp_path):
+    """A NULL state is a real state: A -> NULL -> A is three versions
+    (null-safe transition rule), in both the batch operator and the
+    incremental maintainer."""
+    rows = [(1, "a", _ts(1)), (1, None, _ts(2)), (1, "a", _ts(3))]
+    batch_hist = behavior.scd2_from_change_stream(
+        _df(spark, rows), "user_id", "event_type", "ts", "event_id"
+    ).orderBy("version").collect()
+    assert [(r["state"], r["is_current"]) for r in batch_hist] == [
+        ("a", False), (None, False), ("a", True)
+    ]
+    state = str(tmp_path / "state")
+    scd2.process_batch(_df(spark, rows[:2]), 0, state)
+    scd2.process_batch(_df(spark, rows[2:]), 1, state)
+    inc = scd2.history(spark, state).orderBy("version").collect()
+    assert [(r["state"], r["is_current"]) for r in inc] == [
+        ("a", False), (None, False), ("a", True)
+    ]
+    # and a NULL -> NULL no-op across batches opens nothing
+    scd2.process_batch(_df(spark, [(1, None, _ts(4))]), 2, state)
+    scd2.process_batch(_df(spark, [(1, None, _ts(5))]), 3, state)
+    assert scd2.history(spark, state).count() == 4
