@@ -532,3 +532,78 @@ def vocabulary(
     return (
         joined.orderBy(F.col("term_freq").desc(), F.col("token").asc()).limit(top_k)
     )
+
+
+def pair_with(toks: Column) -> Column:
+    """Adjacent-pair array from a token array: zip_with over
+    (toks[:-1], toks[1:]) as 'left right' strings; < 2 tokens yields an
+    empty array (slice with length ≤ 0). Codegen CSE dedups the
+    repeated size()."""
+    head = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+    tail = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    return F.zip_with(head, tail, lambda x, y: F.concat(x, F.lit(" "), y))
+
+
+def bigrams(col: Column | str) -> Column:
+    """Adjacent-token bigram array from the standard tokenizer."""
+    c = F.col(col) if isinstance(col, str) else col
+    return pair_with(tokens(c))
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top collocations (adjacent-token pairs) by PMI ratio —
+    P(x,y) / (P(x)·P(y)) = n_xy·N / (n_x·n_y) — the tokenizer-building
+    view of a corpus (which word pairs behave as units). The ratio, not
+    its log, is reported: every factor is an exact count and the
+    expression is evaluated double-cast in the identical op order on
+    both engines, so values hash-compare bit-for-bit with NO libm
+    (log) cross-engine divergence in the gate.
+
+    Scale shape: one explode+groupBy for unigrams, one for bigrams
+    (map-side combined), two keyed joins of bigram rows against the
+    (much smaller) unigram table, a single-row total broadcast, and a
+    TakeOrdered top-k — no global sort, nothing quadratic. min_count
+    prunes the bigram tail BEFORE the joins.
+    """
+    base = df.select(tokens(text_col).alias("__t"))
+    uni = (
+        base.select(F.explode("__t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    total = uni.agg(F.sum("n_tok").cast("bigint").alias("n_total"))
+    bi = (
+        base.select(F.explode(pair_with(F.col("__t"))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+        .withColumn("left", F.split("bigram", " ")[0])
+        .withColumn("right", F.split("bigram", " ")[1])
+    )
+    joined = (
+        bi.join(uni.select(F.col("tok").alias("left"), F.col("n_tok").alias("n_left")), "left")
+        .join(uni.select(F.col("tok").alias("right"), F.col("n_tok").alias("n_right")), "right")
+        .crossJoin(F.broadcast(total))
+    )
+    # double-cast BEFORE multiplying: n_pair*N in int64 overflows at
+    # web-corpus scale (N² term); double is exact for counts < 2^53 and
+    # the two-multiply-one-divide order is pinned on both engines
+    ratio = (
+        F.col("n_pair").cast("double") * F.col("n_total").cast("double")
+    ) / (F.col("n_left").cast("double") * F.col("n_right").cast("double"))
+    return (
+        joined.select(
+            "bigram",
+            "n_pair",
+            F.col("n_left").cast("bigint").alias("n_left"),
+            F.col("n_right").cast("bigint").alias("n_right"),
+            ratio.alias("pmi_ratio"),
+        )
+        .orderBy(F.col("pmi_ratio").desc(), F.col("bigram").asc())
+        .limit(top_k)
+    )

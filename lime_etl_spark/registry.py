@@ -4922,3 +4922,42 @@ def quality_constraint_report(spark, sf_dir):
             Q.foreign_key("o_custkey", c, "c_custkey"),
         ],
     )
+
+
+@register(
+    "text_collocations",
+    oracle=f"""
+    WITH t AS (SELECT {_TOKS_CTE} AS toks FROM documents),
+    uni AS (
+      SELECT tok, count(*) AS n_tok
+      FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+    total AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n_total FROM uni),
+    bi AS (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS n_pair
+      FROM (
+        SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+        FROM t, (SELECT unnest(range(1, greatest(len(toks), 1))) AS i) g)
+      GROUP BY bigram HAVING count(*) >= 5)
+    SELECT b.bigram, b.n_pair,
+           CAST(l.n_tok AS BIGINT) AS n_left,
+           CAST(r.n_tok AS BIGINT) AS n_right,
+           (b.n_pair::DOUBLE * (SELECT n_total FROM total)::DOUBLE)
+             / (l.n_tok::DOUBLE * r.n_tok::DOUBLE) AS pmi_ratio
+    FROM bi b
+    JOIN uni l ON l.tok = split_part(b.bigram, ' ', 1)
+    JOIN uni r ON r.tok = split_part(b.bigram, ' ', 2)
+    ORDER BY pmi_ratio DESC, b.bigram
+    LIMIT 50
+    """,
+)
+def text_collocations(spark, sf_dir):
+    """Top-50 collocations by PMI ratio (ops/text.collocations):
+    n_xy*N/(n_x*n_y) over adjacent-token pairs — which word pairs act
+    as lexical units, the tokenizer/vocab-building view of the corpus.
+    The RATIO (not its log) is gated: every factor is an exact count
+    and both engines evaluate the identical two-multiply-one-divide
+    double expression, so values hash bit-for-bit with no libm
+    divergence. One explode+groupBy per n-gram order, min_count prunes
+    the bigram tail before the unigram joins, TakeOrdered top-k."""
+    docs = _tp(spark, sf_dir, "documents")
+    return text.collocations(docs, top_k=50, min_count=5)

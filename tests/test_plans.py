@@ -114,11 +114,13 @@ def test_no_cartesian_in_registry_except_ann(spark, sf_dir):
             # keys=[] = a GLOBAL aggregate feeds the broadcast: one row
             assert "keys=[]" in plan, name
             continue
-        if name == "graph_pagerank_copurchase":
-            # the scalar n_nodes count broadcasts into the init vector
-            # and each of the 3 unrolled iterations: 4 one-row BNLJs,
-            # every one fed by the same global aggregate (keys=[])
-            assert plan.count("BroadcastNestedLoopJoin") <= 4, name
+        # one-row scalar broadcasts (global aggregate, keys=[]):
+        # pagerank broadcasts n_nodes into the init vector + each of the
+        # 3 unrolled iterations; collocations broadcasts the corpus
+        # token total once
+        ONE_ROW_BNLJ = {"graph_pagerank_copurchase": 4, "text_collocations": 1}
+        if name in ONE_ROW_BNLJ:
+            assert plan.count("BroadcastNestedLoopJoin") <= ONE_ROW_BNLJ[name], name
             assert "keys=[]" in plan, name
             continue
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -804,3 +804,28 @@ def test_candidate_mode_ignores_df_cap(spark):
         df, threshold=0.5, max_docs_per_shingle=10, pairs=cand
     ).collect()
     assert {(r.id_a, r.id_b): r.jaccard for r in driven} == {(0, 2): 1.0, (1, 3): 1.0}
+
+
+def test_bigrams_edges(spark):
+    from lime_etl_spark.ops import text as T
+
+    df = spark.createDataFrame(
+        [("Hello, world! hello",), ("one",), ("",)], "text STRING"
+    )
+    got = [r.b for r in df.select(T.bigrams("text").alias("b")).collect()]
+    assert got == [["hello world", "world hello"], [], []]
+
+
+def test_collocations_ratio_math(spark):
+    from lime_etl_spark.ops import text as T
+
+    # 'a b' occurs 5x, tokens: a x5, b x5, c x5 -> N = 15
+    # pmi_ratio(a b) = 5*15/(5*5) = 3.0
+    df = spark.createDataFrame([("a b c",)] * 5, "text STRING")
+    rows = {
+        r["bigram"]: r
+        for r in T.collocations(df, top_k=10, min_count=5).collect()
+    }
+    assert rows["a b"]["n_pair"] == 5 and rows["a b"]["pmi_ratio"] == 3.0
+    assert rows["b c"]["pmi_ratio"] == 3.0
+    assert set(rows) == {"a b", "b c"}  # min_count prunes nothing else exists
