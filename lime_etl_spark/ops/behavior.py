@@ -90,6 +90,39 @@ def cohort_retention(
 # ---------------------------------------------------------------------------
 
 
+def _step_times(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    window_days: int | None,
+) -> tuple[DataFrame, list[str]]:
+    """One row per user with the earliest qualifying timestamp of each
+    ordered step (__t0..__tk, NULL where the user never reached it) —
+    the chained window mins over ONE reused partitionBy(user) exchange
+    that funnel() and funnel_latencies() both reduce over."""
+    w = Window.partitionBy(user_col)
+    df = events
+    ts = F.col(ts_col)
+    step_cols: list[str] = []
+    for i, s in enumerate(steps):
+        col = f"__t{i}"
+        cond = F.col(type_col) == F.lit(s)
+        if i > 0:
+            cond = cond & (ts > F.col(step_cols[i - 1]))
+            if window_days is not None:
+                cond = cond & (
+                    ts <= F.col(step_cols[0]) + F.expr(f"INTERVAL {window_days} DAYS")
+                )
+        df = df.withColumn(col, F.min(F.when(cond, ts)).over(w))
+        step_cols.append(col)
+    per_user = df.groupBy(user_col).agg(
+        *[F.first(c).alias(c) for c in step_cols]
+    )
+    return per_user, step_cols
+
+
 def funnel(
     events: DataFrame,
     steps: Sequence[str],
@@ -116,23 +149,8 @@ def funnel(
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
-    w = Window.partitionBy(user_col)
-    df = events
-    ts = F.col(ts_col)
-    step_cols: list[str] = []
-    for i, s in enumerate(steps):
-        col = f"__t{i}"
-        cond = F.col(type_col) == F.lit(s)
-        if i > 0:
-            cond = cond & (ts > F.col(step_cols[i - 1]))
-            if window_days is not None:
-                cond = cond & (
-                    ts <= F.col(step_cols[0]) + F.expr(f"INTERVAL {window_days} DAYS")
-                )
-        df = df.withColumn(col, F.min(F.when(cond, ts)).over(w))
-        step_cols.append(col)
-    per_user = df.groupBy(user_col).agg(
-        *[F.first(c).alias(c) for c in step_cols]
+    per_user, step_cols = _step_times(
+        events, steps, user_col, ts_col, type_col, window_days
     )
     counts = per_user.agg(
         *[
@@ -253,3 +271,48 @@ def point_in_time_join(
         F.col("h.state").alias("pit_state"),
         F.col("h.version").alias("pit_version"),
     )
+
+
+def funnel_latencies(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window_days: int | None = None,
+) -> DataFrame:
+    """Step-to-step conversion latency for the ordered funnel: for each
+    consecutive step pair, over users who completed the later step,
+    (n_converted, min/max/sum of the step gap in whole seconds).
+
+    Exactness contract: every output is integer arithmetic on epoch
+    micros (no float division), so the DuckDB twin matches bit-for-bit;
+    consumers derive averages/rates from (sum, n). Same single
+    user-key exchange as funnel() — the latency columns are one more
+    projection over the already-computed step timestamps.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel_latencies needs at least two steps")
+    per_user, step_cols = _step_times(
+        events, steps, user_col, ts_col, type_col, window_days
+    )
+    legs = []
+    for i in range(1, len(steps)):
+        # whole seconds via integer division — no float anywhere
+        gap = F.expr(
+            f"(unix_micros(__t{i}) - unix_micros(__t{i - 1})) div 1000000"
+        )
+        legs.append(
+            per_user.filter(F.col(step_cols[i]).isNotNull()).agg(
+                F.lit(f"{steps[i - 1]}->{steps[i]}").alias("transition"),
+                F.lit(i).cast("bigint").alias("step_idx"),
+                F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+                F.min(gap).alias("min_seconds"),
+                F.max(gap).alias("max_seconds"),
+                F.sum(gap).cast("bigint").alias("sum_seconds"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -4961,3 +4961,54 @@ def text_collocations(spark, sf_dir):
     the bigram tail before the unigram joins, TakeOrdered top-k."""
     docs = _tp(spark, sf_dir, "documents")
     return text.collocations(docs, top_k=50, min_count=5)
+
+
+@register(
+    "funnel_conversion_latency",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY 1),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'view' AND e.ts > t1.t
+        AND e.ts <= t1.t + INTERVAL 7 DAY
+      GROUP BY 1),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t
+        AND e.ts <= t1.t + INTERVAL 7 DAY
+      GROUP BY 1)
+    SELECT 'signup->view' AS transition, CAST(1 AS BIGINT) AS step_idx,
+           count(*) AS n_converted,
+           CAST(min((epoch_us(t2.t) - epoch_us(t1.t)) // 1000000) AS BIGINT)
+             AS min_seconds,
+           CAST(max((epoch_us(t2.t) - epoch_us(t1.t)) // 1000000) AS BIGINT)
+             AS max_seconds,
+           CAST(sum((epoch_us(t2.t) - epoch_us(t1.t)) // 1000000) AS BIGINT)
+             AS sum_seconds
+    FROM t2 JOIN t1 USING (user_id)
+    UNION ALL
+    SELECT 'view->purchase', 2, count(*),
+           CAST(min((epoch_us(t3.t) - epoch_us(t2.t)) // 1000000) AS BIGINT),
+           CAST(max((epoch_us(t3.t) - epoch_us(t2.t)) // 1000000) AS BIGINT),
+           CAST(sum((epoch_us(t3.t) - epoch_us(t2.t)) // 1000000) AS BIGINT)
+    FROM t3 JOIN t2 USING (user_id)
+    """,
+)
+def funnel_conversion_latency(spark, sf_dir):
+    """Step-to-step conversion latency for the signup→view→purchase
+    funnel (ops/behavior.funnel_latencies): per transition, converted
+    users and min/max/sum of the gap in WHOLE SECONDS — all integer
+    micros arithmetic, no float division, so the gate is exact.
+    Consumers derive average latency as sum/n. Same one-exchange
+    chained-window shape as the funnel itself."""
+    from lime_etl_spark.ops import behavior
+
+    ev = _t(spark, sf_dir, "events")
+    return behavior.funnel_latencies(
+        ev, ["signup", "view", "purchase"], window_days=7
+    )

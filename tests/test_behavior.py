@@ -247,3 +247,19 @@ def test_scd2_matches_python_reference(spark, raw):
         ).collect()
     )
     assert got == _py_scd2(rows)
+
+
+def test_funnel_latencies_exact_seconds(spark):
+    ev = _events(
+        spark,
+        [
+            (1, "a", _ts(1, 0)), (1, "b", _ts(1, 2)),       # 7200 s
+            (2, "a", _ts(1, 0)), (2, "b", _ts(2, 0)),       # 86400 s
+            (3, "a", _ts(1, 0)),                            # never converts
+        ],
+    )
+    rows = {r["transition"]: r for r in behavior.funnel_latencies(ev, ["a", "b"]).collect()}
+    r = rows["a->b"]
+    assert (r["n_converted"], r["min_seconds"], r["max_seconds"], r["sum_seconds"]) == (
+        2, 7200, 86400, 93600
+    )
