@@ -54,6 +54,30 @@ def _build_parser() -> argparse.ArgumentParser:
     prep.add_argument("--out", required=True, help="output directory")
     prep.add_argument("--budget", type=int, default=512, help="tokens per bin")
 
+    chk = sub.add_parser(
+        "check", help="run declarative constraint checks against a parquet table"
+    )
+    chk.add_argument("path", help="parquet file/dir to validate")
+    chk.add_argument("--not-null", default=None, help="comma-separated columns")
+    chk.add_argument("--unique", default=None, help="comma-separated columns")
+    chk.add_argument(
+        "--accepted",
+        action="append",
+        default=[],
+        metavar="COL=v1|v2|...",
+        help="accepted-values rule (repeatable)",
+    )
+    chk.add_argument(
+        "--range",
+        action="append",
+        default=[],
+        metavar="COL=lo:hi",
+        help="numeric range rule, empty bound = open (repeatable)",
+    )
+    chk.add_argument(
+        "--strict", action="store_true", help="exit 1 if any rule has violations"
+    )
+
     comp = sub.add_parser(
         "compact", help="compact a fragmented parquet directory in place"
     )
@@ -122,6 +146,36 @@ def main(argv: list[str] | None = None) -> int:
         for k, v in counts.items():
             print(f"{k:22s} {v}")
         return 0
+
+    if args.cmd == "check":
+        from lime_etl_spark.ops import quality as Q
+
+        rules = []
+        for c in (args.not_null or "").split(","):
+            if c:
+                rules.append(Q.not_null(c))
+        for c in (args.unique or "").split(","):
+            if c:
+                rules.append(Q.unique(c))
+        for spec in args.accepted:
+            col, _, vals = spec.partition("=")
+            rules.append(Q.accepted_values(col, vals.split("|")))
+        for spec in args.range:
+            col, _, bounds = spec.partition("=")
+            lo, _, hi = bounds.partition(":")
+            rules.append(
+                Q.in_range(col, float(lo) if lo else None, float(hi) if hi else None)
+            )
+        if not rules:
+            print("no rules given (see --help)", file=sys.stderr)
+            return 2
+        spark = get_spark("cli-check")
+        report = Q.validate(spark.read.parquet(args.path), rules).collect()
+        bad = 0
+        for r in report:
+            print(f"{r['rule']:16s} {r['column']:24s} {r['n_violations']}")
+            bad += r["n_violations"]
+        return 1 if (args.strict and bad) else 0
 
     if args.cmd == "compact":
         from lime_etl_spark.io.sinks import compact_parquet

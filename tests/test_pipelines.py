@@ -130,6 +130,15 @@ def test_cli_list_run_pipeline(spark, sf_dir, tmp_path, capsys, survey_json_path
     assert main(["pipeline", "nps", "--export", survey_json_path, "--out", pdest]) == 0
     assert spark.read.option("header", True).csv(pdest).count() > 0
 
+    orders = f"{sf_dir}/orders.parquet"
+    assert main(["check", orders, "--not-null", "o_custkey",
+                 "--unique", "o_orderkey", "--strict"]) == 0
+    assert "not_null" in capsys.readouterr().out
+    # a deliberately wrong whitelist must flip --strict to exit 1
+    assert main(["check", orders, "--accepted", "o_orderstatus=ZZZ",
+                 "--strict"]) == 1
+    assert main(["check", orders]) == 2  # no rules
+
 
 def test_prepare_training_corpus_end_to_end(spark, sf_dir, tmp_path):
     """Capstone pipeline: filter -> near-dedup -> span dedup -> redact
