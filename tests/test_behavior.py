@@ -263,3 +263,17 @@ def test_funnel_latencies_exact_seconds(spark):
     assert (r["n_converted"], r["min_seconds"], r["max_seconds"], r["sum_seconds"]) == (
         2, 7200, 86400, 93600
     )
+
+
+def test_scd2_single_key_exchange(spark, sf_dir):
+    """Both window passes (transition lag + resolve lead/row_number)
+    share ONE hash exchange on the key."""
+    from lime_etl_spark.io.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    plan = behavior.scd2_from_change_stream(
+        ev, "user_id", "event_type", "ts", "event_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1, plan
