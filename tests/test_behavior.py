@@ -277,3 +277,39 @@ def test_scd2_single_key_exchange(spark, sf_dir):
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1, plan
+
+
+def _py_cohort(rows):
+    from datetime import timedelta
+
+    def monday(d):
+        d = d.date()
+        return d - timedelta(days=d.weekday())
+
+    first = {}
+    for u, _, ts in rows:
+        if u not in first or ts < first[u]:
+            first[u] = ts
+    marked = {(monday(first[u]), (monday(ts) - monday(first[u])).days // 7, u)
+              for u, _, ts in rows}
+    from collections import Counter
+
+    active = Counter((cw, off) for cw, off, _ in marked)
+    sizes = {cw: n for (cw, off), n in active.items() if off == 0}
+    return {
+        (str(cw), off): (n, sizes[cw], round(n / sizes[cw], 6))
+        for (cw, off), n in active.items()
+    }
+
+
+@settings(max_examples=10, deadline=None)
+@given(_EV)
+def test_cohort_matches_python_reference(spark, raw):
+    rows = [(u, t, _ts(d, h)) for (u, t, d, h) in raw]
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): (
+            r["n_active"], r["n_cohort"], r["retention"]
+        )
+        for r in behavior.cohort_retention(_events(spark, rows)).collect()
+    }
+    assert got == _py_cohort(rows)
