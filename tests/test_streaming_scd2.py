@@ -181,3 +181,49 @@ def test_null_state_opens_and_closes_versions(spark, tmp_path):
     scd2.process_batch(_df(spark, [(1, None, _ts(4))]), 2, state)
     scd2.process_batch(_df(spark, [(1, None, _ts(5))]), 3, state)
     assert scd2.history(spark, state).count() == 4
+
+
+def test_ordered_multibatch_cdc_at_fixture_scale(spark, sf_dir, tmp_path):
+    """The REAL incremental path at fixture scale: the events table
+    sliced into four time-ordered CDC batches (per-key monotone across
+    batches, the documented contract) must reproduce the batch rebuild
+    exactly — including cross-boundary no-op suppression — with zero
+    quarantined rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.io.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 4
+    state = str(tmp_path / "state")
+    for i in range(4):
+        a = lo + span * i
+        b = hi if i == 3 else lo + span * (i + 1)
+        batch = ev.filter(
+            (F.col("ts") >= a) & (F.col("ts") <= b if i == 3 else F.col("ts") < b)
+        )
+        scd2.process_batch(batch, i, state)
+    got = sorted(
+        (r["user_id"], r["state"], r["valid_from"], r["valid_to"],
+         r["version"], r["is_current"])
+        for r in scd2.history(spark, state).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["state"], r["valid_from"], r["valid_to"],
+         r["version"], r["is_current"])
+        for r in behavior.scd2_from_change_stream(
+            ev, "user_id", "event_type", "ts", "event_id"
+        ).collect()
+    )
+    assert got == want
+    # zero quarantined rows: an all-empty quarantine write leaves no
+    # parquet part files (just _SUCCESS markers)
+    import glob
+
+    assert not glob.glob(
+        os.path.join(state, scd2.QUARANTINE_SUBDIR, "**", "*.parquet"),
+        recursive=True,
+    )
