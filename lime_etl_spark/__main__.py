@@ -78,6 +78,11 @@ def _build_parser() -> argparse.ArgumentParser:
         "--strict", action="store_true", help="exit 1 if any rule has violations"
     )
 
+    skw = sub.add_parser("skew", help="diagnose join/agg key skew in a parquet table")
+    skw.add_argument("path")
+    skw.add_argument("--keys", required=True, help="comma-separated key columns")
+    skw.add_argument("--top", type=int, default=20)
+
     comp = sub.add_parser(
         "compact", help="compact a fragmented parquet directory in place"
     )
@@ -176,6 +181,21 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{r['rule']:16s} {r['column']:24s} {r['n_violations']}")
             bad += r["n_violations"]
         return 1 if (args.strict and bad) else 0
+
+    if args.cmd == "skew":
+        from lime_etl_spark.tools import skew as SK
+
+        spark = get_spark("cli-skew")
+        keys = args.keys.split(",")
+        df = spark.read.parquet(args.path)
+        st = SK.skew_stats(df, keys)
+        print(
+            f"rows={st.n_rows} keys={st.n_keys} max_key_rows={st.max_key_rows} "
+            f"skew_factor={st.skew_factor:.2f} "
+            f"recommended_salt={st.recommended_salt()}"
+        )
+        SK.key_histogram(df, keys, top_k=args.top).show(args.top, truncate=False)
+        return 0
 
     if args.cmd == "compact":
         from lime_etl_spark.io.sinks import compact_parquet

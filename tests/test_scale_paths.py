@@ -354,3 +354,22 @@ def test_zordered_write_validates_bits_budget_at_entry(spark, tmp_path):
         df, str(tmp_path / "z_ok"), ["a", "b", "c", "d"], bits=15, n_files=1
     )
     assert spark.read.parquet(str(tmp_path / "z_ok")).count() == 10
+
+
+def test_skew_report_and_stats(spark):
+    from lime_etl_spark.tools import skew
+
+    rows = [(1,)] * 80 + [(2,)] * 15 + [(3,)] * 5
+    df = spark.createDataFrame(rows, "k long")
+    top = skew.key_histogram(df, ["k"], top_k=2).collect()
+    assert [(r["k"], r["n_rows"], r["share"]) for r in top] == [
+        (1, 80, 0.8), (2, 15, 0.15)
+    ]
+    st = skew.skew_stats(df, ["k"])
+    assert (st.n_rows, st.n_keys, st.max_key_rows) == (100, 3, 80)
+    assert abs(st.skew_factor - 80 / (100 / 3)) < 1e-9
+    assert st.recommended_salt(target_rows_per_task=10) == 8
+    assert st.recommended_salt() == 1  # tiny data: no salting
+    # plan: one hash aggregate on the key, top-k via TakeOrdered
+    plan = skew.key_histogram(df, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
