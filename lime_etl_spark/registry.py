@@ -5012,3 +5012,91 @@ def funnel_conversion_latency(spark, sf_dir):
     return behavior.funnel_latencies(
         ev, ["signup", "view", "purchase"], window_days=7
     )
+
+
+def _session_sql(etype: str, prefix: str) -> str:
+    """Sessionize-by-type CTE chain (4-DAY gap — activity episodes:
+    the fixture has ~one event per type per user every ~2.3 days, so a
+    30-min gap yields only single-point sessions and a vacuous overlap
+    join; same running-sum math as events_sessionized) yielding
+    {prefix}sess(user_id, {prefix}_session, {prefix}_start,
+    {prefix}_end)."""
+    p = prefix
+    return f"""
+    {p}f AS (SELECT user_id, ts, event_id FROM events
+             WHERE event_type = '{etype}'),
+    {p}o AS (SELECT user_id, ts, event_id,
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      AS prev
+             FROM {p}f),
+    {p}fl AS (SELECT *, CASE WHEN prev IS NULL
+                               OR epoch_us(ts) - epoch_us(prev) > 345600000000
+                             THEN 1 ELSE 0 END AS ns
+              FROM {p}o),
+    {p}s AS (SELECT user_id, ts,
+                    CAST(sum(ns) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                      AS sid
+             FROM {p}fl),
+    {p}sess AS (SELECT user_id, sid AS {p}_session,
+                       min(ts) AS {p}_start, max(ts) AS {p}_end
+                FROM {p}s GROUP BY 1, 2)"""
+
+
+@register(
+    "interval_join_click_view_sessions",
+    oracle="WITH "
+    + _session_sql("click", "c")
+    + ","
+    + _session_sql("view", "v")
+    + """
+    SELECT c.user_id, c.c_session, v.v_session,
+           c.c_start, c.c_end, v.v_start, v.v_end,
+           CAST((epoch_us(least(c.c_end, v.v_end))
+                 - epoch_us(greatest(c.c_start, v.v_start))) // 1000000
+                AS BIGINT) AS overlap_seconds
+    FROM csess c JOIN vsess v
+      ON c.user_id = v.user_id
+     AND c.c_start <= v.v_end AND v.v_start <= c.c_end
+    """,
+)
+def interval_join_click_view_sessions(spark, sf_dir):
+    """Interval-overlap join (analytics.interval_overlap_join): each
+    user's click sessions overlapped against their view sessions (both
+    30-min-gap sessionized), with exact integer overlap seconds. The
+    binned implementation joins on (user, hour-bucket) and emits each
+    pair once via the first-common-bucket rule — no per-key quadratic
+    interval cross, no dedup shuffle; the oracle is the plain overlap
+    join (tractable at fixture scale, quadratic per key in general)."""
+    from lime_etl_spark.ops import analytics
+
+    ev = _t(spark, sf_dir, "events")
+
+    def sessions(etype, p):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .withColumn(
+                "ns",
+                F.when(gap.isNull() | (gap > 345_600_000_000), 1).otherwise(0),
+            )
+            .withColumn("sid", F.sum("ns").over(wrun))
+            .groupBy("user_id", F.col("sid").alias(f"{p}_session"))
+            .agg(F.min("ts").alias(f"{p}_start"), F.max("ts").alias(f"{p}_end"))
+        )
+
+    return analytics.interval_overlap_join(
+        sessions("click", "c"),
+        sessions("view", "v"),
+        key="user_id",
+        l_id="c_session",
+        r_id="v_session",
+        l_start="c_start",
+        l_end="c_end",
+        r_start="v_start",
+        r_end="v_end",
+        bin_seconds=86400,
+    )

@@ -186,3 +186,38 @@ def test_table_diff_semantics_and_null_sentinel(spark):
 
     with pytest.raises(ValueError, match="compare_cols"):
         core.table_diff(old, new, "id", [])
+
+
+def test_interval_overlap_join_semantics(spark):
+    """Binned interval join: exactly-once emission across shared bins
+    (first-common-bin rule), closed-interval touching counts with
+    overlap 0, disjoint pairs drop, overlap seconds exact."""
+    from datetime import datetime
+
+    from lime_etl_spark.ops import analytics
+
+    def ts(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    left = spark.createDataFrame(
+        [(1, 10, ts(0), ts(10)),    # long: spans 11 one-hour bins
+         (1, 11, ts(20), ts(21)),
+         (2, 12, ts(0), ts(1))],
+        "k long, lid long, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, 20, ts(5), ts(6)),     # inside the long interval
+         (1, 21, ts(10), ts(12)),   # touches its end exactly
+         (1, 22, ts(22), ts(23)),   # disjoint from both
+         (2, 23, ts(0, 30), ts(2))],
+        "k long, rid long, rs timestamp, re timestamp",
+    )
+    out = analytics.interval_overlap_join(
+        left, right, "k", "lid", "rid", "ls", "le", "rs", "re", bin_seconds=3600
+    ).collect()
+    got = sorted((r["lid"], r["rid"], r["overlap_seconds"]) for r in out)
+    assert got == [
+        (10, 20, 3600),   # ts(5)-ts(6) fully inside -> 1h, emitted ONCE
+        (10, 21, 0),      # closed-interval touch at ts(10)
+        (12, 23, 1800),   # cross-key isolation: only k=2 with k=2
+    ]

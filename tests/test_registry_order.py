@@ -35,7 +35,7 @@ def test_primary_window_covers_every_category():
                   "embedding", "multimodal", "pivot", "unpivot", "profile",
                   "pipeline", "asof", "range", "split", "sample", "decontam",
                   "pack", "corpus", "collection", "zorder",
-                  "cohort", "funnel", "scd2", "graph", "quality"):
+                  "cohort", "funnel", "scd2", "graph", "quality", "interval"):
             if name == p or name.startswith(p + "_") or (p == "q" and name[1:2].isdigit()):
                 return p
         return name
@@ -70,6 +70,9 @@ def test_primary_window_covers_every_category():
         # constraint-check extra (profile_orders holds the in-window
         # data-quality slot): oracled + unit-tested (tests/test_quality.py)
         "quality",
+        # binned interval-overlap join: the joins family is in-window
+        # (range_join/asof); this is its beyond-survey overlap variant
+        "interval",
         # zorder_key_orders: beyond-survey scale extra (the write path is
         # gated by its own file-range test); window categories outrank it
         "zorder",
