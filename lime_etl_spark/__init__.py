@@ -5,7 +5,11 @@ reference ETL (pedrocarvalhodev/lime_etl: LimeSurvey JSON-RPC extract →
 flatten → relational clean → S3/warehouse load), widened into a full
 analytics engine: joins/aggregations/windows/set-ops, text analysis,
 exact & near-duplicate detection, embedding similarity search,
-multimodal column plumbing, and Structured Streaming over event logs.
+multimodal column plumbing, Structured Streaming over event logs
+(including incremental LSH dedup and MERGE-free SCD2 maintenance),
+behavioral analytics (cohorts, ordered funnels, point-in-time joins),
+integer-exact graph centrality, and declarative data-quality
+constraints.
 
 Design stance (SURVEY.md §7): lazy DataFrames end-to-end, declarative
 plans that Catalyst can optimize (pushdown, pruning, broadcast), no
