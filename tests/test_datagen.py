@@ -60,3 +60,23 @@ def test_scale_rehearsal_sf_dir_resolution(tmp_path):
     assert _sf_dir(0.001, str(tmp_path)) == "/root/testdata/sf0.001"
     assert _sf_dir(1.0, str(tmp_path)) == str(tmp_path / "sf1")
     assert _sf_dir(4.0, str(tmp_path)) == str(tmp_path / "sf4")
+
+
+def test_open_vocab_documents_deterministic_and_planted(spark):
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.tools import datagen
+
+    a = datagen.gen_documents_open(spark, 500)
+    b = datagen.gen_documents_open(spark, 500)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # vocabulary is open: far more distinct tokens than the fixture's 31
+    n_tokens = (
+        a.select(F.explode(F.split("text", " ")).alias("t"))
+        .select(F.countDistinct("t"))
+        .collect()[0][0]
+    )
+    assert n_tokens > 1000
+    # planted exact duplicates exist (hash%125==7 ids copy an earlier doc)
+    dup_texts = a.groupBy("text").count().filter("count > 1").count()
+    assert dup_texts > 0
