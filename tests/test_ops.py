@@ -221,3 +221,56 @@ def test_interval_overlap_join_semantics(spark):
         (10, 21, 0),      # closed-interval touch at ts(10)
         (12, 23, 1800),   # cross-key isolation: only k=2 with k=2
     ]
+
+
+def test_interval_overlap_join_matches_bruteforce_property(spark):
+    """Random intervals at several bin widths vs a quadratic Python
+    reference — exactly-once emission and exact overlap seconds must
+    hold regardless of how intervals straddle bucket boundaries."""
+    from datetime import datetime, timedelta
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lime_etl_spark.ops import analytics
+
+    base = datetime(2024, 1, 1)
+    iv = st.tuples(
+        st.integers(0, 2),            # key
+        st.integers(0, 5000),         # start minutes
+        st.integers(0, 600),          # duration minutes
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(iv, min_size=1, max_size=8), st.lists(iv, min_size=1, max_size=8),
+           st.sampled_from([60, 3600, 86400]))
+    def run(ls, rs, bin_seconds):
+        left = spark.createDataFrame(
+            [(k, i, base + timedelta(minutes=s), base + timedelta(minutes=s + d))
+             for i, (k, s, d) in enumerate(ls)],
+            "k long, lid long, ls timestamp, le timestamp",
+        )
+        right = spark.createDataFrame(
+            [(k, i, base + timedelta(minutes=s), base + timedelta(minutes=s + d))
+             for i, (k, s, d) in enumerate(rs)],
+            "k long, rid long, rs timestamp, re timestamp",
+        )
+        got = sorted(
+            (r["lid"], r["rid"], r["overlap_seconds"])
+            for r in analytics.interval_overlap_join(
+                left, right, "k", "lid", "rid", "ls", "le", "rs", "re",
+                bin_seconds=bin_seconds,
+            ).collect()
+        )
+        want = sorted(
+            (i, j, int((min(le, re) - max(lst, rst)).total_seconds()))
+            for i, (k1, s1, d1) in enumerate(ls)
+            for j, (k2, s2, d2) in enumerate(rs)
+            if k1 == k2
+            for lst, le in [(base + timedelta(minutes=s1), base + timedelta(minutes=s1 + d1))]
+            for rst, re in [(base + timedelta(minutes=s2), base + timedelta(minutes=s2 + d2))]
+            if lst <= re and rst <= le
+        )
+        assert got == want
+
+    run()
