@@ -152,6 +152,16 @@ def funnel(
     per_user, step_cols = _step_times(
         events, steps, user_col, ts_col, type_col, window_days
     )
+    return report_from_step_times(per_user, steps, step_cols)
+
+
+def report_from_step_times(
+    per_user: DataFrame, steps: Sequence[str], step_cols: Sequence[str]
+) -> DataFrame:
+    """Funnel report from a one-row-per-user step-time frame — shared by
+    the batch funnel and the streaming maintainer
+    (streaming/funnel.funnel_report), so counting and rate semantics
+    (NULL rates on dead steps, not ANSI DIVIDE_BY_ZERO) live once."""
     counts = per_user.agg(
         *[
             F.sum(F.when(F.col(c).isNotNull(), 1).otherwise(0))

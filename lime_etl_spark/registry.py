@@ -4631,9 +4631,10 @@ def cohort_weekly_retention(spark, sf_dir):
     return behavior.cohort_retention(ev)
 
 
-@register(
-    "funnel_signup_view_purchase",
-    oracle="""
+# Shared by funnel_signup_view_purchase (batch) and streaming_funnel
+# (incremental maintenance): single-batch snapshot drain == batch by
+# construction, so both carry ONE oracle.
+_FUNNEL_ORACLE = """
     WITH t1 AS (
       SELECT user_id, min(ts) AS t FROM events
       WHERE event_type = 'signup' GROUP BY 1),
@@ -4670,7 +4671,12 @@ def cohort_weekly_retention(spark, sf_dir):
            CASE WHEN n_prev <> 0
                 THEN round(n_users / n_prev::DOUBLE, 6) END AS pct_of_prev
     FROM annotated
-    """,
+    """
+
+
+@register(
+    "funnel_signup_view_purchase",
+    oracle=_FUNNEL_ORACLE,
 )
 def funnel_signup_view_purchase(spark, sf_dir):
     """Ordered 3-step funnel (ops/behavior.funnel): signup → first view
@@ -5100,3 +5106,20 @@ def interval_join_click_view_sessions(spark, sf_dir):
         r_end="v_end",
         bin_seconds=86400,
     )
+
+
+@register("streaming_funnel", oracle=_FUNNEL_ORACLE)
+def streaming_funnel(spark, sf_dir):
+    """Incremental funnel maintenance (streaming/funnel.py): per-user
+    chained step times kept as state and advanced per micro-batch —
+    exact under the per-key monotone event-time contract because a
+    later event can never lower an earliest-qualifying step time; the
+    stored vector replays through the SAME _step_times as the batch op
+    via one synthetic event per set step. Contract violations
+    quarantine. Single-batch snapshot drain == batch funnel, so this
+    STREAMING operator carries the batch query's full value oracle;
+    multi-batch equivalence and replay are pinned in
+    tests/test_streaming_funnel.py."""
+    from lime_etl_spark.streaming import funnel as sfunnel
+
+    return sfunnel.run_funnel_batchlike(spark, sf_dir)
