@@ -209,3 +209,96 @@ def gate(
     if with_row_count:
         return next(r["n_violations"] for r in report if r["rule"] == "row_count")
     return df
+
+
+def drift_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    column: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Distribution drift of a numeric column between two snapshots:
+    equal-width bins anchored on the REFERENCE min/max (plus one
+    underflow/overflow bin at each end for current-only mass), per-bin
+    counts from both sides, and the scaled total-variation distance.
+
+    Why TVD and not PSI/KL: those need ln(), whose last bits differ
+    across engines' libm; TVD over bin counts is computable in EXACT
+    integer cross-products — |n_ref_bin·N_cur − n_cur_bin·N_ref| sums
+    exactly in DECIMAL(38), and only the final normalization
+    (· 1/(2·N_ref·N_cur)) is one deterministic double division — so the
+    whole report is oracle-exact. tvd ∈ [0,1]: 0 = identical binned
+    distributions, 1 = disjoint.
+
+    Plan shape: one aggregate on ref for (lo, hi, N) broadcast as a
+    single row; one groupBy(bin) per side (map-side combined over
+    ≤ n_bins+2 keys); the join/union of the two tiny bin tables is
+    free. Two scans total — the minimum for a two-snapshot question.
+
+    Returns one row per occupied bin: (bin BIGINT, n_ref BIGINT,
+    n_cur BIGINT, tvd DOUBLE — the same total repeated per row so a
+    single-row consumer can filter bin = -1 … or read any row).
+    Bin -1 = underflow, n_bins = overflow (vs the ref range).
+    """
+    stats = ref.agg(
+        F.min(column).alias("__lo"),
+        F.max(column).alias("__hi"),
+        F.count(column).cast("bigint").alias("__nref"),
+    )
+
+    def binned(df, side):
+        width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+        raw = F.when(
+            F.col("__hi") == F.col("__lo"), F.lit(0)
+        ).otherwise(
+            F.floor((F.col(column) - F.col("__lo")) / width)
+        )
+        b = (
+            F.when(F.col(column) < F.col("__lo"), F.lit(-1))
+            .when(F.col(column) > F.col("__hi"), F.lit(n_bins))
+            .otherwise(F.least(raw, F.lit(n_bins - 1)))
+        )
+        return (
+            df.filter(F.col(column).isNotNull())
+            .crossJoin(F.broadcast(stats))
+            .select(b.cast("bigint").alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(f"n_{side}"))
+        )
+
+    r = binned(ref, "ref")
+    c = binned(cur, "cur")
+    joined = (
+        r.join(c, "bin", "full")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_ref").cast("decimal(38,0)").alias("__tr"),
+        F.sum("n_cur").cast("decimal(38,0)").alias("__tc"),
+    )
+    totals = (
+        joined.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("n_ref").cast("decimal(38,0)") * F.col("__tc")
+                    - F.col("n_cur").cast("decimal(38,0)") * F.col("__tr")
+                )
+            ).alias("__num"),
+            F.first("__tr").alias("__tr"),
+            F.first("__tc").alias("__tc"),
+        )
+    )
+    return joined.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        (
+            F.col("__num").cast("double")
+            / (F.lit(2.0) * F.col("__tr").cast("double") * F.col("__tc").cast("double"))
+        ).alias("tvd"),
+    )

@@ -5123,3 +5123,66 @@ def streaming_funnel(spark, sf_dir):
     from lime_etl_spark.streaming import funnel as sfunnel
 
     return sfunnel.run_funnel_batchlike(spark, sf_dir)
+
+
+@register(
+    "quality_drift_price",
+    oracle="""
+    WITH refv AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL),
+    curv AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL),
+    st AS (SELECT min(v) AS lo, max(v) AS hi FROM refv),
+    rb AS (
+      SELECT CASE WHEN v < lo THEN -1 WHEN v > hi THEN 10
+                  ELSE least(CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                                  ELSE CAST(floor((v - lo) / ((hi - lo) / 10.0))
+                                            AS BIGINT) END,
+                             CAST(9 AS BIGINT)) END AS bin
+      FROM refv, st),
+    cb AS (
+      SELECT CASE WHEN v < lo THEN -1 WHEN v > hi THEN 10
+                  ELSE least(CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                                  ELSE CAST(floor((v - lo) / ((hi - lo) / 10.0))
+                                            AS BIGINT) END,
+                             CAST(9 AS BIGINT)) END AS bin
+      FROM curv, st),
+    rc AS (SELECT bin, count(*) AS n_ref FROM rb GROUP BY 1),
+    cc AS (SELECT bin, count(*) AS n_cur FROM cb GROUP BY 1),
+    j AS (
+      SELECT coalesce(rc.bin, cc.bin) AS bin,
+             CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+             CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+      FROM rc FULL JOIN cc ON rc.bin = cc.bin),
+    tot AS (SELECT CAST(sum(n_ref) AS DECIMAL(38,0)) AS tr,
+                   CAST(sum(n_cur) AS DECIMAL(38,0)) AS tc
+            FROM j),
+    num AS (
+      SELECT CAST(sum(abs(CAST(n_ref AS DECIMAL(38,0)) * tc
+                          - CAST(n_cur AS DECIMAL(38,0)) * tr))
+                  AS DECIMAL(38,0)) AS nm,
+             any_value(tr) AS tr, any_value(tc) AS tc
+      FROM j, tot)
+    SELECT j.bin, j.n_ref, j.n_cur,
+           nm::DOUBLE / (2.0 * tr::DOUBLE * tc::DOUBLE) AS tvd
+    FROM j, num
+    """,
+)
+def quality_drift_price(spark, sf_dir):
+    """Distribution drift (ops/quality.drift_report): orders before vs
+    from 1998 bucketed into 10 equal-width o_totalprice bins anchored
+    on the reference min/max (+ under/overflow), with the
+    total-variation distance computed in EXACT integer cross-products
+    (|n_ref·N_cur − n_cur·N_ref| summed in DECIMAL(38)) — no ln() in
+    the gate, so unlike PSI/KL the drift stat is bit-exact across
+    engines; only the final normalization is one double division.
+    Two scans (one per snapshot), bin tables are ≤12 rows."""
+    from lime_etl_spark.ops import quality as Q
+
+    o = _t(spark, sf_dir, "orders")
+    split = F.lit("1998-01-01").cast("timestamp")
+    ref = o.filter(F.col("o_orderdate") < split)
+    cur = o.filter(F.col("o_orderdate") >= split)
+    return Q.drift_report(ref, cur, "o_totalprice", n_bins=10)

@@ -99,3 +99,38 @@ def test_with_row_count_rides_the_scan(spark):
         Q.gate(df, [Q.not_null("k")], with_row_count=True)
     clean = df.filter("k is not null")
     assert Q.gate(clean, [Q.not_null("k")], with_row_count=True) == 2
+
+
+def test_drift_report_exact_tvd(spark):
+    ref = spark.createDataFrame(
+        [(float(x),) for x in [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10]], "v double"
+    )
+    cur = spark.createDataFrame(
+        [(float(x),) for x in [5, 6, 7, 8, 9, 10, 11, 12, -3]], "v double"
+    )
+    rows = Q.drift_report(ref, cur, "v", n_bins=5).collect()
+    # hand-computed: p=[0,2/11,2/11,2/11,2/11,3/11,0] vs
+    # q=[1/9,0,0,1/9,2/9,3/9,2/9] -> TVD = 43/99
+    assert all(r["tvd"] == 43 / 99 for r in rows)
+    by_bin = {r["bin"]: (r["n_ref"], r["n_cur"]) for r in rows}
+    assert by_bin[-1] == (0, 1)      # current-only underflow
+    assert by_bin[5] == (0, 2)       # current-only overflow
+    assert by_bin[4] == (3, 3)       # hi endpoint clamps into the last bin
+
+
+def test_drift_identical_snapshots_zero(spark):
+    ref = spark.createDataFrame([(float(x),) for x in range(20)], "v double")
+    rows = Q.drift_report(ref, ref, "v", n_bins=4).collect()
+    assert rows and all(r["tvd"] == 0.0 for r in rows)
+
+
+def test_drift_degenerate_constant_column(spark):
+    ref = spark.createDataFrame([(1.0,), (1.0,)], "v double")
+    cur = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    by_bin = {
+        r["bin"]: (r["n_ref"], r["n_cur"], r["tvd"])
+        for r in Q.drift_report(ref, cur, "v", n_bins=5).collect()
+    }
+    # hi == lo: all in-range mass lands in bin 0; the 2.0 overflows
+    assert by_bin[0][:2] == (2, 1) and by_bin[5][:2] == (0, 1)
+    assert by_bin[0][2] == 0.5
