@@ -118,7 +118,17 @@ def test_no_cartesian_in_registry_except_ann(spark, sf_dir):
         # pagerank broadcasts n_nodes into the init vector + each of the
         # 3 unrolled iterations; collocations broadcasts the corpus
         # token total once
-        ONE_ROW_BNLJ = {"graph_pagerank_copurchase": 4, "text_collocations": 1}
+        ONE_ROW_BNLJ = {
+            "graph_pagerank_copurchase": 4,
+            "text_collocations": 1,
+            # drift: the ref stats row broadcasts into each side's
+            # binning and the totals row into the numerator + final
+            # projection; the pre-AQE plan repeats the binned subtrees
+            # under the tot/totals aggregates (8 BNLJ nodes), all of
+            # which are the SAME one-row keys=[] broadcasts — AQE
+            # dedups them via ReusedExchange at runtime
+            "quality_drift_price": 8,
+        }
         if name in ONE_ROW_BNLJ:
             assert plan.count("BroadcastNestedLoopJoin") <= ONE_ROW_BNLJ[name], name
             assert "keys=[]" in plan, name
