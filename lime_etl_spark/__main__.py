@@ -163,14 +163,24 @@ def main(argv: list[str] | None = None) -> int:
             if c:
                 rules.append(Q.unique(c))
         for spec in args.accepted:
-            col, _, vals = spec.partition("=")
+            col, eq, vals = spec.partition("=")
+            if not eq or not col or not vals:
+                print(f"bad --accepted spec {spec!r} (want COL=v1|v2|...)", file=sys.stderr)
+                return 2
             rules.append(Q.accepted_values(col, vals.split("|")))
         for spec in args.range:
-            col, _, bounds = spec.partition("=")
-            lo, _, hi = bounds.partition(":")
-            rules.append(
-                Q.in_range(col, float(lo) if lo else None, float(hi) if hi else None)
-            )
+            col, eq, bounds = spec.partition("=")
+            lo, colon, hi = bounds.partition(":")
+            if not eq or not col or not colon or not (lo or hi):
+                print(f"bad --range spec {spec!r} (want COL=lo:hi, empty bound = open)", file=sys.stderr)
+                return 2
+            try:
+                rules.append(
+                    Q.in_range(col, float(lo) if lo else None, float(hi) if hi else None)
+                )
+            except ValueError:
+                print(f"bad --range bounds in {spec!r}: not numeric", file=sys.stderr)
+                return 2
         if not rules:
             print("no rules given (see --help)", file=sys.stderr)
             return 2

@@ -228,7 +228,10 @@ def drift_report(
     exactly in DECIMAL(38), and only the final normalization
     (· 1/(2·N_ref·N_cur)) is one deterministic double division — so the
     whole report is oracle-exact. tvd ∈ [0,1]: 0 = identical binned
-    distributions, 1 = disjoint.
+    distributions, 1 = disjoint; NULL (not NaN) when either snapshot is
+    empty — there is no distribution to compare, and an explicit NULL
+    can't silently pass a ``tvd > threshold`` alert the way 0/0 NaN
+    would.
 
     Plan shape: one aggregate on ref for (lo, hi, N) broadcast as a
     single row; one groupBy(bin) per side (map-side combined over
@@ -297,8 +300,12 @@ def drift_report(
         "bin",
         "n_ref",
         "n_cur",
-        (
+        # an EMPTY snapshot has no distribution to compare against:
+        # tvd is explicitly NULL (documented undefined), never a 0/0 NaN
+        # that would silently pass a `tvd > threshold` alert
+        F.when(
+            (F.col("__tr") > 0) & (F.col("__tc") > 0),
             F.col("__num").cast("double")
-            / (F.lit(2.0) * F.col("__tr").cast("double") * F.col("__tc").cast("double"))
+            / (F.lit(2.0) * F.col("__tr").cast("double") * F.col("__tc").cast("double")),
         ).alias("tvd"),
     )

@@ -5069,12 +5069,14 @@ def _session_sql(etype: str, prefix: str) -> str:
 )
 def interval_join_click_view_sessions(spark, sf_dir):
     """Interval-overlap join (analytics.interval_overlap_join): each
-    user's click sessions overlapped against their view sessions (both
-    30-min-gap sessionized), with exact integer overlap seconds. The
-    binned implementation joins on (user, hour-bucket) and emits each
-    pair once via the first-common-bucket rule — no per-key quadratic
-    interval cross, no dedup shuffle; the oracle is the plain overlap
-    join (tractable at fixture scale, quadratic per key in general)."""
+    user's click activity episodes overlapped against their view
+    episodes (both 4-DAY-gap sessionized — see _session_sql: 30-min
+    gaps yield only single-point sessions at fixture density), with
+    exact integer overlap seconds. The binned implementation joins on
+    (user, day-bucket) and emits each pair once via the
+    first-common-bucket rule — no per-key quadratic interval cross, no
+    dedup shuffle; the oracle is the plain overlap join (tractable at
+    fixture scale, quadratic per key in general)."""
     from lime_etl_spark.ops import analytics
 
     ev = _t(spark, sf_dir, "events")
@@ -5166,7 +5168,8 @@ def streaming_funnel(spark, sf_dir):
              any_value(tr) AS tr, any_value(tc) AS tc
       FROM j, tot)
     SELECT j.bin, j.n_ref, j.n_cur,
-           nm::DOUBLE / (2.0 * tr::DOUBLE * tc::DOUBLE) AS tvd
+           CASE WHEN tr > 0 AND tc > 0
+                THEN nm::DOUBLE / (2.0 * tr::DOUBLE * tc::DOUBLE) END AS tvd
     FROM j, num
     """,
 )

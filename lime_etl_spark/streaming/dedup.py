@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from lime_etl_spark.io import sinks
+from lime_etl_spark.streaming.state import read_state_or_empty as _read_or_empty
 from lime_etl_spark.ops import dedup
 
 BANDS_SUBDIR = "bands"
@@ -54,17 +55,6 @@ DECISIONS_SUBDIR = "decisions"
 
 _BANDS_SCHEMA = "id bigint, band int, bkey string, ingest_batch bigint"
 _DOCS_SCHEMA = "doc_id bigint, text string, ingest_batch bigint"
-
-
-def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    """State read that tolerates the first-ever batch (no state yet).
-
-    Local-FS existence check; on a cluster the state dirs are created
-    once at pipeline setup and this branch never fires.
-    """
-    if os.path.isdir(path):
-        return spark.read.schema(schema).parquet(path)
-    return spark.createDataFrame([], schema)
 
 
 def process_batch(

@@ -41,6 +41,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from lime_etl_spark.io import sinks
 from lime_etl_spark.ops import behavior
+from lime_etl_spark.streaming.state import read_state_or_empty as _read_or_empty
 
 STATE_SUBDIR = "funnel_state"
 QUARANTINE_SUBDIR = "quarantine"
@@ -49,12 +50,6 @@ QUARANTINE_SUBDIR = "quarantine"
 def _state_schema(steps) -> str:
     cols = ", ".join(f"__t{i} timestamp" for i in range(len(steps)))
     return f"user_id bigint, {cols}, __hwm timestamp, ingest_batch bigint"
-
-
-def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    if os.path.isdir(path):
-        return spark.read.schema(schema).parquet(path)
-    return spark.createDataFrame([], schema)
 
 
 def current_state(
@@ -133,7 +128,23 @@ def process_batch(
     per_user, step_cols = behavior._step_times(
         union, steps, "user_id", "ts", "event_type", window_days
     )
-    hwm = union.groupBy("user_id").agg(F.max("ts").alias("__hwm"))
+    # high-water mark must NEVER regress: the stored hwm can exceed
+    # every retained timestamp (a non-qualifying event advances it but
+    # is not kept as state), and recomputing from union alone would
+    # lower it whenever a batch is fully quarantined — after which a
+    # contract-violating late event would be wrongly ACCEPTED and the
+    # stream would diverge from the batch funnel (caught by review
+    # repro; pinned in test_hwm_never_regresses_on_quarantined_batch)
+    batch_hwm = union.groupBy("user_id").agg(F.max("ts").alias("__bhwm"))
+    hwm = (
+        batch_hwm.join(bound, "user_id", "left")
+        .select(
+            "user_id",
+            F.greatest(
+                F.col("__bhwm"), F.coalesce("__hwm", F.col("__bhwm"))
+            ).alias("__hwm"),
+        )
+    )
     out = per_user.join(hwm, "user_id").select(
         "user_id", *step_cols, "__hwm"
     )

@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from lime_etl_spark.io import sinks
+from lime_etl_spark.streaming.state import read_state_or_empty as _read_or_empty
 
 CHANGES_SUBDIR = "changes"
 QUARANTINE_SUBDIR = "quarantine"
@@ -62,12 +63,6 @@ def _schema(key_col: str, state_col: str, ts_col: str, tiebreak_col: str) -> str
         f"{key_col} bigint, {state_col} string, {ts_col} timestamp, "
         f"{tiebreak_col} bigint, ingest_batch bigint"
     )
-
-
-def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    if os.path.isdir(path):
-        return spark.read.schema(schema).parquet(path)
-    return spark.createDataFrame([], schema)
 
 
 def plan_batch(

@@ -134,3 +134,10 @@ def test_drift_degenerate_constant_column(spark):
     # hi == lo: all in-range mass lands in bin 0; the 2.0 overflows
     assert by_bin[0][:2] == (2, 1) and by_bin[5][:2] == (0, 1)
     assert by_bin[0][2] == 0.5
+
+
+def test_drift_empty_snapshot_yields_null_not_nan(spark):
+    ref = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    empty = spark.createDataFrame([], "v double")
+    rows = Q.drift_report(ref, empty, "v", n_bins=4).collect()
+    assert rows and all(r["tvd"] is None for r in rows)

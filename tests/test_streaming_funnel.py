@@ -103,3 +103,24 @@ def test_streamed_fixture_equals_batch(spark, sf_dir):
         ).collect()
     )
     assert got == want
+
+
+def test_hwm_never_regresses_on_quarantined_batch(spark, tmp_path):
+    """Review repro: a non-qualifying event advances the high-water
+    mark without being retained as state; a later fully-quarantined
+    batch must not regress the hwm, or contract-violating events get
+    accepted and the stream diverges from the batch funnel."""
+    state = str(tmp_path / "s")
+    # c@day10 is a step TYPE but does not qualify (no b yet): hwm=day10
+    sfunnel.process_batch(
+        _df(spark, [(1, "a", _ts(1)), (1, "c", _ts(10))]), 0, state, STEPS
+    )
+    # everything late -> fully quarantined; hwm must STAY at day10
+    sfunnel.process_batch(_df(spark, [(1, "b", _ts(5))]), 1, state, STEPS)
+    st = sfunnel.current_state(spark, state, STEPS).collect()[0]
+    assert st["__hwm"] == _ts(10)
+    # so this contract violation also quarantines instead of setting t1
+    sfunnel.process_batch(_df(spark, [(1, "b", _ts(7))]), 2, state, STEPS)
+    assert _report(spark, state) == [(1, 1), (2, 0), (3, 0)]
+    quar = spark.read.parquet(os.path.join(state, sfunnel.QUARANTINE_SUBDIR))
+    assert quar.count() == 2
