@@ -164,7 +164,13 @@ def report_from_step_times(
     (NULL rates on dead steps, not ANSI DIVIDE_BY_ZERO) live once."""
     counts = per_user.agg(
         *[
-            F.sum(F.when(F.col(c).isNotNull(), 1).otherwise(0))
+            # coalesce: a global sum over ZERO rows is NULL, not 0 —
+            # an empty events table (or a funnel_report before any
+            # batch ran) must report n_users = 0 per step, matching
+            # the oracle's count(*) semantics (round-3 ADVICE)
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNotNull(), 1).otherwise(0)), F.lit(0)
+            )
             .cast("bigint")
             .alias(f"__n{i}")
             for i, c in enumerate(step_cols)

@@ -59,6 +59,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+_BYTE_SUFFIXES = {
+    "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_byte_conf(value, default: int = 134217728) -> int:
+    """Spark byte-conf parser (subset): ``134217728``, ``134217728b``,
+    ``128m``, ``1g`` … all valid human-set forms. Unparseable input
+    falls back to ``default`` — this helper only tunes a repartition
+    heuristic, so a bad conf string must not crash the query
+    (round-3 review: the old ``rstrip("b")`` threw on ``"128m"``)."""
+    s = str(value).strip().lower()
+    num = s.rstrip("bkmgt")
+    suffix = s[len(num):]
+    try:
+        return int(num) * _BYTE_SUFFIXES.get(suffix or "b", 1)
+    except ValueError:
+        return default
+
+
 def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """read_table, repartitioned when the scan cannot parallelize.
 
@@ -72,8 +93,8 @@ def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     df = read_table(spark, sf_dir, name)
     par = spark.sparkContext.defaultParallelism
-    max_bytes = int(
-        str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")).rstrip("b")
+    max_bytes = _parse_byte_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     )
     try:
         size = _os.path.getsize(_os.path.join(sf_dir, f"{name}.parquet"))

@@ -18,7 +18,8 @@ reproduces the batch computation over the full history: the stored
 (t1..tk) vector, replayed as one synthetic event per set step, drives
 ops/behavior._step_times to the identical chain (proved by the
 equivalence tests). Events that violate the contract (ts <= the user's
-high-water mark) are quarantined loudly, mirroring scd2.
+high-water mark) are quarantined loudly; scd2 persists the identical
+per-key ``__hwm`` guard in its ``hwm`` sidecar.
 
 State model (same idempotency design as streaming/scd2.py):
 - one row per (user, batch): the step-time vector + high-water mark,

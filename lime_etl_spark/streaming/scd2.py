@@ -26,12 +26,19 @@ append-only:
    keep only surviving batch rows. A no-op update (state equal to the
    key's current state) therefore opens no version, across batch
    boundaries, by construction.
-4. Late data: a batch row with ts <= the key's current valid_from
-   cannot be applied append-only (it would belong in the middle of the
-   resolved history); such rows land in a ``quarantine`` partition
-   with the conflict bound attached — loud, replayable, and the
-   documented contract is the usual CDC one (per-key monotone event
-   time across batches).
+4. Late data: a batch row with ts <= the key's high-water mark (the
+   max event time ever observed for the key, INCLUDING collapsed no-op
+   updates that stored no change-point) cannot be applied append-only;
+   such rows land in a ``quarantine`` partition with the conflict
+   bound attached — loud, replayable, and the documented contract is
+   the usual CDC one (per-key monotone event time across batches).
+   The high-water mark is persisted per batch in an ``hwm`` sidecar
+   (same design as streaming/funnel.py's ``__hwm``): comparing against
+   the latest STORED change-point alone would silently accept an event
+   whose ts falls between the current valid_from and the true max-seen
+   ts after a collapsed no-op advanced observed time (round-3 review
+   finding), and the maintained history would diverge from the batch
+   rebuild.
 
 Scale posture: the state read is pruned to the batch's keys
 (left_semi on the batch key set) before the latest-change-point window
@@ -56,6 +63,7 @@ from lime_etl_spark.streaming.state import read_state_or_empty as _read_or_empty
 
 CHANGES_SUBDIR = "changes"
 QUARANTINE_SUBDIR = "quarantine"
+HWM_SUBDIR = "hwm"
 
 
 def _schema(key_col: str, state_col: str, ts_col: str, tiebreak_col: str) -> str:
@@ -63,6 +71,10 @@ def _schema(key_col: str, state_col: str, ts_col: str, tiebreak_col: str) -> str
         f"{key_col} bigint, {state_col} string, {ts_col} timestamp, "
         f"{tiebreak_col} bigint, ingest_batch bigint"
     )
+
+
+def _hwm_schema(key_col: str) -> str:
+    return f"{key_col} bigint, __hwm timestamp, ingest_batch bigint"
 
 
 def plan_batch(
@@ -73,12 +85,19 @@ def plan_batch(
     state_col: str = "event_type",
     ts_col: str = "ts",
     tiebreak_col: str = "event_id",
-) -> tuple[DataFrame, DataFrame]:
+    stored_hwm: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Pure dataflow of one micro-batch: (surviving change-points,
-    quarantined late rows), both lazy — process_batch writes them, and
-    the plan-shape tests audit them without running a stream."""
+    quarantined late rows, updated per-key high-water marks), all lazy
+    — process_batch writes them, and the plan-shape tests audit them
+    without running a stream. ``stored_hwm`` is the hwm sidecar
+    (``_hwm_schema``); None means no sidecar exists yet, in which case
+    the guard degrades to the latest stored change-point's valid_from
+    (the pre-round-4 behavior, also the upgrade path for state written
+    before the sidecar existed)."""
     cols = [key_col, state_col, ts_col, tiebreak_col]
     new = batch.select(*cols)
+    keys = new.select(key_col).distinct()
 
     # prune state to the batch's keys, then keep each key's latest
     # change-point. Only batches BEFORE this one count: micro-batch ids
@@ -91,20 +110,42 @@ def plan_batch(
     )
     current = (
         stored.filter(F.col("ingest_batch") < batch_id)
-        .join(new.select(key_col).distinct(), key_col, "left_semi")
+        .join(keys, key_col, "left_semi")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(*cols)
     )
 
+    # per-key quarantine bound = high-water mark: max event time ever
+    # OBSERVED, including collapsed no-ops that stored no change-point.
+    # Latest sidecar row per key (pruned to the batch's keys, batches
+    # before this one only — replay purity, same as `current`), then
+    # greatest() with the current valid_from so legacy state without a
+    # sidecar still gets the old (weaker) guard.
+    if stored_hwm is None:
+        stored_hwm = batch.sparkSession.createDataFrame([], _hwm_schema(key_col))
+    wh = Window.partitionBy(key_col).orderBy(F.col("ingest_batch").desc())
+    hwm_cur = (
+        stored_hwm.filter(F.col("ingest_batch") < batch_id)
+        .join(keys, key_col, "left_semi")
+        .withColumn("__rn", F.row_number().over(wh))
+        .filter(F.col("__rn") == 1)
+        .select(key_col, "__hwm")
+    )
+    bound = (
+        current.select(key_col, F.col(ts_col).alias("__cur_from"))
+        .join(hwm_cur, key_col, "full_outer")
+        # greatest() skips NULLs: either side alone is a valid bound
+        .select(key_col, F.greatest("__hwm", "__cur_from").alias("__bound"))
+    )
+
     # late data: can't be applied append-only — quarantine, loudly
-    bound = current.select(key_col, F.col(ts_col).alias("__cur_from"))
     flagged = new.join(bound, key_col, "left")
     late = flagged.filter(
-        F.col("__cur_from").isNotNull() & (F.col(ts_col) <= F.col("__cur_from"))
+        F.col("__bound").isNotNull() & (F.col(ts_col) <= F.col("__bound"))
     )
     ontime = flagged.filter(
-        F.col("__cur_from").isNull() | (F.col(ts_col) > F.col("__cur_from"))
+        F.col("__bound").isNull() | (F.col(ts_col) > F.col("__bound"))
     ).select(*cols)
 
     # collapse = the batch operator's own rule over [current ⊎ batch]:
@@ -127,9 +168,18 @@ def plan_batch(
         .select(*cols)
     )
     quarantined = late.select(
-        *cols, F.col("__cur_from").alias("conflicts_with_valid_from")
+        *cols, F.col("__bound").alias("conflicts_with_hwm")
     )
-    return surviving, quarantined
+    # hwm advance: max ontime ts per key, never regressing below the
+    # prior bound (a fully-quarantined key emits no row at all — its
+    # prior sidecar row stays latest, mirroring funnel.py's guarantee)
+    hwm_out = (
+        ontime.groupBy(key_col)
+        .agg(F.max(ts_col).alias("__bmax"))
+        .join(bound, key_col, "left")
+        .select(key_col, F.greatest("__bmax", "__bound").alias("__hwm"))
+    )
+    return surviving, quarantined, hwm_out
 
 
 def process_batch(
@@ -150,8 +200,12 @@ def process_batch(
     spark = batch.sparkSession
     schema = _schema(key_col, state_col, ts_col, tiebreak_col)
     stored = _read_or_empty(spark, os.path.join(state_dir, CHANGES_SUBDIR), schema)
-    surviving, quarantined = plan_batch(
-        batch, stored, batch_id, key_col, state_col, ts_col, tiebreak_col
+    stored_hwm = _read_or_empty(
+        spark, os.path.join(state_dir, HWM_SUBDIR), _hwm_schema(key_col)
+    )
+    surviving, quarantined, hwm_out = plan_batch(
+        batch, stored, batch_id, key_col, state_col, ts_col, tiebreak_col,
+        stored_hwm=stored_hwm,
     )
 
     sinks.idempotent_reload(
@@ -162,6 +216,11 @@ def process_batch(
     sinks.idempotent_reload(
         quarantined.withColumn("ingest_batch", F.lit(batch_id)),
         os.path.join(state_dir, QUARANTINE_SUBDIR),
+        "ingest_batch",
+    )
+    sinks.idempotent_reload(
+        hwm_out.withColumn("ingest_batch", F.lit(batch_id)),
+        os.path.join(state_dir, HWM_SUBDIR),
         "ingest_batch",
     )
 

@@ -36,6 +36,17 @@ def test_funnel_requires_strict_order(spark):
     assert out == {"a": 3, "b": 1}
 
 
+def test_funnel_empty_input_reports_zero_counts(spark):
+    """Round-3 ADVICE: a global sum over zero rows is NULL — an empty
+    events table (or funnel_report before any batch) must report
+    n_users = 0 per step, with NULL rates via the denominator guard."""
+    ev = _events(spark, [])
+    rows = behavior.funnel(ev, ["a", "b"]).orderBy("step_idx").collect()
+    assert [(r["step"], r["n_users"]) for r in rows] == [("a", 0), ("b", 0)]
+    assert all(r["pct_of_first"] is None for r in rows)
+    assert all(r["pct_of_prev"] is None for r in rows)
+
+
 def test_funnel_window_bound_excludes_late_steps(spark):
     ev = _events(
         spark,

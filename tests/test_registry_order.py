@@ -84,3 +84,24 @@ def test_oracle_sql_matches_queries_keys():
     assert set(os_) <= set(qs)
     for name in PRIMARY_QUERIES:
         assert name in os_
+
+
+def test_parse_byte_conf_accepts_spark_forms():
+    """Round-3 review: `int(str(conf).rstrip("b"))` threw on a
+    human-set suffixed form like "128m". The parser must accept every
+    common Spark byte-conf spelling and fall back to the default on
+    garbage rather than crash a repartition heuristic."""
+    from lime_etl_spark.registry import _parse_byte_conf as p
+
+    assert p("134217728") == 134217728
+    assert p("134217728b") == 134217728
+    assert p("128m") == 128 << 20
+    assert p("128mb") == 128 << 20
+    assert p("64k") == 64 << 10
+    assert p("1g") == 1 << 30
+    assert p("1gb") == 1 << 30
+    assert p("2t") == 2 << 40
+    assert p(" 128M ") == 128 << 20
+    assert p(134217728) == 134217728
+    assert p("not-a-size") == 134217728
+    assert p("not-a-size", default=42) == 42

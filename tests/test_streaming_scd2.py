@@ -93,7 +93,48 @@ def test_late_rows_quarantined_not_applied(spark, tmp_path):
     quar = spark.read.parquet(os.path.join(state, scd2.QUARANTINE_SUBDIR))
     q = quar.collect()
     assert len(q) == 1 and q[0]["event_type"] == "b"
-    assert q[0]["conflicts_with_valid_from"] == _ts(5)
+    assert q[0]["conflicts_with_hwm"] == _ts(5)
+
+
+def test_collapsed_noop_advances_quarantine_bound(spark, tmp_path):
+    """Round-3 ADVICE repro: a collapsed no-op update stores no change-
+    point but DOES advance the key's observed event time. An event with
+    ts between the current valid_from and the true max-seen ts must be
+    quarantined (persisted __hwm sidecar), not silently applied — the
+    old valid_from-only guard accepted it and the maintained history
+    diverged from the batch rebuild (A@10, no-op A@20, B@15 → stream
+    said A,B; batch rebuild of the full log says A alone survives to
+    B@15's quarantine)."""
+    state = str(tmp_path / "state")
+    scd2.process_batch(_df(spark, [(1, "a", _ts(10))]), 0, state)
+    # no-op: same state, later ts — opens no version, advances hwm
+    scd2.process_batch(_df(spark, [(1, "a", _ts(20))]), 1, state)
+    assert scd2.history(spark, state).count() == 1
+    # contract violation: ts(15) is after valid_from(10) but before the
+    # max-seen ts(20)
+    scd2.process_batch(_df(spark, [(1, "b", _ts(15))]), 2, state)
+    hist = scd2.history(spark, state).collect()
+    assert [(r["state"], r["is_current"]) for r in hist] == [("a", True)]
+    quar = spark.read.parquet(os.path.join(state, scd2.QUARANTINE_SUBDIR))
+    q = quar.collect()
+    assert len(q) == 1 and q[0]["event_type"] == "b"
+    assert q[0]["conflicts_with_hwm"] == _ts(20)
+    # hwm never regresses on a fully-quarantined batch: a second
+    # violation below the bound still quarantines (mirrors the funnel's
+    # test_hwm_never_regresses_on_quarantined_batch)
+    scd2.process_batch(_df(spark, [(1, "b", _ts(18))]), 3, state)
+    assert scd2.history(spark, state).count() == 1
+    assert (
+        spark.read.parquet(os.path.join(state, scd2.QUARANTINE_SUBDIR)).count()
+        == 2
+    )
+    # and an on-time event after the hwm is applied normally
+    scd2.process_batch(_df(spark, [(1, "b", _ts(25))]), 4, state)
+    hist = sorted(
+        (r["state"], r["is_current"])
+        for r in scd2.history(spark, state).collect()
+    )
+    assert hist == [("a", False), ("b", True)]
 
 
 def test_streamed_fixture_equals_batch_operator(spark, sf_dir):
@@ -120,8 +161,11 @@ def test_batch_dataflow_no_cartesian_single_key_exchange(spark):
     stored = spark.createDataFrame(
         [], scd2._schema("user_id", "event_type", "ts", "event_id")
     )
-    surviving, quarantined = scd2.plan_batch(batch, stored, 1)
-    for df in (surviving, quarantined):
+    hwm = spark.createDataFrame([], scd2._hwm_schema("user_id"))
+    surviving, quarantined, hwm_out = scd2.plan_batch(
+        batch, stored, 1, stored_hwm=hwm
+    )
+    for df in (surviving, quarantined, hwm_out):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
