@@ -136,6 +136,40 @@ def recommended_n_planes(n_vectors: int, per_bucket_budget: int = 1024) -> int:
     return max(1, math.ceil(math.log2(max(1.0, n_vectors / per_bucket_budget))))
 
 
+def recommended_n_clusters(
+    n_vectors: int, per_cell_budget: int = 1024, min_clusters: int = 4
+) -> int:
+    """How many IVF cells a corpus of ``n_vectors`` needs so each cell
+    holds ~``per_cell_budget`` vectors — the mirror of
+    ``recommended_n_planes`` for the k-means path (round-3 task).
+
+    Two forces bound it:
+    - cells must SHRINK with the corpus (search cost per query is
+      nprobe x cell size, and the cluster-id join key needs enough
+      cardinality to spread the shuffle) → k >= n / budget;
+    - training cost is n*k distance ops per Lloyd iteration and the
+      centroid matrix (k*dim doubles) rides every task closure, so k
+      must not grow linearly forever → cap at 4*sqrt(n) (the classic
+      IVF sizing rule; FAISS recommends 4*sqrt(n)..16*sqrt(n)).
+
+    1e9 vectors at the default budget → min(977k, 126k) = ~126k cells
+    of ~8k vectors: the closure stays ~64 MB at dim=64 and a query
+    probes nprobe*8k candidates. The registry fixture pins
+    n_clusters=16 explicitly because its DuckDB oracle unrolls the
+    k-means literals; production callers leave n_clusters=None and get
+    this sizing.
+    """
+    if n_vectors <= 0:
+        raise ValueError(f"n_vectors must be positive, got {n_vectors}")
+    if per_cell_budget <= 0:
+        raise ValueError(f"per_cell_budget must be positive, got {per_cell_budget}")
+    import math
+
+    by_budget = math.ceil(n_vectors / per_cell_budget)
+    cap = max(min_clusters, 4 * math.ceil(math.sqrt(n_vectors)))
+    return max(min_clusters, min(by_budget, cap))
+
+
 def with_lsh_bucket(
     df: DataFrame,
     dim: int,
@@ -579,7 +613,7 @@ def ivf_topk(
     candidates: DataFrame,
     dim: int,
     k: int = 5,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     nprobe: int = 4,
     n_iter: int = 5,
     id_col: str = "vec_id",
@@ -591,11 +625,15 @@ def ivf_topk(
 
     Scale posture: train cost is n_iter narrow passes + tiny shuffles;
     index assignment is one narrow Arrow pass; search shuffles on
-    cluster id. n_clusters must grow with the corpus (aim for
-    corpus/n_clusters ~ the per-cell candidate budget; 100 TB wants
-    k in the thousands so cells stay executor-sized and the cluster-id
-    join key has enough cardinality to spread).
+    cluster id. n_clusters must grow with the corpus so cells stay
+    executor-sized and the cluster-id join key has enough cardinality
+    to spread; the default (None) sizes it from the corpus count via
+    ``recommended_n_clusters`` — one count() scan, metadata-cheap on
+    parquet. Pass an explicit value to pin it (the registry fixture
+    pins 16 to match its unrolled SQL oracle).
     """
+    if n_clusters is None:
+        n_clusters = recommended_n_clusters(candidates.count())
     cents = kmeans_centroids_embeddings(
         candidates, dim, k=n_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     )

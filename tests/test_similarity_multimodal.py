@@ -331,3 +331,34 @@ def test_embedding_near_dup_bucketed_arrow_blocked_parity(spark, sf_dir):
         score_block_bytes=1 << 10,  # ~one a-row per block at any bucket size
     )
     assert sorted(map(tuple, jvm.collect())) == sorted(map(tuple, tiny.collect()))
+
+
+def test_recommended_n_clusters():
+    """IVF cell sizing (round-3 task): n/budget growth, 4*sqrt(n) cap
+    (training cost + closure size), floor, validation."""
+    import math
+
+    from lime_etl_spark.ops.similarity import recommended_n_clusters as rc
+
+    assert rc(100, 1024) == 4                 # floor: min_clusters
+    assert rc(100_000, 1024) == 98            # budget regime: ceil(n/budget)
+    assert rc(10**9, 1024) == 4 * math.ceil(math.sqrt(10**9))  # cap regime
+    assert rc(10**9, 1024) < math.ceil(10**9 / 1024)           # cap binds
+    # monotone non-decreasing in n
+    vals = [rc(n) for n in (10, 10**3, 10**5, 10**7, 10**9)]
+    assert vals == sorted(vals)
+    import pytest
+
+    with pytest.raises(ValueError):
+        rc(0)
+    with pytest.raises(ValueError):
+        rc(10, 0)
+
+
+def test_ivf_default_autosizes_clusters(spark, sf_dir):
+    """ivf_topk with n_clusters=None sizes cells from the corpus count
+    and still returns valid ranked neighbors."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    out = similarity.ivf_topk(queries, emb, dim=64, k=3).collect()
+    assert out and all(r.rank <= 3 and r.query_id != r.neighbor_id for r in out)
