@@ -126,12 +126,49 @@ def assert_scale_plans(spark, sdir: str) -> dict:
     return results
 
 
-def run(sfs: list[float], runs: int, workdir: str, queries: list[str] | None) -> dict:
-    from lime_etl_spark.registry import REGISTRY
+def _session(
+    app: str,
+    master: str | None,
+    driver_mem: str | None,
+    executor_mem: str | None = None,
+):
+    """Rehearsal session; ``master`` supports real multi-process runs
+    (``local-cluster[N,cores,mem_mb]`` — separate executor JVMs +
+    python workers, real serialization/broadcast transport, the closest
+    thing to a cluster a single host offers). Executors inherit this
+    process's env in local-cluster mode, but PYTHONPATH is pinned
+    explicitly so their python workers can import lime_etl_spark even
+    when the driver found it via sys.path manipulation."""
+    import lime_etl_spark
+
     from lime_etl_spark.session import get_spark
+
+    extra = {}
+    if master:
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(lime_etl_spark.__file__)))
+        extra["spark.executorEnv.PYTHONPATH"] = pkg_root
+        extra["spark.driver.memory"] = driver_mem or "8g"
+        # local-cluster's [n,cores,mem] triple is the WORKER's capacity;
+        # executors still launch with the spark.executor.memory default
+        # (1g) unless told otherwise — and die in GC at rehearsal SFs,
+        # relaunching in a loop (observed: 70+ executor incarnations)
+        extra["spark.executor.memory"] = executor_mem or "6g"
+    return get_spark(app, master=master, extra_conf=extra)
+
+
+def run(
+    sfs: list[float],
+    runs: int,
+    workdir: str,
+    queries: list[str] | None,
+    master: str | None = None,
+    driver_mem: str | None = None,
+    executor_mem: str | None = None,
+) -> dict:
+    from lime_etl_spark.registry import REGISTRY
     from lime_etl_spark.tools import datagen
 
-    spark = get_spark("scale-rehearsal")
+    spark = _session("scale-rehearsal", master, driver_mem, executor_mem)
     spark.sparkContext.setLogLevel("ERROR")
     # same JVM warmup as bench.py
     spark.range(1_000_000).selectExpr(
@@ -139,7 +176,7 @@ def run(sfs: list[float], runs: int, workdir: str, queries: list[str] | None) ->
     ).write.format("noop").mode("overwrite").save()
 
     names = queries or [n for n, q in REGISTRY.items() if q.headline]
-    out: dict = {"sfs": {}, "ratios": {}}
+    out: dict = {"master": spark.sparkContext.master, "sfs": {}, "ratios": {}}
     for sf in sorted(sfs):
         sdir = _sf_dir(sf, workdir)
         if not os.path.isdir(sdir):
@@ -183,12 +220,22 @@ def main() -> None:
         "--assert-plans", action="store_true",
         help="also run the skew/salted/exchange-reuse plan assertions at the LARGEST sf",
     )
+    ap.add_argument(
+        "--master", default=None,
+        help="e.g. local-cluster[4,8,8192] for a real multi-process rehearsal",
+    )
+    ap.add_argument("--driver-mem", default=None)
+    ap.add_argument("--executor-mem", default=None)
     args = ap.parse_args()
-    result = run(args.sfs, args.runs, args.workdir, args.queries)
+    result = run(
+        args.sfs, args.runs, args.workdir, args.queries,
+        master=args.master, driver_mem=args.driver_mem,
+        executor_mem=args.executor_mem,
+    )
     if args.assert_plans:
-        from lime_etl_spark.session import get_spark
-
-        spark = get_spark("scale-rehearsal-plans")
+        spark = _session(
+            "scale-rehearsal-plans", args.master, args.driver_mem, args.executor_mem
+        )
         spark.sparkContext.setLogLevel("ERROR")
         sdir = _sf_dir(max(args.sfs), args.workdir)
         result["plan_assertions"] = {f"sf{max(args.sfs):g}": assert_scale_plans(spark, sdir)}

@@ -1,0 +1,226 @@
+"""Continuous-trigger streaming soak: watermark-bounded state, observed.
+
+Every streaming gate in the registry drains its input with
+``availableNow`` (batch-like, one or few micro-batches) — correct for
+the oracle harness, but it never demonstrates the property the 100 TB
+deployment actually depends on: under a CONTINUOUS trigger with
+endless late-ish data, state-store rows/bytes must plateau at the
+watermark horizon instead of growing with the stream, and a
+foreachBatch maintainer's per-batch cost must stay flat as its
+accumulated corpus grows.
+
+Two soaks (both on the ``rate`` source — deterministic synthetic data,
+no files to stage):
+
+1. ``session_windows`` (real state-store op): events with event-time
+   lateness jitter up to 2x the watermark, so sessions merge, close,
+   and evict continuously; we poll ``StreamingQuery.lastProgress`` and
+   record per-batch state rows/bytes + the watermark's advance. Pass =
+   state rows in the final quarter grow <10% of the first quarter's
+   growth (plateau), with late rows actually dropped (the op's
+   numRowsDroppedByWatermark counter).
+
+2. ``dedup_on_ingest`` (foreachBatch incremental LSH dedup): a vocab
+   of N base documents repeats forever, so after N survivors the state
+   corpus plateaus and every later batch is ~all duplicates. Pass =
+   mean trigger duration in the final third within 2x of the first
+   third (per-batch cost bounded by batch size, not corpus size).
+
+CLI::
+
+    python -m lime_etl_spark.tools.streaming_soak --duration 180 \
+        --out /tmp/soak.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import tempfile
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def rate_events(spark: SparkSession, rows_per_sec: int) -> DataFrame:
+    """Synthetic event stream with UNBOUNDED key cardinality: the user
+    population rotates every ~7500 rows (a "generation" of 500 users
+    goes active, then permanently quiet), so total distinct users grows
+    without bound while watermark eviction keeps live state bounded —
+    a constant-population stream would plateau trivially with sessions
+    that never close. Event time is jittered 0-90 s behind arrival
+    (deterministic in ``value``) so a 45 s watermark sees both
+    in-order and too-late data."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_sec)
+        .load()
+        .select(
+            F.col("value").alias("event_id"),
+            (F.col("timestamp") - (F.col("value") % 90).cast("int") * F.expr("INTERVAL 1 SECOND")).alias("ts"),
+            (F.floor(F.col("value") / 7500) * 500 + F.col("value") % 500).alias("user_id"),
+            F.element_at(
+                F.array(*[F.lit(t) for t in ("click", "view", "purchase", "signup", "error")]),
+                (F.col("value") % 5 + 1).cast("int"),
+            ).alias("event_type"),
+            ((F.col("value") % 100) / 10.0).alias("value"),
+        )
+    )
+
+
+def rate_documents(spark: SparkSession, rows_per_sec: int, vocab_docs: int = 400) -> DataFrame:
+    """Synthetic document stream: ``vocab_docs`` base documents of 12
+    pseudo-words repeat forever — every occurrence after the first is
+    an exact duplicate, so the survivor corpus plateaus at
+    ``vocab_docs`` while input keeps flowing."""
+    base = F.col("value") % vocab_docs
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(11)),
+        lambda i: F.concat(F.lit("w"), ((base * 7 + i * 13) % 97).cast("string")),
+    )
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_sec)
+        .load()
+        .select(
+            F.col("value").alias("doc_id"),
+            F.array_join(words, " ").alias("text"),
+        )
+    )
+
+
+def _poll(q, deadline: float, poll_s: float = 2.0) -> list[dict]:
+    """Collect distinct lastProgress snapshots until the deadline."""
+    seen: dict[int, dict] = {}
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p:
+            seen[p["batchId"]] = p
+        time.sleep(poll_s)
+    return [seen[b] for b in sorted(seen)]
+
+
+def soak_session_windows(spark: SparkSession, duration_s: int) -> dict:
+    from lime_etl_spark.streaming.events import session_windows
+
+    ev = rate_events(spark, rows_per_sec=2000)
+    sess = session_windows(ev, gap="30 seconds", watermark="45 seconds")
+    work = tempfile.mkdtemp(prefix=f"lime_soak_{uuid.uuid4().hex[:8]}_")
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    try:
+        progresses = _poll(q, time.time() + duration_s)
+    finally:
+        q.stop()
+    batches = []
+    for p in progresses:
+        ops = p.get("stateOperators") or []
+        batches.append(
+            {
+                "batchId": p["batchId"],
+                "numInputRows": p.get("numInputRows"),
+                "stateRows": sum(o.get("numRowsTotal", 0) for o in ops),
+                "stateBytes": sum(o.get("memoryUsedBytes", 0) for o in ops),
+                "droppedByWatermark": sum(
+                    o.get("numRowsDroppedByWatermark", 0) for o in ops
+                ),
+                "watermark": (p.get("eventTime") or {}).get("watermark"),
+            }
+        )
+    rows = [b["stateRows"] for b in batches]
+    n = len(rows)
+    verdict: dict = {"batches": batches}
+    if n >= 8:
+        q1_growth = rows[n // 4] - rows[0]
+        q4_growth = rows[-1] - rows[3 * n // 4]
+        verdict["first_quarter_state_growth"] = q1_growth
+        verdict["final_quarter_state_growth"] = q4_growth
+        verdict["state_plateaued"] = q4_growth <= max(0.1 * max(q1_growth, 1), 0)
+        verdict["late_rows_dropped"] = sum(b["droppedByWatermark"] for b in batches) > 0
+    return verdict
+
+
+def soak_incremental_dedup(spark: SparkSession, duration_s: int) -> dict:
+    from lime_etl_spark.streaming.dedup import DOCS_SUBDIR, dedup_on_ingest
+
+    docs = rate_documents(spark, rows_per_sec=150)
+    work = tempfile.mkdtemp(prefix=f"lime_soak_{uuid.uuid4().hex[:8]}_")
+    state = os.path.join(work, "state")
+    q = dedup_on_ingest(
+        docs,
+        state,
+        os.path.join(work, "ck"),
+        threshold=0.5,
+        available_now=False,
+    )
+    # dedup_on_ingest's writer has no trigger set in continuous mode —
+    # micro-batches fire back-to-back, which IS the soak condition
+    try:
+        progresses = _poll(q, time.time() + duration_s)
+    finally:
+        q.stop()
+    batches = [
+        {
+            "batchId": p["batchId"],
+            "numInputRows": p.get("numInputRows"),
+            "triggerMs": (p.get("durationMs") or {}).get("triggerExecution"),
+        }
+        for p in progresses
+    ]
+    out: dict = {"batches": batches}
+    timed = [b for b in batches if b["triggerMs"] and b["numInputRows"]]
+    n = len(timed)
+    if n >= 6:
+        first = [b["triggerMs"] for b in timed[: n // 3]]
+        last = [b["triggerMs"] for b in timed[-(n // 3):]]
+        out["mean_trigger_ms_first_third"] = sum(first) / len(first)
+        out["mean_trigger_ms_final_third"] = sum(last) / len(last)
+        out["per_batch_cost_flat"] = (
+            out["mean_trigger_ms_final_third"]
+            <= 2.0 * out["mean_trigger_ms_first_third"]
+        )
+    try:
+        out["survivor_corpus_rows"] = (
+            spark.read.parquet(os.path.join(state, DOCS_SUBDIR)).count()
+        )
+    except Exception:
+        out["survivor_corpus_rows"] = None
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--duration", type=int, default=180, help="seconds per soak")
+    ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--which", nargs="*", default=["session_windows", "incremental_dedup"]
+    )
+    args = ap.parse_args()
+
+    from lime_etl_spark.session import get_spark
+
+    spark = get_spark("streaming-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    result: dict = {"duration_s": args.duration}
+    if "session_windows" in args.which:
+        result["session_windows"] = soak_session_windows(spark, args.duration)
+    if "incremental_dedup" in args.which:
+        result["incremental_dedup"] = soak_incremental_dedup(spark, args.duration)
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "w", encoding="utf-8") as fh:
+            fh.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
