@@ -152,8 +152,11 @@ def ngram_jaccard_pairs(
     - ``max_docs_per_shingle``: a stop-shingle shared by 1e5 docs would
       alone emit 1e10 pairs from the self-join. Shingles whose document
       frequency exceeds the cap are dropped from the similarity universe
-      (they carry ~no Jaccard signal); the Jaccard is then exact over
-      the capped universe, and the DuckDB oracle mirrors the same cap.
+      (they carry ~no Jaccard signal); common-shingle counts are then
+      exact over the capped universe while denominators use the TRUE
+      per-doc set sizes, so the reported score is a LOWER bound on true
+      Jaccard — the cap can hide pairs, never promote them. The DuckDB
+      oracle mirrors both choices (capped commons, uncapped sizes).
       The frequency count is a window over the same ``sh`` key the
       self-join shuffles on, so the cap adds no extra exchange
       (ReusedExchange). Applies ONLY to the self-join mode: in
@@ -232,13 +235,33 @@ def ngram_jaccard_pairs(
             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
-    # per-doc set sizes: derived from idx so both join builds share one
-    # canonical subplan (exchange reuse). Deliberately NOT broadcast-
-    # hinted: sizes has one row per document, which scales with the
-    # corpus — at 1e9 docs a forced broadcast is a ~16 GB OOM. AQE picks
-    # broadcast when the table is actually small and a shuffle join on
-    # the (linear-in-candidates) pair table otherwise.
-    sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # Per-doc set sizes come straight off the pre-explode base as
+    # size(__sh) — the TRUE distinct-shingle count — not a second
+    # aggregation of the exploded index. Two wins (round 4):
+    # 1. Plan: the old idx.groupBy("id") subtree re-ran tokenize +
+    #    explode + the df-cap window end to end — the sh exchange
+    #    reuses across the self-join's two sides but NOT across the
+    #    sizes aggregation (observed in the AQE final plan at sf0.1:
+    #    two full Generate+Window stages, the heaviest stages of the
+    #    query). size(__sh) is a narrow projection: no explode, no
+    #    window, no exchange.
+    # 2. Semantics: denominators over the CAPPED universe can INFLATE
+    #    similarity — two docs composed mostly of dropped stop-shingles
+    #    keep a few rare common shingles while both denominators
+    #    shrink. With true set sizes the capped score is a LOWER bound
+    #    on true Jaccard: the cap can only hide pairs, never promote
+    #    them. (The DuckDB oracles mirror this: sizes FROM the
+    #    uncapped dsh CTE.)
+    # Deliberately NOT broadcast-hinted: sizes has one row per
+    # document, which scales with the corpus — at 1e9 docs a forced
+    # broadcast is a ~16 GB OOM. AQE picks broadcast when the table is
+    # actually small and a shuffle join otherwise.
+    sizes_src = base if pairs is None else base.join(cand_docs, "id", "left_semi")
+    # cast: size() is INT; the published n_a/n_b columns are BIGINT
+    # (schema-compared against the oracle by the driver)
+    sizes = sizes_src.select(
+        "id", F.size("__sh").cast("bigint").alias("n_shingles")
+    )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
     return (

@@ -1088,13 +1088,15 @@ def dedup_exact_groups(spark, sf_dir):
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    -- stop-shingle cap mirror (ops/dedup.py MAX_DOCS_PER_SHINGLE)
+    -- stop-shingle cap mirror (ops/dedup.py MAX_DOCS_PER_SHINGLE):
+    -- commons counted over the CAPPED universe, denominators over the
+    -- TRUE sets (lower-bound semantics — see ngram_jaccard_pairs)
     dshc AS (
       SELECT doc_id, shingle FROM (
         SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
         FROM dsh)
       WHERE df <= {dedup.MAX_DOCS_PER_SHINGLE}),
-    sizes AS (SELECT doc_id, count(*) AS n FROM dshc GROUP BY doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
       FROM dshc a JOIN dshc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -3606,7 +3608,7 @@ _JACCARD_PAIRS_CTE = f"""
         SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
         FROM dsh)
       WHERE df <= {dedup.MAX_DOCS_PER_SHINGLE}),
-    sizes AS (SELECT doc_id, count(*) AS n FROM dshc GROUP BY doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
       FROM dshc a JOIN dshc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

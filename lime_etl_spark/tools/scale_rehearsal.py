@@ -122,7 +122,14 @@ def assert_scale_plans(spark, sdir: str) -> dict:
     df = REGISTRY["dedup_ngram_jaccard"].spark_fn(spark, sdir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    results["ngram_cap_reuses_exchange"] = plan.count("ReusedExchange") >= 3
+    final = plan.split("== Initial Plan ==")[0]
+    # one exploded-index subtree (sizes are narrow size(__sh) off the
+    # pre-explode base since round 4) + the cap's sh exchange reused
+    # across both self-join sides
+    results["ngram_cap_reuses_exchange"] = (
+        final.count("ReusedExchange") >= 2
+        and final.count("Generate explode") == 1
+    )
     return results
 
 

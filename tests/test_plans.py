@@ -215,18 +215,26 @@ def test_q2_q9_broadcast_dims_and_partial_agg(spark, sf_dir):
     assert "partial_sum" in q9
 
 
-def test_ngram_cap_rides_selfjoin_exchange(spark, sf_dir):
-    """The capped index (window count over sh) appears in FOUR subplans
-    (both self-join sides + both size aggregates). The initial plan
-    prints four sh exchanges, but AQE's runtime exchange reuse must
-    collapse them to one shuffle write + ReusedExchange reads — i.e.
-    the doc-frequency cap rides the self-join's existing exchange
-    instead of adding shuffle volume. Assert on the final adaptive
-    plan (only materialized after execution)."""
+def test_ngram_single_explode_and_cap_rides_selfjoin_exchange(spark, sf_dir):
+    """Two properties of the ngram plan (assert on the FINAL adaptive
+    plan — only materialized after execution):
+
+    1. The capped inverted index (window count over sh) feeds both
+       self-join sides through ONE shuffle write — AQE exchange reuse,
+       so the doc-frequency cap adds no shuffle volume.
+    2. The final plan carries exactly ONE exploded-index subtree.
+       Before round 4 the per-doc size aggregates re-ran the whole
+       tokenize+explode+window pipeline (AQE demonstrably did NOT
+       reuse that subtree across the groupBy(id) boundary — two full
+       Generate+Window stages dominated executor time, 16.9s → 11.2s
+       after the fix at sf0.1); sizes are now narrow size(__sh)
+       projections off the pre-explode base."""
     df = REGISTRY["dedup_ngram_jaccard"].spark_fn(spark, sf_dir)
     df.collect()
     plan = _plan(df)
-    assert plan.count("ReusedExchange") >= 3, plan.count("ReusedExchange")
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("ReusedExchange") >= 2, final.count("ReusedExchange")
+    assert final.count("Generate explode") == 1, final.count("Generate explode")
 
 
 def test_pack_sequences_single_exchange(spark, sf_dir):
