@@ -55,6 +55,10 @@ DECISIONS_SUBDIR = "decisions"
 
 _BANDS_SCHEMA = "id bigint, band int, bkey string, ingest_batch bigint"
 _DOCS_SCHEMA = "doc_id bigint, text string, ingest_batch bigint"
+_DECISIONS_SCHEMA = (
+    "doc_id bigint, is_dup boolean, dup_of bigint, best_jaccard double, "
+    "ingest_batch bigint"
+)
 
 
 def process_batch(
@@ -143,9 +147,15 @@ def process_batch(
         decisions, os.path.join(state_dir, DECISIONS_SUBDIR), "ingest_batch"
     )
 
-    # survivors extend the state; duplicates are dropped at the door
+    # survivors extend the state; duplicates are dropped at the door.
+    # Schema'd read, not inference: an EMPTY micro-batch (a continuous
+    # rate/file source can trigger with zero rows) writes a decisions
+    # partition holding only _SUCCESS, and the next batch's inference
+    # over the dir then fails with UNABLE_TO_INFER_SCHEMA — found by
+    # the round-4 continuous-trigger soak; availableNow drains never
+    # produce an empty batch so the gate suite couldn't see it.
     survivor_ids = (
-        spark.read.parquet(os.path.join(state_dir, DECISIONS_SUBDIR))
+        _read_or_empty(spark, os.path.join(state_dir, DECISIONS_SUBDIR), _DECISIONS_SCHEMA)
         .filter((F.col("ingest_batch") == batch_id) & ~F.col("is_dup"))
         .select("doc_id")
     )
@@ -230,6 +240,6 @@ def run_ingest_batchlike(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = dedup_on_ingest(stream, state, ck, threshold=0.5)
     q.awaitTermination()
     return (
-        spark.read.parquet(os.path.join(state, DECISIONS_SUBDIR))
+        _read_or_empty(spark, os.path.join(state, DECISIONS_SUBDIR), _DECISIONS_SCHEMA)
         .select("doc_id", "is_dup", "dup_of", "best_jaccard")
     )

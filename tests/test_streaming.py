@@ -460,6 +460,30 @@ def test_incremental_dedup_batch_replay_idempotent(spark, tmp_path):
     assert spark.read.parquet(f"{state}/docs").count() == 1
 
 
+def test_incremental_dedup_survives_empty_batch(spark, tmp_path):
+    """Round-4 soak finding: a continuous rate/file source can trigger
+    a ZERO-row micro-batch; its decisions partition then holds only
+    _SUCCESS, and the next batch's schemaless read of the decisions dir
+    died with UNABLE_TO_INFER_SCHEMA (availableNow drains never emit an
+    empty batch, so the gate suite couldn't catch it). Empty batches
+    must be harmless no-ops."""
+    from lime_etl_spark.streaming import dedup as sdedup
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id bigint, text string",
+    )
+    state = str(tmp_path / "state")
+    sdedup.process_batch(empty, 0, state)   # empty FIRST batch
+    sdedup.process_batch(docs, 1, state)    # previously raised here
+    sdedup.process_batch(empty, 2, state)   # empty mid-stream too
+    sdedup.process_batch(docs.withColumn("doc_id", F.lit(2)), 3, state)
+    dec = spark.read.parquet(f"{state}/decisions")
+    assert dec.count() == 2
+    assert dec.filter("is_dup").count() == 1  # doc 2 duplicates doc 1
+
+
 def test_incremental_dedup_prefilter_gates_junk(spark, tmp_path):
     """The quality prefilter runs before dedup state: junk docs get no
     decision row and never enter the band index."""
