@@ -103,9 +103,19 @@ def _poll(q, deadline: float, poll_s: float = 2.0) -> list[dict]:
     return [seen[b] for b in sorted(seen)]
 
 
-def soak_session_windows(spark: SparkSession, duration_s: int) -> dict:
-    from lime_etl_spark.streaming.events import session_windows
+def soak_session_windows(
+    spark: SparkSession, duration_s: int, rocksdb: bool = False
+) -> dict:
+    from lime_etl_spark.streaming.events import (
+        session_windows,
+        use_rocksdb_state_store,
+    )
 
+    if rocksdb:
+        # the production state backend for large keyspaces (off-heap +
+        # incremental checkpointing); conf applies to queries started
+        # after this call
+        use_rocksdb_state_store(spark, True)
     ev = rate_events(spark, rows_per_sec=2000)
     sess = session_windows(ev, gap="30 seconds", watermark="45 seconds")
     work = tempfile.mkdtemp(prefix=f"lime_soak_{uuid.uuid4().hex[:8]}_")
@@ -203,15 +213,21 @@ def main() -> None:
     ap.add_argument(
         "--which", nargs="*", default=["session_windows", "incremental_dedup"]
     )
+    ap.add_argument(
+        "--rocksdb", action="store_true",
+        help="run the state-store soak on the RocksDB provider (production backend)",
+    )
     args = ap.parse_args()
 
     from lime_etl_spark.session import get_spark
 
     spark = get_spark("streaming-soak")
     spark.sparkContext.setLogLevel("ERROR")
-    result: dict = {"duration_s": args.duration}
+    result: dict = {"duration_s": args.duration, "rocksdb": args.rocksdb}
     if "session_windows" in args.which:
-        result["session_windows"] = soak_session_windows(spark, args.duration)
+        result["session_windows"] = soak_session_windows(
+            spark, args.duration, rocksdb=args.rocksdb
+        )
     if "incremental_dedup" in args.which:
         result["incremental_dedup"] = soak_incremental_dedup(spark, args.duration)
     line = json.dumps(result)
