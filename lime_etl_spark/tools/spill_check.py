@@ -73,15 +73,34 @@ def _spill_totals(spark) -> dict[str, int]:
     }
 
 
-def run_phase(sf_dir: str, queries: list[str], out_path: str) -> None:
+def run_phase(
+    sf_dir: str,
+    queries: list[str],
+    out_path: str,
+    master: str | None = None,
+    executor_mem: str | None = None,
+) -> None:
     """Child-process body: run each query once, checksum it, snapshot
     cumulative spill before/after so each query's own spill is the
     delta. Heap size comes from SPARK_GRAFT_DRIVER_MEM (read by the
-    session factory), which is why this runs in a fresh JVM."""
+    session factory), which is why this runs in a fresh JVM. With
+    ``master`` (local-cluster[...]) + ``executor_mem``, the memory
+    pressure lands on real EXECUTOR processes — spill through the
+    cross-process shuffle path, the closest single-host approximation
+    of a memory-constrained cluster."""
     from lime_etl_spark.registry import REGISTRY
     from lime_etl_spark.session import get_spark
 
-    spark = get_spark("spill-check", extra_conf={"spark.ui.enabled": "true"})
+    extra = {"spark.ui.enabled": "true"}
+    if master:
+        import lime_etl_spark
+
+        extra["spark.executorEnv.PYTHONPATH"] = os.path.dirname(
+            os.path.dirname(os.path.abspath(lime_etl_spark.__file__))
+        )
+        extra["spark.executor.memory"] = executor_mem or "2g"
+        extra["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    spark = get_spark("spill-check", master=master, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[str, dict] = {}
     before = _spill_totals(spark)
@@ -102,12 +121,23 @@ def run_phase(sf_dir: str, queries: list[str], out_path: str) -> None:
     spark.stop()
 
 
-def _spawn(sf_dir: str, queries: list[str], mem: str, out_path: str) -> dict:
+def _spawn(
+    sf_dir: str,
+    queries: list[str],
+    mem: str,
+    out_path: str,
+    master: str | None = None,
+    executor_mem: str | None = None,
+) -> dict:
     env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=mem, **{PHASE_ENV: out_path})
     cmd = [
         sys.executable, "-m", "lime_etl_spark.tools.spill_check",
         "--phase", "--sf-dir", sf_dir, "--queries", *queries,
     ]
+    if master:
+        cmd += ["--master", master]
+    if executor_mem:
+        cmd += ["--executor-mem", executor_mem]
     subprocess.run(cmd, check=True, env=env)
     with open(out_path, encoding="utf-8") as fh:
         return json.load(fh)
@@ -120,14 +150,35 @@ def main() -> None:
     ap.add_argument("--small-mem", default="4g")
     ap.add_argument("--big-mem", default=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--master", default=None,
+        help="e.g. local-cluster[4,4,3072]: spill inside real executor processes",
+    )
+    ap.add_argument(
+        "--small-executor-mem", default=None,
+        help="executor heap for the CONSTRAINED run (cluster mode only)",
+    )
+    ap.add_argument("--big-executor-mem", default=None)
+    ap.add_argument("--executor-mem", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--phase", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
     if args.phase:
-        run_phase(args.sf_dir, args.queries, os.environ[PHASE_ENV])
+        run_phase(
+            args.sf_dir, args.queries, os.environ[PHASE_ENV],
+            master=args.master, executor_mem=args.executor_mem,
+        )
         return
-    big = _spawn(args.sf_dir, args.queries, args.big_mem, "/tmp/lime_spill_big.json")
-    small = _spawn(args.sf_dir, args.queries, args.small_mem, "/tmp/lime_spill_small.json")
-    report = {"sf_dir": args.sf_dir, "big_mem": args.big_mem, "small_mem": args.small_mem, "queries": {}}
+    big = _spawn(
+        args.sf_dir, args.queries, args.big_mem, "/tmp/lime_spill_big.json",
+        master=args.master, executor_mem=args.big_executor_mem,
+    )
+    small = _spawn(
+        args.sf_dir, args.queries, args.small_mem, "/tmp/lime_spill_small.json",
+        master=args.master, executor_mem=args.small_executor_mem,
+    )
+    report = {"sf_dir": args.sf_dir, "big_mem": args.big_mem, "small_mem": args.small_mem,
+              "master": args.master, "small_executor_mem": args.small_executor_mem,
+              "big_executor_mem": args.big_executor_mem, "queries": {}}
     ok = True
     for name in args.queries:
         b, s = big["queries"][name], small["queries"][name]
