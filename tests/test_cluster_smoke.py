@@ -1,0 +1,73 @@
+"""Cross-process smoke: the engine must work when executors are real
+separate JVMs, not threads in the driver.
+
+The full multi-process story is measured by
+`tools/scale_rehearsal.py --master local-cluster[...]` at sf1
+(BENCH_cluster_rehearsal.json); this test keeps the PATH green per
+round at fixture scale — closure serialization, broadcast transport,
+and Arrow batches each crossing a real process boundary — so a
+regression shows up in `pytest tests/` instead of at the next manual
+rehearsal.
+
+Runs in a subprocess: the pytest session already owns a `local[N]`
+SparkSession, and `getOrCreate` inside the same JVM would silently
+reuse it instead of building the local-cluster one.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+_SMOKE = r"""
+import os
+import lime_etl_spark
+from lime_etl_spark.session import get_spark
+from lime_etl_spark.registry import REGISTRY
+
+pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(lime_etl_spark.__file__)))
+spark = get_spark(
+    "cluster-smoke",
+    master="local-cluster[2,2,1536]",
+    shuffle_partitions=4,
+    extra_conf={
+        "spark.executor.memory": "1g",
+        "spark.executorEnv.PYTHONPATH": pkg_root,
+    },
+)
+spark.sparkContext.setLogLevel("ERROR")
+sf = "/root/testdata/sf0.001"
+checks = {
+    # JVM relational path: joins + aggregates across the shuffle
+    "q5_region_revenue": 1,
+    # Arrow kernel path: pandas_udf batches cross the process boundary
+    "embedding_centroids": 1,
+    # broadcast + window path
+    "window_customer_spend": 1,
+}
+for name, min_rows in checks.items():
+    n = REGISTRY[name].spark_fn(spark, sf).count()
+    assert n >= min_rows, (name, n)
+    print(f"{name}:{n}", flush=True)
+spark.stop()
+print("CLUSTER_SMOKE_OK")
+"""
+
+
+def test_engine_runs_on_local_cluster():
+    import lime_etl_spark
+    import os
+
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.abspath(lime_etl_spark.__file__))
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", _SMOKE],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env={**os.environ, "PYTHONPATH": pkg_root},
+        cwd=pkg_root,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "CLUSTER_SMOKE_OK" in proc.stdout, proc.stdout
