@@ -120,10 +120,12 @@ def recommended_n_planes(n_vectors: int, per_bucket_budget: int = 1024) -> int:
     embedding_near_dup_bucketed[_arrow]) does in-bucket work that is
     quadratic in bucket size at fixed planes — ~n²/2^planes pairs — so
     n_planes must grow with the corpus: ceil(log2(n / budget)), each +1
-    plane halving in-bucket pair work. The registry fixtures pin 4
-    planes because their DuckDB oracles mirror the plane literals; a
-    production corpus sizes planes with this helper (1e9 vectors at the
-    default budget → 20 planes → ~1M buckets). The fold-the-planes-into
+    plane halving in-bucket pair work. Since round 4 this helper IS the
+    default: every bucketed path takes ``n_planes=None`` and sizes from
+    the corpus count. The registry fixtures pin explicit plane counts
+    because their DuckDB oracles mirror the plane literals; a
+    production corpus leaves the default (1e9 vectors at the default
+    budget → 20 planes → ~1M buckets). The fold-the-planes-into
     -the-plan construction (with_lsh_bucket) stays cheap at any count:
     planes are literal arrays, one projection per plane.
     """
@@ -197,7 +199,7 @@ def lsh_bucketed_topk(
     candidates: DataFrame,
     dim: int,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     multi_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -210,9 +212,15 @@ def lsh_bucketed_topk(
     (n_planes+1 buckets total): the nearest misses in hyperplane LSH are
     vectors just across ONE hyperplane, so one-bit probing recovers most
     of the recall loss for a (n_planes+1)/2^n_planes coverage cost.
-    Tune n_planes so corpus/2^n_planes ≈ the per-bucket candidate budget
-    (8 planes → /256; small corpora want 4-5 planes).
+    The default (None) sizes n_planes from the corpus count via
+    ``recommended_n_planes`` so corpus/2^n_planes tracks the per-bucket
+    candidate budget (the same footgun-removal as ivf_topk's default —
+    a fixed plane count goes quadratic when the corpus outgrows its
+    bucket space); pass an explicit value to pin it (the registry
+    fixture pins 5 to match its oracle's plane literals).
     """
+    if n_planes is None:
+        n_planes = recommended_n_planes(candidates.count())
     qb0 = with_lsh_bucket(queries, dim, n_planes, vec_col).select(
         F.col(id_col).alias("query_id"),
         _to_double(F.col(vec_col)).alias("qv"),
@@ -357,7 +365,7 @@ def cosine_topk_arrow(
 def embedding_near_dup_bucketed(
     df: DataFrame,
     dim: int,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     threshold: float = 0.3,
     multi_probe: int = 1,
     id_col: str = "vec_id",
@@ -381,7 +389,12 @@ def embedding_near_dup_bucketed(
     grow with the corpus (each +1 plane halves in-bucket pair work).
     At 100 TB pair the bucket key with AQE skew splitting: a degenerate
     bucket (all-near-duplicate corpus) is data skew, not plan skew.
+    n_planes=None (default) sizes planes from the corpus count via
+    recommended_n_planes; gated callers pin an explicit count to match
+    their oracle's plane literals.
     """
+    if n_planes is None:
+        n_planes = recommended_n_planes(df.count())
     b = with_lsh_bucket(df, dim, n_planes, vec_col)
     a_side = b.select(
         F.col(id_col).alias("id_a"),
@@ -415,7 +428,7 @@ def embedding_near_dup_bucketed(
 def embedding_near_dup_bucketed_arrow(
     df: DataFrame,
     dim: int,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     threshold: float = 0.3,
     multi_probe: int = 1,
     id_col: str = "vec_id",
@@ -452,6 +465,8 @@ def embedding_near_dup_bucketed_arrow(
     """
     thr = float(threshold)
     blk_bytes = int(score_block_bytes)
+    if n_planes is None:
+        n_planes = recommended_n_planes(df.count())
 
     b = with_lsh_bucket(df, dim, n_planes, vec_col)
     a_side = b.select(

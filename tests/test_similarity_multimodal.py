@@ -362,3 +362,17 @@ def test_ivf_default_autosizes_clusters(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 4)
     out = similarity.ivf_topk(queries, emb, dim=64, k=3).collect()
     assert out and all(r.rank <= 3 and r.query_id != r.neighbor_id for r in out)
+
+
+def test_bucketed_paths_autosize_planes(spark, sf_dir):
+    """All three bucketed paths accept n_planes=None (default) and size
+    planes from the corpus — the same footgun-removal as ivf_topk."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4)
+    topk = similarity.lsh_bucketed_topk(q, emb, dim=64, k=3).collect()
+    assert topk and all(r.rank <= 3 for r in topk)
+    nd = similarity.embedding_near_dup_bucketed(emb, dim=64, threshold=0.95)
+    nda = similarity.embedding_near_dup_bucketed_arrow(emb, dim=64, threshold=0.95)
+    got_jvm = sorted((r.id_a, r.id_b) for r in nd.collect())
+    got_arrow = sorted((r.id_a, r.id_b) for r in nda.collect())
+    assert got_jvm == got_arrow  # parity holds under autosized planes
