@@ -633,6 +633,7 @@ def ivf_topk(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_max: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: k-means cells over the candidate corpus,
     queries search only their nprobe nearest cells — exact cosine
@@ -646,11 +647,45 @@ def ivf_topk(
     ``recommended_n_clusters`` — one count() scan, metadata-cheap on
     parquet. Pass an explicit value to pin it (the registry fixture
     pins 16 to match its unrolled SQL oracle).
+
+    ``train_max``: cap the TRAINING set with a deterministic hash
+    sample (pmod(xxhash64(id), ceil(n/train_max)) == 0) — centroids
+    train on ≤ ~train_max vectors, then the FULL corpus is assigned.
+    This is how IVF actually trains at 1e9 vectors (FAISS practice:
+    ~30-100 samples per cell suffices); n_iter full-corpus Lloyd
+    passes are the wrong shape beyond ~1e7. Sampling by id hash keeps
+    it reproducible across runs/layouts. Default None = train on
+    everything (the oracle-pinned path).
+
+    Measured trade-off (sf1, 20k strongly-clustered synthetic vectors,
+    20 cells): sampled centroids are coarser — recall@5 vs exact fell
+    1.0 → 0.59/0.65/0.73 at train_max 2000/5000/10000 with nprobe=4,
+    and raising nprobe recovers it (0.59 → 0.71 → 0.84 at nprobe
+    4/6/8 under train_max=2000). The knob to reach a recall target
+    under sampled training is nprobe (probe cost is linear in it), not
+    more Lloyd iterations. At sf1 the wall is assignment-dominated so
+    sampling saves little (5.0 s → 4.4 s); the win appears where
+    training passes dominate, i.e. corpus >> 1e7.
     """
+    n = None
     if n_clusters is None:
-        n_clusters = recommended_n_clusters(candidates.count())
+        n = candidates.count()
+        n_clusters = recommended_n_clusters(n)
+    train = candidates
+    if train_max is not None:
+        if train_max < n_clusters:
+            raise ValueError(
+                f"train_max={train_max} < n_clusters={n_clusters}: k-means "
+                "needs at least one training vector per cell (aim for 30-100x)"
+            )
+        n = n if n is not None else candidates.count()
+        if n > train_max:
+            m = -(-n // train_max)  # ceil: expected sample size n/m <= train_max
+            train = candidates.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0
+            )
     cents = kmeans_centroids_embeddings(
-        candidates, dim, k=n_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        train, dim, k=n_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     )
     cand = _assign_cluster(
         candidates.select(

@@ -376,3 +376,39 @@ def test_bucketed_paths_autosize_planes(spark, sf_dir):
     got_jvm = sorted((r.id_a, r.id_b) for r in nd.collect())
     got_arrow = sorted((r.id_a, r.id_b) for r in nda.collect())
     assert got_jvm == got_arrow  # parity holds under autosized planes
+
+
+def test_ivf_sampled_training(spark, sf_dir):
+    """train_max caps the k-means training set with a deterministic
+    hash sample while the FULL corpus is still indexed and searchable;
+    results stay deterministic across runs and recall stays within
+    range of full-corpus training."""
+    import pytest
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 16)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(q, emb, k=5).collect()
+    }
+    full = similarity.ivf_topk(q, emb, dim=64, k=5, n_clusters=8, nprobe=4)
+    samp = similarity.ivf_topk(
+        q, emb, dim=64, k=5, n_clusters=8, nprobe=4, train_max=200
+    )
+    s1 = sorted(map(tuple, samp.collect()))
+    s2 = sorted(map(tuple, similarity.ivf_topk(
+        q, emb, dim=64, k=5, n_clusters=8, nprobe=4, train_max=200
+    ).collect()))
+    assert s1 == s2  # deterministic
+    # every query still finds k neighbors from the FULL corpus
+    from collections import Counter
+
+    per_q = Counter(r[0] for r in s1)
+    assert all(v == 5 for v in per_q.values())
+    rec_full = len(exact & {(r.query_id, r.neighbor_id) for r in full.collect()}) / len(exact)
+    rec_samp = len(exact & {(a, b) for a, b, _, _ in s1}) / len(exact)
+    # sampled training must stay in the same recall regime (generous
+    # bound: approximation noise, not a cliff)
+    assert rec_samp >= rec_full - 0.25, (rec_samp, rec_full)
+    with pytest.raises(ValueError):
+        similarity.ivf_topk(q, emb, dim=64, k=5, n_clusters=8, train_max=4)
