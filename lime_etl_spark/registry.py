@@ -5212,3 +5212,48 @@ def quality_drift_price(spark, sf_dir):
     ref = o.filter(F.col("o_orderdate") < split)
     cur = o.filter(F.col("o_orderdate") >= split)
     return Q.drift_report(ref, cur, "o_totalprice", n_bins=10)
+
+
+@register(
+    "streaming_quality_report",
+    oracle="""
+    SELECT 'not_null' AS rule, 'user_id' AS "column",
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM events
+    UNION ALL
+    SELECT 'not_null', 'ts',
+           CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'accepted_values', 'event_type',
+           CAST(sum(CASE WHEN event_type IS NOT NULL
+                          AND event_type NOT IN
+                              ('click','error','purchase','signup','view')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'in_range', 'value',
+           CAST(sum(CASE WHEN value IS NOT NULL
+                          AND (value < 0 OR value > 1000000)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'row_count', '*', CAST(count(*) AS BIGINT) FROM events
+    """,
+)
+def streaming_quality_report(spark, sf_dir):
+    """Incremental quality monitoring (streaming/quality.py): the
+    events fixture drained through the quality-at-ingest monitor —
+    every micro-batch validated with ONE fused aggregate scan, tiny
+    per-batch reports accumulated under idempotent partition
+    overwrites. Every supported rule is sum-decomposable over
+    row-disjoint batches, so the stream-maintained cumulative report
+    EQUALS the one-shot batch validate over the corpus — a full value
+    oracle on a streaming operator (multi-batch + replay equivalence
+    pinned in tests/test_streaming_quality.py; `unique` is not
+    decomposable and is rejected toward streaming/dedup's keyed
+    state)."""
+    from lime_etl_spark.streaming import quality as squality
+
+    return squality.run_quality_batchlike(spark, sf_dir)
