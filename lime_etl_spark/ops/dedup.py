@@ -530,6 +530,37 @@ def ngram_overlap(
     )
 
 
+def decontam_prefilter(
+    eval_df: DataFrame,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+):
+    """Ingest-side decontamination gate: a ``prefilter`` for
+    streaming/dedup.dedup_on_ingest that drops incoming documents whose
+    n-gram overlap with the (static) eval corpus crosses ``threshold``
+    — contamination never reaches the band index or the doc store, so
+    the accepted corpus is decontaminated BY CONSTRUCTION instead of
+    by a later full-corpus sweep.
+
+    Inherits ngram_overlap's scale shape per micro-batch: the eval
+    shingle set broadcasts, the batch is the probe side, no wide
+    shuffle beyond the per-doc size groupBy. Deterministic (a pure
+    function of the doc and the eval set), satisfying the prefilter
+    replay contract documented on process_batch.
+    """
+
+    def gate(batch: DataFrame) -> DataFrame:
+        flags = ngram_overlap(batch, eval_df, id_col, text_col, n, threshold)
+        keep = flags.filter(~F.col("contaminated")).select(
+            F.col("doc_id").alias(id_col)
+        )
+        return batch.join(keep, id_col, "left_semi")
+
+    return gate
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -829,3 +829,30 @@ def test_collocations_ratio_math(spark):
     assert rows["a b"]["n_pair"] == 5 and rows["a b"]["pmi_ratio"] == 3.0
     assert rows["b c"]["pmi_ratio"] == 3.0
     assert set(rows) == {"a b", "b c"}  # min_count prunes nothing else exists
+
+
+def test_decontam_prefilter_gates_ingest(spark, tmp_path):
+    """decontam_prefilter drops eval-overlapping docs at the ingest
+    door: they get no decision row and never enter the accepted corpus,
+    while clean docs flow through the dedup gate normally."""
+    import os
+
+    from lime_etl_spark.streaming import dedup as sdedup
+
+    eval_df = spark.createDataFrame(
+        [(100, "the held out benchmark question about spark shuffles appears here")],
+        "doc_id bigint, text string",
+    )
+    clean = "completely unrelated training text about rivers mountains and weather patterns"
+    contaminated = "the held out benchmark question about spark shuffles appears here verbatim"
+    docs = spark.createDataFrame(
+        [(1, clean), (2, contaminated)], "doc_id bigint, text string"
+    )
+    state = str(tmp_path / "state")
+    sdedup.process_batch(
+        docs, 0, state, prefilter=dedup.decontam_prefilter(eval_df, threshold=0.5)
+    )
+    dec = spark.read.parquet(os.path.join(state, sdedup.DECISIONS_SUBDIR))
+    assert [r.doc_id for r in dec.collect()] == [1]
+    corpus = spark.read.parquet(os.path.join(state, sdedup.DOCS_SUBDIR))
+    assert [r.doc_id for r in corpus.collect()] == [1]
