@@ -206,6 +206,67 @@ def soak_incremental_dedup(spark: SparkSession, duration_s: int) -> dict:
     return out
 
 
+def soak_quality_monitor(spark: SparkSession, duration_s: int) -> dict:
+    """Continuous quality-at-ingest: rate events with a deterministic
+    2% NULL-user_id floor plus periodic 30% bursts (every 5th
+    25k-value block), monitored by streaming/quality.monitor_quality.
+    Pass = the per-batch timeline actually RESOLVES the bursts: max
+    per-batch violation rate >= 3x the median rate, and the state
+    stays tiny (a few report rows per batch)."""
+    from lime_etl_spark.ops import quality as Q
+    from lime_etl_spark.streaming.quality import monitor_quality, timeline
+
+    ev = rate_events(spark, rows_per_sec=2000)
+    burst = (F.floor(F.col("event_id") / 25000) % 5) == 4
+    dirty = ev.withColumn(
+        "user_id",
+        F.when(
+            (F.col("event_id") % 1000)
+            < F.when(burst, F.lit(300)).otherwise(F.lit(20)),
+            F.lit(None).cast("bigint"),
+        ).otherwise(F.col("user_id")),
+    )
+    work = tempfile.mkdtemp(prefix=f"lime_soak_{uuid.uuid4().hex[:8]}_")
+    state = os.path.join(work, "state")
+    q = monitor_quality(
+        dirty,
+        state,
+        os.path.join(work, "ck"),
+        rules=[Q.not_null("user_id")],
+        available_now=False,
+    )
+    try:
+        progresses = _poll(q, time.time() + duration_s)
+    finally:
+        q.stop()
+    rows = {
+        (r["ingest_batch"], r["rule"]): r["n_violations"]
+        for r in timeline(spark, state).collect()
+    }
+    counts = {
+        b: n for (b, rule), n in rows.items() if rule == "row_count"
+    }
+    nulls = {b: n for (b, rule), n in rows.items() if rule == "not_null"}
+    batches = [
+        {
+            "batchId": b,
+            "rows": counts[b],
+            "null_user_violations": nulls.get(b, 0),
+            "rate": round(nulls.get(b, 0) / counts[b], 4) if counts[b] else None,
+        }
+        for b in sorted(counts)
+        if counts[b]
+    ]
+    rates = sorted(b["rate"] for b in batches if b["rate"] is not None)
+    out: dict = {"batches": batches, "n_batches": len(batches)}
+    if len(rates) >= 8:
+        med = rates[len(rates) // 2]
+        out["median_rate"] = med
+        out["max_rate"] = rates[-1]
+        out["burst_resolved"] = med > 0 and rates[-1] >= 3 * med
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--duration", type=int, default=180, help="seconds per soak")
@@ -230,6 +291,8 @@ def main() -> None:
         )
     if "incremental_dedup" in args.which:
         result["incremental_dedup"] = soak_incremental_dedup(spark, args.duration)
+    if "quality_monitor" in args.which:
+        result["quality_monitor"] = soak_quality_monitor(spark, args.duration)
     line = json.dumps(result)
     print(line)
     if args.out:
