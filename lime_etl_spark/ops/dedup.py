@@ -553,10 +553,16 @@ def decontam_prefilter(
 
     def gate(batch: DataFrame) -> DataFrame:
         flags = ngram_overlap(batch, eval_df, id_col, text_col, n, threshold)
-        keep = flags.filter(~F.col("contaminated")).select(
+        # anti-join on the CONTAMINATED side, not semi-join on the
+        # clean side: ngram_overlap emits no row at all for a doc with
+        # fewer than n tokens (no shingles -> not in the index), and a
+        # semi-join against the clean list would silently drop such
+        # docs as if contaminated (review finding). Absent-from-flags
+        # means overlap is trivially zero -> keep.
+        drop = flags.filter(F.col("contaminated")).select(
             F.col("doc_id").alias(id_col)
         )
-        return batch.join(keep, id_col, "left_semi")
+        return batch.join(drop, id_col, "left_anti")
 
     return gate
 

@@ -684,6 +684,14 @@ def ivf_topk(
             train = candidates.filter(
                 F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0
             )
+            # the hash sample's size is binomial around n/m — when the
+            # draw lands BELOW n_clusters, k-means would silently train
+            # fewer centroids than requested (init is limit(k)); fall
+            # back to the full corpus rather than degrade invisibly
+            # (review finding). One count() on the sampled (narrow)
+            # frame; only the train_max path pays it.
+            if train.count() < n_clusters:
+                train = candidates
     cents = kmeans_centroids_embeddings(
         train, dim, k=n_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     )

@@ -74,8 +74,13 @@ def _parse_byte_conf(value, default: int = 134217728) -> int:
     s = str(value).strip().lower()
     num = s.rstrip("bkmgt")
     suffix = s[len(num):]
+    if suffix and suffix not in _BYTE_SUFFIXES:
+        # '128mk', '1bg', ... — unknown suffix is garbage, not bytes
+        # (review finding: a multiplier-1 fallback returned 128 BYTES
+        # for '128mk' and made _tp massively over-repartition)
+        return default
     try:
-        return int(num) * _BYTE_SUFFIXES.get(suffix or "b", 1)
+        return int(num) * _BYTE_SUFFIXES.get(suffix, 1)
     except ValueError:
         return default
 

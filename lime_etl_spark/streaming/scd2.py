@@ -38,7 +38,11 @@ append-only:
    whose ts falls between the current valid_from and the true max-seen
    ts after a collapsed no-op advanced observed time (round-3 review
    finding), and the maintained history would diverge from the batch
-   rebuild.
+   rebuild. Upgrade note: state dirs written before the sidecar
+   existed keep the weaker valid_from-only guard until their keys are
+   next touched (greatest() coalesces), and their QUARANTINE
+   partitions carry the old ``conflicts_with_valid_from`` column name
+   — read a mixed-era quarantine dir with ``mergeSchema=true``.
 
 Scale posture: the state read is pruned to the batch's keys
 (left_semi on the batch key set) before the latest-change-point window

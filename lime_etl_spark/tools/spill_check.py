@@ -48,7 +48,19 @@ def content_checksum(df):
     for f in df.schema.fields:
         c = F.col(f.name)
         if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
-            c = F.round(c.cast("double"), 6)
+            # + 0.0 canonicalizes -0.0: a sum landing at ±1e-7 across
+            # the two runs must round to the SAME string (review
+            # finding — '0.0' vs '-0.0' hash differently)
+            c = F.round(c.cast("double"), 6) + F.lit(0.0)
+        elif isinstance(f.dataType, T.ArrayType) and isinstance(
+            f.dataType.elementType, (T.DoubleType, T.FloatType)
+        ):
+            # arrays of floats get the same element-wise rounding
+            # before serialization — aggregated vectors (centroids)
+            # reorder under spill too (review finding)
+            c = F.to_json(
+                F.transform(c, lambda x: F.round(x.cast("double"), 6) + F.lit(0.0))
+            )
         elif isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
             c = F.to_json(c)
         cols.append(F.coalesce(c.cast("string"), F.lit("\x00null")))
@@ -168,12 +180,25 @@ def main() -> None:
             master=args.master, executor_mem=args.executor_mem,
         )
         return
+    if args.master:
+        # the two phases must actually differ in EXECUTOR memory in
+        # cluster mode (that's where the pressure lands) — without
+        # explicit values both would get run_phase's 2g default and
+        # the "roomy baseline" would spill too (review finding)
+        args.big_executor_mem = args.big_executor_mem or "6g"
+        args.small_executor_mem = args.small_executor_mem or "2g"
+    import tempfile
+
+    fd_b, big_path = tempfile.mkstemp(prefix="lime_spill_big_", suffix=".json")
+    fd_s, small_path = tempfile.mkstemp(prefix="lime_spill_small_", suffix=".json")
+    os.close(fd_b)
+    os.close(fd_s)
     big = _spawn(
-        args.sf_dir, args.queries, args.big_mem, "/tmp/lime_spill_big.json",
+        args.sf_dir, args.queries, args.big_mem, big_path,
         master=args.master, executor_mem=args.big_executor_mem,
     )
     small = _spawn(
-        args.sf_dir, args.queries, args.small_mem, "/tmp/lime_spill_small.json",
+        args.sf_dir, args.queries, args.small_mem, small_path,
         master=args.master, executor_mem=args.small_executor_mem,
     )
     report = {"sf_dir": args.sf_dir, "big_mem": args.big_mem, "small_mem": args.small_mem,

@@ -74,12 +74,18 @@ def rate_events(spark: SparkSession, rows_per_sec: int) -> DataFrame:
 def rate_documents(spark: SparkSession, rows_per_sec: int, vocab_docs: int = 400) -> DataFrame:
     """Synthetic document stream: ``vocab_docs`` base documents of 12
     pseudo-words repeat forever — every occurrence after the first is
-    an exact duplicate, so the survivor corpus plateaus at
-    ``vocab_docs`` while input keeps flowing."""
+    an exact duplicate, so the survivor corpus plateaus (at most
+    ``vocab_docs`` exact-distinct texts; near-dup merging under the
+    gate's threshold shrinks it further) while input keeps flowing.
+
+    The word hash runs mod 9973 (prime, > any sane vocab_docs × step):
+    31 is invertible mod 9973, so two bases collide on ALL 12 words
+    only if equal — an earlier %97 version silently capped distinct
+    documents at 97 regardless of vocab_docs (review finding)."""
     base = F.col("value") % vocab_docs
     words = F.transform(
         F.sequence(F.lit(0), F.lit(11)),
-        lambda i: F.concat(F.lit("w"), ((base * 7 + i * 13) % 97).cast("string")),
+        lambda i: F.concat(F.lit("w"), ((base * 31 + i * 13) % 9973).cast("string")),
     )
     return (
         spark.readStream.format("rate")
@@ -93,9 +99,20 @@ def rate_documents(spark: SparkSession, rows_per_sec: int, vocab_docs: int = 400
 
 
 def _poll(q, deadline: float, poll_s: float = 2.0) -> list[dict]:
-    """Collect distinct lastProgress snapshots until the deadline."""
+    """Collect distinct lastProgress snapshots until the deadline.
+
+    A query that DIES mid-soak must fail the soak, not produce a
+    truncated 'pass' (review finding): lastProgress keeps returning
+    the final pre-crash snapshot, so without the isActive check a
+    crashed 30-second run would be scored as a quiet 3-minute one.
+    """
     seen: dict[int, dict] = {}
     while time.time() < deadline:
+        if not q.isActive:
+            ex = q.exception()
+            if ex is not None:
+                raise RuntimeError(f"soak query died mid-run: {ex}")
+            break  # finished cleanly (bounded source)
         p = q.lastProgress
         if p:
             seen[p["batchId"]] = p

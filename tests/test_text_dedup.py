@@ -846,13 +846,18 @@ def test_decontam_prefilter_gates_ingest(spark, tmp_path):
     clean = "completely unrelated training text about rivers mountains and weather patterns"
     contaminated = "the held out benchmark question about spark shuffles appears here verbatim"
     docs = spark.createDataFrame(
-        [(1, clean), (2, contaminated)], "doc_id bigint, text string"
+        # doc 3: fewer tokens than the shingle width — it has NO
+        # shingles, so it never appears in ngram_overlap's output; the
+        # gate must still pass it through (overlap is trivially zero),
+        # not drop it as contaminated (review finding)
+        [(1, clean), (2, contaminated), (3, "two words")],
+        "doc_id bigint, text string",
     )
     state = str(tmp_path / "state")
     sdedup.process_batch(
         docs, 0, state, prefilter=dedup.decontam_prefilter(eval_df, threshold=0.5)
     )
     dec = spark.read.parquet(os.path.join(state, sdedup.DECISIONS_SUBDIR))
-    assert [r.doc_id for r in dec.collect()] == [1]
+    assert sorted(r.doc_id for r in dec.collect()) == [1, 3]
     corpus = spark.read.parquet(os.path.join(state, sdedup.DOCS_SUBDIR))
-    assert [r.doc_id for r in corpus.collect()] == [1]
+    assert sorted(r.doc_id for r in corpus.collect()) == [1, 3]

@@ -53,3 +53,49 @@ def test_soak_rate_schemas_match_consumers(spark):
     assert {"event_id", "ts", "user_id", "event_type", "value"} <= set(ev.columns)
     docs = rate_documents(spark, 1)
     assert {"doc_id", "text"} <= set(docs.columns)
+
+
+def test_content_checksum_canonicalizes_negative_zero(spark):
+    """±1e-7 rounds to -0.0 vs 0.0 across spill-reordered runs — both
+    must hash identically (review finding)."""
+    a = spark.createDataFrame([(1, 1e-7)], "id bigint, v double")
+    b = spark.createDataFrame([(1, -1e-7)], "id bigint, v double")
+    assert content_checksum(a) == content_checksum(b)
+
+
+def test_content_checksum_rounds_array_elements(spark):
+    """Doubles INSIDE arrays get the same 6dp canonicalization as
+    top-level doubles (review finding: centroid vectors reorder under
+    spill too)."""
+    a = spark.createDataFrame([(1, [0.1 + 0.2, -1e-7])], "id bigint, v array<double>")
+    b = spark.createDataFrame([(1, [0.3000000000000004, 1e-7])], "id bigint, v array<double>")
+    assert content_checksum(a) == content_checksum(b)
+
+
+def test_parse_byte_conf_rejects_garbage_suffix():
+    """'128mk' must fall back to the default, not parse as 128 bytes
+    (review finding)."""
+    from lime_etl_spark.registry import _parse_byte_conf as p
+
+    assert p("128mk") == 134217728
+    assert p("1bg") == 134217728
+    assert p("128mk", default=7) == 7
+
+
+def test_rate_documents_distinct_up_to_vocab(spark):
+    """vocab_docs distinct base documents must actually be distinct —
+    an earlier %97 word hash capped them at 97 (review finding). The
+    rate source can't run in a unit test; replicate the text expression
+    over a static range."""
+    from pyspark.sql import functions as F
+
+    vocab = 400
+    base = F.col("value") % vocab
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(11)),
+        lambda i: F.concat(F.lit("w"), ((base * 31 + i * 13) % 9973).cast("string")),
+    )
+    df = spark.range(vocab).select(F.col("id").alias("value")).select(
+        F.array_join(words, " ").alias("text")
+    )
+    assert df.distinct().count() == vocab
