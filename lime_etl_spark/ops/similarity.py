@@ -217,7 +217,10 @@ def lsh_bucketed_topk(
     candidate budget (the same footgun-removal as ivf_topk's default —
     a fixed plane count goes quadratic when the corpus outgrows its
     bucket space); pass an explicit value to pin it (the registry
-    fixture pins 5 to match its oracle's plane literals).
+    fixture pins 5 to match its oracle's plane literals). Note the
+    default makes construction EAGER — a ``candidates.count()`` job
+    runs at call time and the candidates plan evaluates once extra;
+    cache the input or pass n_planes explicitly if that matters.
     """
     if n_planes is None:
         n_planes = recommended_n_planes(candidates.count())
@@ -390,8 +393,10 @@ def embedding_near_dup_bucketed(
     At 100 TB pair the bucket key with AQE skew splitting: a degenerate
     bucket (all-near-duplicate corpus) is data skew, not plan skew.
     n_planes=None (default) sizes planes from the corpus count via
-    recommended_n_planes; gated callers pin an explicit count to match
-    their oracle's plane literals.
+    recommended_n_planes — note this makes construction EAGER (a
+    ``df.count()`` job at call time, one extra evaluation of df's
+    plan; cache df or pin n_planes to avoid it); gated callers pin an
+    explicit count to match their oracle's plane literals.
     """
     if n_planes is None:
         n_planes = recommended_n_planes(df.count())
@@ -461,7 +466,9 @@ def embedding_near_dup_bucketed_arrow(
     blocks instead of dying. Score parity with the JVM/oracle path
     holds after the pinned 6dp half-away-from-zero rounding (asserted
     in tests); like every Arrow kernel here the closure is
-    self-contained so cloudpickle ships it by value.
+    self-contained so cloudpickle ships it by value. As in the JVM
+    twin, n_planes=None makes construction EAGER (a ``df.count()``
+    job at call time; cache df or pin n_planes to avoid it).
     """
     thr = float(threshold)
     blk_bytes = int(score_block_bytes)

@@ -160,6 +160,20 @@ def _session(
         # (1g) unless told otherwise — and die in GC at rehearsal SFs,
         # relaunching in a loop (observed: 70+ executor incarnations)
         extra["spark.executor.memory"] = executor_mem or "6g"
+    else:
+        # plain local[N]: there ARE no separate executors, so an
+        # executor-mem request is a no-op the user would misread as
+        # applied — reject instead of silently ignoring (r4 ADVICE)
+        if executor_mem:
+            raise ValueError(
+                "--executor-mem has no effect without --master "
+                "local-cluster[...]; use --driver-mem to size the "
+                "single local[N] JVM"
+            )
+        if driver_mem:
+            # get_spark applies its own local default AFTER builder
+            # .master(); extra_conf is applied last so this wins
+            extra["spark.driver.memory"] = driver_mem
     return get_spark(app, master=master, extra_conf=extra)
 
 

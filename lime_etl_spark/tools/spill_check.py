@@ -40,7 +40,14 @@ def content_checksum(df):
     """Order-independent distributed checksum of a DataFrame's values:
     sum over rows of xxhash64(canonicalized columns). Doubles/floats
     round to 6dp first — a spill changes merge order, and the queries
-    already define their outputs to that precision."""
+    already define their outputs to that precision.
+
+    Boundary caveat: a value whose true result sits within float noise
+    of a .xxxxx5 rounding boundary can round differently between the
+    two runs (accumulation order shifts the last ulp across the
+    boundary), producing a spurious mismatch on a correct query.
+    Acceptable for a diagnostic tool — a rare single-query mismatch
+    should be re-run before being treated as a correctness failure."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 

@@ -133,20 +133,26 @@ def soak_session_windows(
         # incremental checkpointing); conf applies to queries started
         # after this call
         use_rocksdb_state_store(spark, True)
-    ev = rate_events(spark, rows_per_sec=2000)
-    sess = session_windows(ev, gap="30 seconds", watermark="45 seconds")
-    work = tempfile.mkdtemp(prefix=f"lime_soak_{uuid.uuid4().hex[:8]}_")
-    q = (
-        sess.writeStream.outputMode("append")
-        .format("noop")
-        .option("checkpointLocation", os.path.join(work, "ck"))
-        .trigger(processingTime="2 seconds")
-        .start()
-    )
     try:
-        progresses = _poll(q, time.time() + duration_s)
+        ev = rate_events(spark, rows_per_sec=2000)
+        sess = session_windows(ev, gap="30 seconds", watermark="45 seconds")
+        work = tempfile.mkdtemp(prefix=f"lime_soak_{uuid.uuid4().hex[:8]}_")
+        q = (
+            sess.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .trigger(processingTime="2 seconds")
+            .start()
+        )
+        try:
+            progresses = _poll(q, time.time() + duration_s)
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if rocksdb:
+            # session-wide conf — a later stateful soak in the same
+            # main() would silently inherit RocksDB (r4 ADVICE)
+            use_rocksdb_state_store(spark, False)
     batches = []
     for p in progresses:
         ops = p.get("stateOperators") or []

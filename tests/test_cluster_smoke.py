@@ -36,7 +36,7 @@ spark = get_spark(
     },
 )
 spark.sparkContext.setLogLevel("ERROR")
-sf = "/root/testdata/sf0.001"
+sf = os.environ["LIME_SMOKE_SF_DIR"]
 checks = {
     # JVM relational path: joins + aggregates across the shuffle
     "q5_region_revenue": 1,
@@ -57,7 +57,7 @@ print("CLUSTER_SMOKE_OK")
 """
 
 
-def test_engine_runs_on_local_cluster():
+def test_engine_runs_on_local_cluster(sf_dir):
     import lime_etl_spark
     import os
 
@@ -69,7 +69,9 @@ def test_engine_runs_on_local_cluster():
         capture_output=True,
         text=True,
         timeout=420,
-        env={**os.environ, "PYTHONPATH": pkg_root},
+        # the fixture dir comes from conftest's sf_dir (env-overridable)
+        # so the smoke cannot drift out of sync with the suite (r4 ADVICE)
+        env={**os.environ, "PYTHONPATH": pkg_root, "LIME_SMOKE_SF_DIR": sf_dir},
         cwd=pkg_root,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]

@@ -62,6 +62,18 @@ def test_scale_rehearsal_sf_dir_resolution(tmp_path):
     assert _sf_dir(4.0, str(tmp_path)) == str(tmp_path / "sf4")
 
 
+def test_scale_rehearsal_rejects_executor_mem_without_master():
+    """--executor-mem on a plain local[N] rehearsal is a silent no-op
+    (there are no separate executors) — _session must reject it rather
+    than let the user believe the memory cap was applied (r4 ADVICE)."""
+    import pytest
+
+    from lime_etl_spark.tools.scale_rehearsal import _session
+
+    with pytest.raises(ValueError, match="--executor-mem"):
+        _session("x", None, None, executor_mem="4g")
+
+
 def test_open_vocab_documents_deterministic_and_planted(spark):
     from pyspark.sql import functions as F
 

@@ -28,6 +28,12 @@ import duckdb
 import pyarrow.parquet as pq
 import pytest
 
+# the fixture ROOT derives from the same source as conftest's sf_dir
+# (env-overridable) so this contract cannot silently drift out of sync
+# with the suite if the fixture location moves (r4 ADVICE)
+from conftest import SF_DIR as _CONFTEST_SF_DIR  # noqa: E402
+
+TESTDATA_ROOT = os.path.dirname(_CONFTEST_SF_DIR.rstrip("/"))
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -43,7 +49,7 @@ def con():
 
 
 def _p(sf: str, table: str) -> str:
-    return f"/root/testdata/{sf}/{table}.parquet"
+    return os.path.join(TESTDATA_ROOT, sf, f"{table}.parquet")
 
 
 def _one(con, sql):
@@ -83,7 +89,7 @@ def test_events_ts_physical_encoding_handled(sf):
     encodings: TIMESTAMP(NANOS) (via nanosAsLong) and TIMESTAMP(MICROS).
     A regeneration to millis/int96/string would silently break the
     normalization contract — pin the universe here."""
-    files = glob.glob(os.path.join(f"/root/testdata/{sf}", "events.parquet"))
+    files = glob.glob(os.path.join(TESTDATA_ROOT, sf, "events.parquet"))
     assert files
     for f in files:
         t = pq.read_schema(f).field("ts").type
