@@ -223,7 +223,9 @@ def lsh_bucketed_topk(
     cache the input or pass n_planes explicitly if that matters.
     """
     if n_planes is None:
-        n_planes = recommended_n_planes(candidates.count())
+        # max(1,·): an empty corpus sizes to the 1-plane minimum
+        # instead of tripping the helper's explicit-input validation
+        n_planes = recommended_n_planes(max(1, candidates.count()))
     qb0 = with_lsh_bucket(queries, dim, n_planes, vec_col).select(
         F.col(id_col).alias("query_id"),
         _to_double(F.col(vec_col)).alias("qv"),
@@ -309,14 +311,23 @@ def cosine_topk_arrow(
 
     q_rows = queries.select(id_col, vec_col).collect()  # bounded probe set
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
-    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+    if q_rows:
+        qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+        qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+    else:
+        # empty probe set: a (0,) array has no axis=1 to normalize over;
+        # the kernel short-circuits so the placeholder is never used
+        qn = np.zeros((0, 0), dtype=np.float64)
 
     def kernel(batches):
         # self-contained closure: no module-global references, so
         # cloudpickle ships it BY VALUE — executors never need
         # lime_etl_spark importable (the driver may run from any cwd)
         for pdf in batches:
+            if len(pdf) == 0 or len(q_ids) == 0:
+                # empty Arrow batch / no probes: tolist() gives a (0,)
+                # array whose axis-1 norm raises — nothing to emit
+                continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
@@ -399,7 +410,8 @@ def embedding_near_dup_bucketed(
     explicit count to match their oracle's plane literals.
     """
     if n_planes is None:
-        n_planes = recommended_n_planes(df.count())
+        # max(1,·): empty corpus -> 1-plane minimum, not a ValueError
+        n_planes = recommended_n_planes(max(1, df.count()))
     b = with_lsh_bucket(df, dim, n_planes, vec_col)
     a_side = b.select(
         F.col(id_col).alias("id_a"),
@@ -473,7 +485,8 @@ def embedding_near_dup_bucketed_arrow(
     thr = float(threshold)
     blk_bytes = int(score_block_bytes)
     if n_planes is None:
-        n_planes = recommended_n_planes(df.count())
+        # max(1,·): empty corpus -> 1-plane minimum, not a ValueError
+        n_planes = recommended_n_planes(max(1, df.count()))
 
     b = with_lsh_bucket(df, dim, n_planes, vec_col)
     a_side = b.select(
@@ -567,6 +580,11 @@ def kmeans_centroids_embeddings(
     """
     v = df.select(F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("e"))
     init = v.orderBy("id").limit(k).collect()  # k rows only — bounded
+    if not init:
+        # empty corpus: return a well-shaped (0, dim) matrix instead of
+        # the (0,) shape np.array([]) gives — downstream axis=1 math
+        # (normalize, matmul) stays valid and yields empty results
+        return np.zeros((0, dim), dtype=np.float64)
     cents = np.array([r.e for r in init], dtype=np.float64)
     for _ in range(n_iter):
         assigned = _assign_cluster(v, cents, "e")
@@ -595,6 +613,11 @@ def _assign_cluster(df: DataFrame, cents, vec_col: str, out: str = "cluster") ->
 
     @pandas_udf("int")
     def assign(batch: pd.Series) -> pd.Series:
+        if len(batch) == 0 or len(cn) == 0:
+            # empty Arrow batch (or no trained centroids — only
+            # reachable when the corpus itself is empty): a (0,) array
+            # has no axis=1, and argmax over zero columns raises
+            return pd.Series(np.zeros(len(batch), dtype=np.int32) - 1)
         x = np.array(batch.tolist(), dtype=np.float64)
         xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         m = xn @ cn.T
@@ -617,6 +640,8 @@ def _probe_clusters(df: DataFrame, cents, vec_col: str, nprobe: int) -> DataFram
 
     @pandas_udf("array<int>")
     def probe(batch: pd.Series) -> pd.Series:
+        if len(batch) == 0:
+            return pd.Series([], dtype=object)
         x = np.array(batch.tolist(), dtype=np.float64)
         xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         m = xn @ cn.T
@@ -677,7 +702,8 @@ def ivf_topk(
     n = None
     if n_clusters is None:
         n = candidates.count()
-        n_clusters = recommended_n_clusters(n)
+        # max(1,·): empty corpus -> min_clusters, not a ValueError
+        n_clusters = recommended_n_clusters(max(1, n))
     train = candidates
     if train_max is not None:
         if train_max < n_clusters:

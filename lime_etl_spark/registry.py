@@ -498,10 +498,18 @@ def range_join_shipped_30d(spark, sf_dir):
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP (r_name, n_name)
+    HAVING count(*) > 0
     """,
 )
 def agg_rollup_region_nation(spark, sf_dir):
-    """ROLLUP hierarchy totals (nation → region → grand)."""
+    """ROLLUP hierarchy totals (nation → region → grand).
+
+    Empty-input semantics are pinned to Spark's: rollup over zero rows
+    yields ZERO rows (Spark expands rollup to grouped sets and groups
+    over nothing), while ANSI/DuckDB emit the () grand-total row. The
+    oracle's ``HAVING count(*) > 0`` drops only that
+    empty-input-artifact row — rollup groups on non-empty input always
+    hold >= 1 row, so the gate values are untouched."""
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
@@ -525,10 +533,13 @@ def agg_rollup_region_nation(spark, sf_dir):
            round(sum(o_totalprice::DECIMAL(12,2)), 2)::DOUBLE AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    HAVING count(*) > 0
     """,
 )
 def agg_cube_status_priority(spark, sf_dir):
-    """CUBE over two low-cardinality dimensions."""
+    """CUBE over two low-cardinality dimensions. The oracle's HAVING
+    pins empty-input semantics to Spark's zero-row cube (see
+    agg_rollup_region_nation)."""
     orders = _t(spark, sf_dir, "orders")
     return analytics.cube_agg(
         orders,
@@ -1903,11 +1914,14 @@ def embedding_centroids(spark, sf_dir):
     SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    HAVING count(*) > 0
     """,
 )
 def agg_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS through the engine's SQL entry point
-    (spark.sql over a registered view) — distinct from rollup/cube."""
+    (spark.sql over a registered view) — distinct from rollup/cube.
+    The oracle's HAVING pins empty-input semantics to Spark's zero-row
+    grouping sets (see agg_rollup_region_nation)."""
     orders = _t(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("orders_gs")
     return spark.sql(
@@ -4532,8 +4546,12 @@ def _z_interleave_sql(bexpr: str, offset: int, bits: int = 16, ncols: int = 2) -
     s AS (SELECT min(cdf_rank) AS r_lo, max(cdf_rank) AS r_hi,
                  min(doc_id) AS d_lo, max(doc_id) AS d_hi FROM r),
     b AS (SELECT doc_id, cdf_rank,
-                 (cdf_rank - r_lo) * 255 // (r_hi - r_lo) AS b1,
-                 (doc_id - d_lo) * 255 // (d_hi - d_lo) AS b2
+                 -- constant column (max == min) buckets to 0, matching
+                 -- zorder_bucket's guard (DuckDB x // 0 is NULL)
+                 CASE WHEN r_hi = r_lo THEN 0
+                      ELSE (cdf_rank - r_lo) * 255 // (r_hi - r_lo) END AS b1,
+                 CASE WHEN d_hi = d_lo THEN 0
+                      ELSE (doc_id - d_lo) * 255 // (d_hi - d_lo) END AS b2
           FROM r, s)
     SELECT doc_id, cdf_rank,
            CAST({_z_interleave_sql("b1", 0, bits=8)}
@@ -4578,9 +4596,13 @@ def zorder_key_rank_encoded(spark, sf_dir):
       FROM orders),
     b AS (
       SELECT o_orderkey,
-             (o_custkey - k_lo) * 65535 // (k_hi - k_lo) AS bk,
-             (CAST(floor(o_totalprice * 100) AS BIGINT) - c_lo) * 65535
-               // (c_hi - c_lo) AS bc
+             -- constant column (max == min) buckets to 0, matching
+             -- zorder_bucket's guard (DuckDB x // 0 is NULL)
+             CASE WHEN k_hi = k_lo THEN 0
+                  ELSE (o_custkey - k_lo) * 65535 // (k_hi - k_lo) END AS bk,
+             CASE WHEN c_hi = c_lo THEN 0
+                  ELSE (CAST(floor(o_totalprice * 100) AS BIGINT) - c_lo) * 65535
+                       // (c_hi - c_lo) END AS bc
       FROM orders, s)
     SELECT o_orderkey,
            CAST({_z_interleave_sql("bk", 0)}
@@ -4904,21 +4926,24 @@ def streaming_scd2_history(spark, sf_dir):
 @register(
     "quality_constraint_report",
     oracle="""
+    -- coalesce(sum, 0): the engine reports 0 violations over an empty
+    -- batch (ops/quality coalesces its fused sums); a bare SQL sum()
+    -- over zero rows is NULL and would diverge on degenerate input
     SELECT 'not_null' AS rule, 'o_custkey' AS "column",
-           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_violations
+           CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_violations
     FROM orders
     UNION ALL
     SELECT 'accepted_values', 'o_orderstatus',
-           CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+           CAST(coalesce(sum(CASE WHEN o_orderstatus IS NOT NULL
                           AND o_orderstatus NOT IN ('O','F','P')
-                         THEN 1 ELSE 0 END) AS BIGINT)
+                         THEN 1 ELSE 0 END), 0) AS BIGINT)
     FROM orders
     UNION ALL
     SELECT 'in_range', 'o_totalprice',
-           CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+           CAST(coalesce(sum(CASE WHEN o_totalprice IS NOT NULL
                           AND (o_totalprice < 0 OR o_totalprice > 1000000)
-                         THEN 1 ELSE 0 END) AS BIGINT)
+                         THEN 1 ELSE 0 END), 0) AS BIGINT)
     FROM orders
     UNION ALL
     SELECT 'unique', 'o_orderkey',
@@ -5222,26 +5247,29 @@ def quality_drift_price(spark, sf_dir):
 @register(
     "streaming_quality_report",
     oracle="""
+    -- coalesce(sum, 0): the engine's fused per-batch scan reports 0
+    -- violations over an empty stream; bare SQL sum() over zero rows
+    -- is NULL and would diverge on degenerate input
     SELECT 'not_null' AS rule, 'user_id' AS "column",
-           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_violations
+           CAST(coalesce(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_violations
     FROM events
     UNION ALL
     SELECT 'not_null', 'ts',
-           CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(coalesce(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
     FROM events
     UNION ALL
     SELECT 'accepted_values', 'event_type',
-           CAST(sum(CASE WHEN event_type IS NOT NULL
+           CAST(coalesce(sum(CASE WHEN event_type IS NOT NULL
                           AND event_type NOT IN
                               ('click','error','purchase','signup','view')
-                         THEN 1 ELSE 0 END) AS BIGINT)
+                         THEN 1 ELSE 0 END), 0) AS BIGINT)
     FROM events
     UNION ALL
     SELECT 'in_range', 'value',
-           CAST(sum(CASE WHEN value IS NOT NULL
+           CAST(coalesce(sum(CASE WHEN value IS NOT NULL
                           AND (value < 0 OR value > 1000000)
-                         THEN 1 ELSE 0 END) AS BIGINT)
+                         THEN 1 ELSE 0 END), 0) AS BIGINT)
     FROM events
     UNION ALL
     SELECT 'row_count', '*', CAST(count(*) AS BIGINT) FROM events
