@@ -393,6 +393,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster near-duplicate PAIRS into duplicate GROUPS.
 
@@ -423,15 +424,37 @@ def connected_components(
 
     Returns (doc_id, component_id, component_size); component_id is the
     min doc_id of the component (the canonical survivor).
+
+    ``reliable_checkpoint_dir``: localCheckpoint stores its blocks in
+    EXECUTOR storage — fast, but lineage is truncated, so blocks lost
+    with a dead executor cannot be recomputed and any read that needs
+    them fails (observed in the round-5 fault rehearsal's block-loss
+    probe, FAULT_CHECK.json: a localCheckpointed read dies after an
+    executor SIGKILL while the reliable twin returns the same value;
+    the mid-QUERY kills there happened to land in pair generation,
+    where plain lineage still covers recompute, so whether a given
+    kill hits the hazard is timing). Pass a durable directory
+    (HDFS/object store on a cluster) to checkpoint reliably instead:
+    each round's labels survive executor loss, at the cost of a
+    filesystem round-trip per round. Single-host default stays
+    localCheckpoint (task-level retries never lose blocks — the
+    executor survives).
     """
+    if reliable_checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    edges = fwd.union(rev).distinct().localCheckpoint(eager=True)
-    labels = (
+    edges = _ckpt(fwd.union(rev).distinct())
+    labels = _ckpt(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_iter):
@@ -456,8 +479,8 @@ def connected_components(
                     F.coalesce(F.col("nbr_label"), labels["label"]) < labels["label"]
                 ).alias("__changed"),
             )
-            .localCheckpoint(eager=True)
         )
+        stepped = _ckpt(stepped)
         n_changed = stepped.filter(F.col("__changed")).count()
         labels = stepped.drop("__changed")
         if n_changed == 0:

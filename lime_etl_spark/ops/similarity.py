@@ -655,6 +655,164 @@ def _probe_clusters(df: DataFrame, cents, vec_col: str, nprobe: int) -> DataFram
     return df.withColumn("cluster", F.explode(probe(vec_col)))
 
 
+class IVFIndex:
+    """A trained IVF index: the (k, dim) centroid matrix plus the
+    corpus with cluster assignments — build once with ``ivf_index``,
+    search any number of probe batches with ``ivf_search`` (the
+    production shape: training/assignment amortize across queries).
+    ``assigned`` is lazy; cache it when searching repeatedly."""
+
+    def __init__(self, cents, assigned: DataFrame):
+        self.cents = cents
+        self.assigned = assigned
+
+
+def ivf_index(
+    candidates: DataFrame,
+    dim: int,
+    n_clusters: int | None = None,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_max: int | None = None,
+) -> IVFIndex:
+    """Train k-means cells and assign the corpus — the build half of
+    ivf_topk (see its docstring for the sizing/sampling rationale;
+    n_clusters=None additionally makes this eager via one count())."""
+    n = None
+    if n_clusters is None:
+        n = candidates.count()
+        # max(1,·): empty corpus -> min_clusters, not a ValueError
+        n_clusters = recommended_n_clusters(max(1, n))
+    train = candidates
+    if train_max is not None:
+        if train_max < n_clusters:
+            raise ValueError(
+                f"train_max={train_max} < n_clusters={n_clusters}: k-means "
+                "needs at least one training vector per cell (aim for 30-100x)"
+            )
+        n = n if n is not None else candidates.count()
+        if n > train_max:
+            m = -(-n // train_max)  # ceil: expected sample size n/m <= train_max
+            train = candidates.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0
+            )
+            # the hash sample's size is binomial around n/m — when the
+            # draw lands BELOW n_clusters, k-means would silently train
+            # fewer centroids than requested (init is limit(k)); fall
+            # back to the full corpus rather than degrade invisibly
+            # (review finding). One count() on the sampled (narrow)
+            # frame; only the train_max path pays it.
+            if train.count() < n_clusters:
+                train = candidates
+    cents = kmeans_centroids_embeddings(
+        train, dim, k=n_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    assigned = _assign_cluster(
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
+        ),
+        cents,
+        "cv",
+    )
+    return IVFIndex(cents, assigned)
+
+
+def ivf_search(
+    queries: DataFrame,
+    index: IVFIndex,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a trained IVF index — the probe half of ivf_topk: each
+    query scores only its ``nprobe`` nearest cells (keyed join on
+    cluster id, never a cross join)."""
+    probes = _probe_clusters(
+        queries.select(
+            F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+        ),
+        index.cents,
+        "qv",
+        nprobe,
+    )
+    scored = (
+        probes.join(index.assigned, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def calibrate_nprobe(
+    queries: DataFrame,
+    candidates: DataFrame,
+    index: IVFIndex,
+    dim: int,
+    k: int = 5,
+    target_recall: float = 0.9,
+    start_nprobe: int = 4,
+    sample: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "tuple[int, float]":
+    """Measure-and-raise: find the smallest nprobe (from
+    ``start_nprobe``, doubling) whose recall@k against the EXACT top-k
+    meets ``target_recall`` on a deterministic probe sample.
+
+    Rationale: the recall a given nprobe delivers depends on the data's
+    cluster structure and on how coarse sampled training left the
+    centroids (measured at sf1: recall@5 0.59 → 0.84 as nprobe 4 → 8
+    under train_max=2000) — no formula generalizes, so the knob is
+    calibrated empirically. Cost is bounded: ONE exact pass for the
+    sample's ground truth (``sample`` probes broadcast against the
+    streamed corpus), then one cheap sample-search per trial (the index
+    is NOT retrained — training/assignment are reused), ≤ log2(k_cells)
+    trials. Returns (nprobe, measured_recall); caps at the cell count
+    (exhaustive probing == exact search over the index, recall 1.0
+    modulo ties).
+    """
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(f"target_recall in (0, 1], got {target_recall}")
+    probe_set = queries.select(id_col, vec_col).orderBy(id_col).limit(sample)
+    exact = cosine_topk(probe_set, candidates, k=k, id_col=id_col, vec_col=vec_col)
+    exact_pairs = exact.select("query_id", "neighbor_id")
+    n_exact = exact_pairs.count()
+    if n_exact == 0:
+        return start_nprobe, 1.0
+    n_cells = len(index.cents)
+    nprobe = min(max(1, start_nprobe), max(1, n_cells))
+    while True:
+        approx = ivf_search(
+            probe_set, index, k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+        )
+        hit = exact_pairs.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        ).count()
+        recall = hit / n_exact
+        if recall >= target_recall or nprobe >= n_cells:
+            return nprobe, recall
+        nprobe = min(n_cells, nprobe * 2)
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -666,6 +824,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_max: int | None = None,
+    target_recall: float | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: k-means cells over the candidate corpus,
     queries search only their nprobe nearest cells — exact cosine
@@ -698,71 +857,38 @@ def ivf_topk(
     more Lloyd iterations. At sf1 the wall is assignment-dominated so
     sampling saves little (5.0 s → 4.4 s); the win appears where
     training passes dominate, i.e. corpus >> 1e7.
+
+    ``target_recall`` (round-5): calibrate nprobe empirically instead
+    of guessing — the smallest doubling nprobe whose measured recall@k
+    on a 64-probe sample meets the target (see calibrate_nprobe). The
+    remedy for the train_max footgun above; when train_max is set
+    with NEITHER a raised nprobe nor a target, a warning carries the
+    measured numbers. Composition: ivf_index (train+assign once) →
+    ivf_search; reuse those directly to amortize the index across many
+    probe batches.
     """
-    n = None
-    if n_clusters is None:
-        n = candidates.count()
-        # max(1,·): empty corpus -> min_clusters, not a ValueError
-        n_clusters = recommended_n_clusters(max(1, n))
-    train = candidates
-    if train_max is not None:
-        if train_max < n_clusters:
-            raise ValueError(
-                f"train_max={train_max} < n_clusters={n_clusters}: k-means "
-                "needs at least one training vector per cell (aim for 30-100x)"
-            )
-        n = n if n is not None else candidates.count()
-        if n > train_max:
-            m = -(-n // train_max)  # ceil: expected sample size n/m <= train_max
-            train = candidates.filter(
-                F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0
-            )
-            # the hash sample's size is binomial around n/m — when the
-            # draw lands BELOW n_clusters, k-means would silently train
-            # fewer centroids than requested (init is limit(k)); fall
-            # back to the full corpus rather than degrade invisibly
-            # (review finding). One count() on the sampled (narrow)
-            # frame; only the train_max path pays it.
-            if train.count() < n_clusters:
-                train = candidates
-    cents = kmeans_centroids_embeddings(
-        train, dim, k=n_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    index = ivf_index(
+        candidates, dim, n_clusters=n_clusters, n_iter=n_iter,
+        id_col=id_col, vec_col=vec_col, train_max=train_max,
     )
-    cand = _assign_cluster(
-        candidates.select(
-            F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
-        ),
-        cents,
-        "cv",
-    )
-    probes = _probe_clusters(
-        queries.select(
-            F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
-        ),
-        cents,
-        "qv",
-        nprobe,
-    )
-    scored = (
-        probes.join(cand, "cluster")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                _dot(F.col("qv"), F.col("cv"))
-                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-                6,
-            ).alias("score"),
+    if target_recall is not None:
+        nprobe, _ = calibrate_nprobe(
+            queries, candidates, index, dim, k=k,
+            target_recall=target_recall, start_nprobe=nprobe,
+            id_col=id_col, vec_col=vec_col,
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "score")
+    elif train_max is not None and nprobe <= 4:
+        import warnings
+
+        warnings.warn(
+            "ivf_topk(train_max=...) trains on a sample, which coarsens "
+            f"centroids; at the default nprobe={nprobe} measured recall@5 "
+            "dropped to 0.59 on clustered vectors (SCALE.md). Raise nprobe "
+            "or pass target_recall=... to calibrate it automatically.",
+            stacklevel=2,
+        )
+    return ivf_search(
+        queries, index, k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col
     )
 
 

@@ -1,0 +1,519 @@
+"""Fault-tolerance rehearsal: task retries and executor loss, observed.
+
+At 100 TB fleet scale, task retries and executor loss are the steady
+state, not the exception. The engine's determinism design (no rand(),
+pinned timestamps, idempotent partition-overwrite sinks) should make
+retries exact — but until round 5 that was an argument, not an
+observation: no query had ever executed a retried task. This tool makes
+failure happen on purpose and verifies results are identical to
+failure-free runs (order-independent checksum, the spill_check one).
+
+Four regimes:
+
+1. ``retry-source`` — every fixture-table scan is wrapped in a
+   mapInPandas stage that RAISES on its first attempt for half the
+   partitions (``TaskContext.attemptNumber() == 0``), on a
+   ``local[N,4]`` master (the 4 = task maxFailures; plain local[N]
+   fails the job on first task failure). Every downstream stage then
+   consumes recomputed source outputs.
+2. ``retry-sink`` — the fault stage wraps the query OUTPUT and dies
+   MID-STREAM (after yielding rows), so the final stage (feeding the
+   checksum aggregation) is the one retried after partial progress.
+3. ``executor-kill`` — on ``local-cluster[3,4,...]`` a real executor
+   JVM is SIGKILLed mid-query: lost tasks are rescheduled and lost
+   shuffle blocks refetched/recomputed on the survivors. Also observes
+   the documented localCheckpoint limitation: an iterative query
+   (dedup_components) DIES when the killed executor held its
+   checkpoint blocks (lineage is truncated — nothing to recompute
+   from), while the ``reliable_checkpoint_dir`` variant survives.
+4. ``streaming-midwrite`` — the incremental-dedup ingest gate
+   (streaming/dedup.py) processes a multi-batch file stream whose
+   foreachBatch body dies mid-write on first attempts (the fault stage
+   rides the same task as the parquet writer, so files are partially
+   written, discarded by the task committer, and rewritten on retry).
+   Pass = final decisions/band/doc state checksums equal the clean
+   run's AND every doc decided exactly once (no double-appends —
+   the exactly-once claim of io/sinks.idempotent_reload under task
+   death, not just under batch replay).
+
+Faults fire through a Spark accumulator so the artifact RECORDS how
+many injected failures actually happened — a run where nothing failed
+proves nothing.
+
+CLI::
+
+    python -m lime_etl_spark.tools.fault_check --sf-dir /tmp/sf1 \
+        --out FAULT_CHECK.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import tempfile
+import threading
+import time
+import uuid
+
+PHASE_ENV = "LIME_FAULT_PHASE_OUT"
+
+RETRY_QUERIES = [
+    "q1_pricing_summary",          # shuffle-heavy relational
+    "dedup_embedding_cosine_bucketed",  # Arrow kernel
+    "window_customer_spend",       # broadcast + window
+    "dedup_components",            # iterative localCheckpoint loop
+]
+KILL_QUERIES = [
+    "q1_pricing_summary",
+    "dedup_embedding_cosine_bucketed",
+    "window_customer_spend",
+]
+
+
+def inject_faults(df, counter=None, every_k: int = 2, fail_attempts: int = 1,
+                  mode: str = "before"):
+    """Wrap ``df`` in a value-identity mapInPandas stage that fails its
+    first ``fail_attempts`` task attempts on every ``every_k``-th
+    partition. ``mode='before'`` raises before yielding anything;
+    ``mode='midstream'`` yields the first Arrow batch then raises — the
+    task dies with partial output already emitted (and, when the stage
+    feeds a file write, partially-written files for the committer to
+    discard). ``counter``: optional Spark accumulator incremented by
+    each RETRIED attempt (attemptNumber > 0) — Spark discards
+    accumulator updates from failed tasks, so counting inside the
+    failing attempt records nothing; the successful retry is the
+    observable proof the injected failure happened.
+    """
+    schema = df.schema
+
+    def gen(it):
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        if counter is not None and tc is not None and tc.attemptNumber() > 0:
+            # this attempt only exists because a previous one failed —
+            # count it here (a successful task's accumulator update is
+            # the only one Spark keeps)
+            counter.add(1)
+        fail = (
+            tc is not None
+            and tc.attemptNumber() < fail_attempts
+            and tc.partitionId() % every_k == 0
+        )
+        if fail and mode == "before":
+            raise RuntimeError(
+                f"[fault-check] injected pre-read failure "
+                f"(partition {tc.partitionId()}, attempt {tc.attemptNumber()})"
+            )
+        emitted = False
+        for pdf in it:
+            yield pdf
+            emitted = True
+            if fail and mode == "midstream":
+                raise RuntimeError(
+                    f"[fault-check] injected mid-stream failure after "
+                    f"{len(pdf)} rows (partition {tc.partitionId()}, "
+                    f"attempt {tc.attemptNumber()})"
+                )
+        if fail and mode == "midstream" and not emitted:
+            raise RuntimeError(
+                f"[fault-check] injected mid-stream failure on empty "
+                f"partition {tc.partitionId()}"
+            )
+
+    return df.mapInPandas(gen, schema)
+
+
+def _patch_sources(spark, counter, mode: str = "before"):
+    """Route every registry table read through the fault stage. Returns
+    an undo callable. Patches both the io.sources binding and the
+    registry module's imported alias (``_t``/``_tp`` resolve the
+    latter)."""
+    import lime_etl_spark.io.sources as SRC
+    import lime_etl_spark.registry as R
+
+    orig = SRC.read_table
+
+    def faulty_read(spark_, sf_dir, name):
+        return inject_faults(orig(spark_, sf_dir, name), counter=counter, mode=mode)
+
+    SRC.read_table = faulty_read
+    R.read_table = faulty_read
+
+    def undo():
+        SRC.read_table = orig
+        R.read_table = orig
+
+    return undo
+
+
+# ---------------------------------------------------------------------------
+# Phase bodies (each runs in a fresh JVM — master differs per phase)
+# ---------------------------------------------------------------------------
+
+
+def phase_retry(sf_dir: str, out_path: str) -> None:
+    """retry-source + retry-sink + streaming-midwrite on local[N,4]."""
+    from lime_etl_spark.registry import REGISTRY
+    from lime_etl_spark.session import DEFAULT_SHUFFLE_PARTITIONS, get_spark
+    from lime_etl_spark.tools.spill_check import content_checksum
+
+    spark = get_spark(
+        "fault-check-retry",
+        master=f"local[{DEFAULT_SHUFFLE_PARTITIONS},4]",
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, dict] = {}
+    for name in RETRY_QUERIES:
+        q = REGISTRY[name]
+        clean_digest, clean_rows = content_checksum(q.spark_fn(spark, sf_dir))
+        entry = {"rows": clean_rows, "clean_checksum": clean_digest}
+        for label, mode, wrap_output in (
+            ("retry_source", "before", False),
+            ("retry_sink", "midstream", True),
+        ):
+            counter = spark.sparkContext.accumulator(0)
+            if wrap_output:
+                df = inject_faults(
+                    q.spark_fn(spark, sf_dir), counter=counter, mode=mode
+                )
+                digest, rows = content_checksum(df)
+            else:
+                undo = _patch_sources(spark, counter, mode=mode)
+                try:
+                    digest, rows = content_checksum(q.spark_fn(spark, sf_dir))
+                finally:
+                    undo()
+            entry[label] = {
+                "match": digest == clean_digest and rows == clean_rows,
+                "retried_tasks": counter.value,
+            }
+            print(f"# {name} {label}: match={entry[label]['match']} "
+                  f"retried={counter.value}", flush=True)
+        results[name] = entry
+    results["streaming_midwrite"] = _streaming_midwrite(spark, sf_dir)
+    with open(out_path, "w", encoding="utf-8") as fh:
+        json.dump(results, fh)
+    spark.stop()
+
+
+def _drain_ingest(spark, src_dir: str, work: str, prefilter=None):
+    """One availableNow incremental-dedup drain (3 files per trigger →
+    several micro-batches); returns (decisions_df, state_dir)."""
+    from lime_etl_spark.streaming.dedup import (
+        DECISIONS_SUBDIR,
+        _DECISIONS_SCHEMA,
+        dedup_on_ingest,
+    )
+    from lime_etl_spark.streaming.state import read_state_or_empty
+
+    state = os.path.join(work, "state")
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("maxFilesPerTrigger", 3)
+        .parquet(src_dir)
+    )
+    q = dedup_on_ingest(
+        stream, state, os.path.join(work, "ck"), threshold=0.5, prefilter=prefilter
+    )
+    q.awaitTermination()
+    decisions = read_state_or_empty(
+        spark, os.path.join(state, DECISIONS_SUBDIR), _DECISIONS_SCHEMA
+    )
+    return decisions, state
+
+
+def _streaming_midwrite(spark, sf_dir: str) -> dict:
+    """Clean vs fault-injected ingest: the prefilter hook injects the
+    mid-write fault stage into every micro-batch, upstream of all three
+    partition-overwrite writes (narrow chain — the fault rides the
+    write tasks)."""
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.io.sources import read_table
+    from lime_etl_spark.tools.spill_check import content_checksum
+
+    work = tempfile.mkdtemp(prefix=f"lime_fault_{uuid.uuid4().hex[:8]}_")
+    src_dir = os.path.join(work, "src")
+    # split the documents fixture into 9 files → 3 micro-batches at
+    # maxFilesPerTrigger=3, so state accumulates across batches
+    read_table(spark, sf_dir, "documents").repartition(9).write.parquet(src_dir)
+
+    clean_dec, _ = _drain_ingest(spark, src_dir, os.path.join(work, "clean"))
+    clean_digest, clean_rows = content_checksum(clean_dec)
+
+    counter = spark.sparkContext.accumulator(0)
+    fault_dec, state = _drain_ingest(
+        spark,
+        src_dir,
+        os.path.join(work, "fault"),
+        prefilter=lambda d: inject_faults(d, counter=counter, mode="midstream"),
+    )
+    digest, rows = content_checksum(fault_dec)
+    # exactly-once: every doc decided exactly once across all batches
+    dup_decisions = (
+        fault_dec.groupBy("doc_id").count().filter(F.col("count") > 1).count()
+    )
+    out = {
+        "rows": clean_rows,
+        "match": digest == clean_digest and rows == clean_rows,
+        "retried_tasks": counter.value,
+        "double_decided_docs": dup_decisions,
+    }
+    print(f"# streaming_midwrite: match={out['match']} retried={counter.value} "
+          f"double_decided={dup_decisions}", flush=True)
+    return out
+
+
+def _kill_one_executor(app_id: str, delay_s: float) -> "int | None":
+    """After ``delay_s``, SIGKILL the first executor JVM belonging to
+    ``app_id`` (found by /proc cmdline scan). Returns the killed pid,
+    or None if no executor was found (e.g. query already finished)."""
+    time.sleep(delay_s)
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                cmd = fh.read()
+        except OSError:
+            continue
+        if b"CoarseGrainedExecutorBackend" in cmd and app_id.encode() in cmd:
+            os.kill(int(pid), signal.SIGKILL)
+            return int(pid)
+    return None
+
+
+def phase_kill(sf_dir: str, out_path: str, executor_mem: str) -> None:
+    """executor-kill on local-cluster: SIGKILL one executor JVM
+    mid-query, assert the query still completes with an identical
+    checksum; then observe the iterative-op behavior with local vs
+    reliable checkpoints."""
+    import lime_etl_spark
+    from lime_etl_spark.registry import REGISTRY
+    from lime_etl_spark.session import get_spark
+    from lime_etl_spark.tools.spill_check import content_checksum
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(lime_etl_spark.__file__)))
+    spark = get_spark(
+        "fault-check-kill",
+        master="local-cluster[3,4,4096]",
+        extra_conf={
+            "spark.executor.memory": executor_mem,
+            "spark.executorEnv.PYTHONPATH": pkg_root,
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    app_id = spark.sparkContext.applicationId
+    results: dict[str, dict] = {}
+    for name in KILL_QUERIES:
+        q = REGISTRY[name]
+        clean_digest, clean_rows = content_checksum(q.spark_fn(spark, sf_dir))
+        box: dict = {}
+
+        def run():
+            try:
+                box["digest"], box["rows"] = content_checksum(q.spark_fn(spark, sf_dir))
+            except Exception as ex:  # recorded, not raised — artifact honesty
+                box["error"] = repr(ex)[:300]
+
+        t = threading.Thread(target=run)
+        t.start()
+        killed = _kill_one_executor(app_id, delay_s=1.5)
+        t.join()
+        results[name] = {
+            "rows": clean_rows,
+            "killed_pid": killed,
+            "match": box.get("digest") == clean_digest
+            and box.get("rows") == clean_rows,
+            "error": box.get("error"),
+        }
+        print(f"# {name} executor-kill: match={results[name]['match']} "
+              f"killed={killed}", flush=True)
+
+    results["iterative_checkpoints"] = _iterative_under_kill(spark, sf_dir, app_id)
+    results["checkpoint_block_loss_probe"] = _block_loss_probe(spark, app_id)
+    with open(out_path, "w", encoding="utf-8") as fh:
+        json.dump(results, fh)
+    spark.stop()
+
+
+def _iterative_under_kill(spark, sf_dir: str, app_id: str) -> dict:
+    """dedup_components under executor loss, both checkpoint modes.
+
+    localCheckpoint: blocks live in executor storage and lineage is
+    truncated — losing the executor that holds them is expected to
+    KILL the job (the documented trade-off). reliable checkpoint:
+    blocks live on the (shared) filesystem — the job must survive.
+    """
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.io.sources import read_table
+    from lime_etl_spark.ops import dedup
+    from lime_etl_spark.tools.spill_check import content_checksum
+
+    def components(reliable_dir):
+        docs = read_table(spark, sf_dir, "documents")
+        pairs = dedup.minhash_near_dups(docs, threshold=0.5)
+        comp = dedup.connected_components(
+            pairs.select("id_a", "id_b"), reliable_checkpoint_dir=reliable_dir
+        )
+        return comp.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("component_id") * F.col("doc_id")).alias("s"),
+        )
+
+    t0 = time.time()
+    clean_digest, _ = content_checksum(components(None))
+    clean_wall = time.time() - t0
+    out: dict = {"clean_checksum": clean_digest, "clean_wall_s": round(clean_wall, 2)}
+    for label, rdir in (
+        ("localCheckpoint", None),
+        ("reliable", tempfile.mkdtemp(prefix="lime_fault_ckpt_")),
+    ):
+        box: dict = {}
+
+        def run():
+            try:
+                box["digest"], _ = content_checksum(components(rdir))
+            except Exception as ex:
+                box["error"] = repr(ex)[:300]
+
+        t = threading.Thread(target=run)
+        t.start()
+        # kill ~60% into the clean duration so it lands mid-ITERATION —
+        # after checkpoint blocks exist, the regime where localCheckpoint
+        # loss actually bites (an early kill lands in pair generation,
+        # where plain lineage recompute still covers everything)
+        killed = _kill_one_executor(app_id, delay_s=max(2.0, 0.6 * clean_wall))
+        t.join()
+        out[label] = {
+            "killed_pid": killed,
+            "survived": "digest" in box,
+            "match": box.get("digest") == clean_digest,
+            "error": box.get("error"),
+        }
+        print(f"# iterative {label}: survived={out[label]['survived']} "
+              f"match={out[label]['match']} killed={killed}", flush=True)
+    return out
+
+
+def _block_loss_probe(spark, app_id: str) -> dict:
+    """Deterministic demonstration of the localCheckpoint hazard the
+    mid-query kill only hits by timing luck: checkpoint a frame (blocks
+    land spread across all executors), kill one executor, then read.
+
+    localCheckpoint: lineage is truncated and the dead executor's
+    blocks are gone — the read must FAIL (this is why iterative ops
+    offer reliable_checkpoint_dir). reliable checkpoint: blocks live on
+    the shared filesystem — the read must succeed with the same value.
+    """
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 1_000_000, numPartitions=12).select(
+        F.col("id"), (F.col("id") * 7 % 1001).alias("v")
+    )
+    expected = base.agg(F.sum("v")).collect()[0][0]
+    out: dict = {"expected_sum": expected}
+    for label in ("localCheckpoint", "reliable"):
+        if label == "reliable":
+            spark.sparkContext.setCheckpointDir(
+                tempfile.mkdtemp(prefix="lime_fault_probe_ckpt_")
+            )
+            df = base.checkpoint(eager=True)
+        else:
+            df = base.localCheckpoint(eager=True)
+        killed = _kill_one_executor(app_id, delay_s=1.0)
+        entry: dict = {"killed_pid": killed}
+        try:
+            got = df.agg(F.sum("v")).collect()[0][0]
+            entry["survived"] = True
+            entry["match"] = got == expected
+        except Exception as ex:
+            entry["survived"] = False
+            entry["error"] = repr(ex)[:300]
+        out[label] = entry
+        print(f"# block-loss probe {label}: survived={entry['survived']} "
+              f"killed={killed}", flush=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Orchestration
+# ---------------------------------------------------------------------------
+
+
+def _spawn(phase: str, sf_dir: str, out_path: str, executor_mem: str) -> dict:
+    env = dict(os.environ, **{PHASE_ENV: out_path})
+    cmd = [
+        sys.executable, "-m", "lime_etl_spark.tools.fault_check",
+        "--phase", phase, "--sf-dir", sf_dir, "--executor-mem", executor_mem,
+    ]
+    subprocess.run(cmd, check=True, env=env)
+    with open(out_path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--executor-mem", default="3g")
+    ap.add_argument("--phase", choices=["retry", "kill"], default=None,
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--which", nargs="*", default=["retry", "kill"])
+    args = ap.parse_args()
+    if args.phase == "retry":
+        phase_retry(args.sf_dir, os.environ[PHASE_ENV])
+        return
+    if args.phase == "kill":
+        phase_kill(args.sf_dir, os.environ[PHASE_ENV], args.executor_mem)
+        return
+
+    report: dict = {"sf_dir": args.sf_dir}
+    ok = True
+    for phase in args.which:
+        fd, path = tempfile.mkstemp(prefix=f"lime_fault_{phase}_", suffix=".json")
+        os.close(fd)
+        report[phase] = _spawn(phase, args.sf_dir, path, args.executor_mem)
+    for name, entry in report.get("retry", {}).items():
+        if name == "streaming_midwrite":
+            ok &= entry["match"] and entry["double_decided_docs"] == 0
+            ok &= entry["retried_tasks"] > 0
+        else:
+            for label in ("retry_source", "retry_sink"):
+                ok &= entry[label]["match"] and entry[label]["retried_tasks"] > 0
+    for name, entry in report.get("kill", {}).items():
+        if name == "iterative_checkpoints":
+            # localCheckpoint mode: either outcome is honest (the kill
+            # races the query; dying is the DOCUMENTED behavior when
+            # blocks are lost) — but the reliable mode must survive+match
+            ok &= entry["reliable"]["survived"] and entry["reliable"]["match"]
+        elif name == "checkpoint_block_loss_probe":
+            # the probe is the deterministic contrast: losing an executor
+            # must break a localCheckpointed read and NOT a reliable one
+            ok &= (not entry["localCheckpoint"]["survived"]) and (
+                entry["reliable"]["survived"] and entry["reliable"]["match"]
+            )
+        else:
+            ok &= entry["match"]
+    report["all_match"] = ok
+    line = json.dumps(report)
+    print(line)
+    if args.out:
+        with open(args.out, "w", encoding="utf-8") as fh:
+            fh.write(line + "\n")
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

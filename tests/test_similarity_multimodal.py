@@ -412,3 +412,69 @@ def test_ivf_sampled_training(spark, sf_dir):
     assert rec_samp >= rec_full - 0.25, (rec_samp, rec_full)
     with pytest.raises(ValueError):
         similarity.ivf_topk(q, emb, dim=64, k=5, n_clusters=8, train_max=4)
+
+
+def test_ivf_index_search_composition_matches_ivf_topk(spark, sf_dir):
+    """ivf_index → ivf_search is exactly ivf_topk, and one trained
+    index serves multiple probe batches (the production reuse shape)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q1 = emb.filter(F.col("vec_id") < 16)
+    q2 = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 32))
+    mono = sorted(map(tuple, similarity.ivf_topk(
+        q1, emb, dim=64, k=5, n_clusters=8, nprobe=4
+    ).collect()))
+    index = similarity.ivf_index(emb, dim=64, n_clusters=8)
+    composed = sorted(map(tuple, similarity.ivf_search(
+        q1, index, k=5, nprobe=4
+    ).collect()))
+    assert mono == composed
+    # reuse: a second probe batch searches the SAME index (no retrain)
+    batch2 = similarity.ivf_search(q2, index, k=5, nprobe=4).collect()
+    assert {r.query_id for r in batch2} == {r[0] for r in emb.filter(
+        (F.col("vec_id") >= 16) & (F.col("vec_id") < 32)
+    ).select("vec_id").collect()}
+
+
+def test_ivf_calibrate_nprobe_reaches_target(spark, sf_dir):
+    """calibrate_nprobe raises nprobe until the measured recall@k on
+    the probe sample meets the target (or probing goes exhaustive);
+    target_recall=... on ivf_topk wires it in."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 16)
+    index = similarity.ivf_index(emb, dim=64, n_clusters=8, train_max=200)
+    nprobe, recall = similarity.calibrate_nprobe(
+        q, emb, index, dim=64, k=5, target_recall=0.9, start_nprobe=1
+    )
+    assert recall >= 0.9 or nprobe == 8, (nprobe, recall)
+    # the wired form returns k rows per query at the calibrated nprobe
+    from collections import Counter
+
+    rows = similarity.ivf_topk(
+        q, emb, dim=64, k=5, n_clusters=8, train_max=200, target_recall=0.9
+    ).collect()
+    per_q = Counter(r.query_id for r in rows)
+    assert all(v == 5 for v in per_q.values())
+    with pytest.raises(ValueError):
+        similarity.calibrate_nprobe(q, emb, index, dim=64, target_recall=1.5)
+
+
+def test_ivf_train_max_without_nprobe_warns(spark, sf_dir):
+    """train_max at the default nprobe is the measured recall footgun
+    (0.59 recall@5 at sf1) — the call must warn unless the caller
+    raised nprobe or asked for calibration."""
+    import warnings
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        similarity.ivf_topk(q, emb, dim=64, k=5, n_clusters=8, train_max=200)
+    assert any("recall" in str(w.message) for w in caught), [
+        str(w.message) for w in caught
+    ]
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        similarity.ivf_topk(
+            q, emb, dim=64, k=5, n_clusters=8, train_max=200, nprobe=8
+        )
+    assert not any("recall" in str(w.message) for w in caught)

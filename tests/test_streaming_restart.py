@@ -1,0 +1,227 @@
+"""Streaming kill-and-restart equivalence (round-4 verdict task 6).
+
+The round-4 soaks ran to completion; this kills the streaming PROCESS
+(SIGKILL — no cleanup, no flush) partway through a multi-batch drain
+and restarts it from the checkpoint, asserting the final state equals
+an uninterrupted run:
+
+- incremental dedup: decisions identical, every doc decided once;
+- quality monitor: per-batch timeline identical;
+- session windows (real state-store op): the parquet file sink's
+  committed output identical (read through its _spark_metadata log,
+  which is what makes the sink exactly-once across restarts).
+
+Mechanics: each runner is a subprocess draining a 12-file source with
+maxFilesPerTrigger=1. The interrupted run wraps the stream in a
+mapInPandas stage that sleeps at batch start (so the drain outlives
+the kill window), and the parent SIGKILLs it once the checkpoint's
+``commits/`` dir shows >= 2 completed batches — the process dies with
+some batches durable, one typically in flight, and the rest unread.
+Restart equivalence holds because the offset log pins each batch's
+exact file set: the replayed in-flight batch re-executes as logged and
+the partition-overwrite sinks converge (foreachBatch) / the file-sink
+log discards uncommitted files (session windows).
+
+Equivalence clean-vs-restarted requires identical batch decomposition,
+so the clean run uses the SAME source dir and trigger bound.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+_RUNNER = r"""
+import os, time
+from lime_etl_spark.session import get_spark
+
+which = os.environ["LIME_RESTART_WHICH"]
+src = os.environ["LIME_RESTART_SRC"]
+work = os.environ["LIME_RESTART_WORK"]
+sleep_s = float(os.environ.get("LIME_RESTART_SLEEP", "0"))
+
+spark = get_spark(
+    "restart-runner", shuffle_partitions=4,
+    extra_conf={"spark.driver.memory": "4g"},
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+
+def slow(df):
+    # value-identity stage sleeping at batch start: stretches the drain
+    # so the parent's SIGKILL lands mid-stream deterministically
+    if not sleep_s:
+        return df
+    schema = df.schema
+
+    def gen(it):
+        time.sleep(sleep_s)
+        for pdf in it:
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
+ck = os.path.join(work, "ck")
+if which == "dedup":
+    from lime_etl_spark.streaming.dedup import dedup_on_ingest
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = dedup_on_ingest(slow(stream), os.path.join(work, "state"), ck, threshold=0.5)
+elif which == "quality":
+    from lime_etl_spark.streaming.events import read_events_stream
+    from lime_etl_spark.streaming.quality import _FIXTURE_RULES, monitor_quality
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    q = monitor_quality(
+        slow(stream), os.path.join(work, "state"), ck, rules=list(_FIXTURE_RULES)
+    )
+else:
+    from lime_etl_spark.streaming.events import read_events_stream, session_windows
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        session_windows(slow(stream))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(work, "out"))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+q.awaitTermination()
+spark.stop()
+print("RUNNER_DONE", flush=True)
+"""
+
+
+def _env(which: str, src: str, work: str, sleep_s: float) -> dict:
+    import lime_etl_spark
+
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.abspath(lime_etl_spark.__file__))
+    )
+    return {
+        **os.environ,
+        "PYTHONPATH": pkg_root,
+        "LIME_RESTART_WHICH": which,
+        "LIME_RESTART_SRC": src,
+        "LIME_RESTART_WORK": work,
+        "LIME_RESTART_SLEEP": str(sleep_s),
+    }
+
+
+def _run_to_completion(env: dict) -> None:
+    proc = subprocess.run(
+        [sys.executable, "-c", _RUNNER], env=env, capture_output=True,
+        text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "RUNNER_DONE" in proc.stdout
+
+
+def _run_and_kill(env: dict, min_commits: int = 2) -> None:
+    """Start the runner, SIGKILL it once >= min_commits micro-batches
+    have committed (and, thanks to the sleep stage, more remain)."""
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _RUNNER], env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    commits = os.path.join(env["LIME_RESTART_WORK"], "ck", "commits")
+    deadline = time.time() + 180
+    try:
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                pytest.fail("runner finished before the kill landed")
+            n = (
+                len([f for f in os.listdir(commits) if not f.startswith(".")])
+                if os.path.isdir(commits)
+                else 0
+            )
+            if n >= min_commits:
+                break
+            time.sleep(0.2)
+        else:
+            pytest.fail("no micro-batch committed within the kill window")
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        proc.wait()
+    assert proc.returncode != 0  # died by signal, not clean exit
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture(scope="module")
+def split_sources(spark, sf_dir, tmp_path_factory):
+    """12-file copies of the documents and events fixtures — 12
+    micro-batches at maxFilesPerTrigger=1."""
+    from lime_etl_spark.io.sources import read_table
+
+    root = tmp_path_factory.mktemp("restart_src")
+    docs = str(root / "docs")
+    events = str(root / "events")
+    read_table(spark, sf_dir, "documents").repartition(12).write.parquet(docs)
+    read_table(spark, sf_dir, "events").repartition(12).write.parquet(events)
+    return {"dedup": docs, "quality": events, "sessions": events}
+
+
+@pytest.mark.parametrize("which", ["dedup", "quality", "sessions"])
+def test_kill_and_restart_equals_uninterrupted(
+    which, spark, split_sources, tmp_path
+):
+    src = split_sources[which]
+    clean_work = str(tmp_path / "clean")
+    fault_work = str(tmp_path / "fault")
+
+    _run_to_completion(_env(which, src, clean_work, sleep_s=0))
+    _run_and_kill(_env(which, src, fault_work, sleep_s=0.5))
+    _run_to_completion(_env(which, src, fault_work, sleep_s=0))
+
+    if which == "dedup":
+        from pyspark.sql import functions as F
+
+        from lime_etl_spark.streaming.dedup import (
+            DECISIONS_SUBDIR,
+            _DECISIONS_SCHEMA,
+        )
+        from lime_etl_spark.streaming.state import read_state_or_empty
+
+        def decisions(work):
+            return read_state_or_empty(
+                spark,
+                os.path.join(work, "state", DECISIONS_SUBDIR),
+                _DECISIONS_SCHEMA,
+            )
+
+        clean, fault = decisions(clean_work), decisions(fault_work)
+        assert _rows(clean) == _rows(fault)
+        # exactly-once through the kill: no doc decided twice
+        assert (
+            fault.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+        )
+        assert fault.count() > 0
+    elif which == "quality":
+        from lime_etl_spark.streaming.quality import timeline
+
+        clean = _rows(timeline(spark, os.path.join(clean_work, "state")))
+        fault = _rows(timeline(spark, os.path.join(fault_work, "state")))
+        assert clean == fault and len(clean) > 0
+    else:
+        # file sink: reading the output path goes through _spark_metadata,
+        # so files from the killed in-flight batch are invisible
+        clean = _rows(spark.read.parquet(os.path.join(clean_work, "out")))
+        fault = _rows(spark.read.parquet(os.path.join(fault_work, "out")))
+        assert clean == fault and len(clean) > 0
