@@ -3909,6 +3909,12 @@ def agg_approx_percentiles(spark, sf_dir):
            count(*) OVER (PARTITION BY component_id) AS component_size
     FROM comp
     """,
+    # headline since round 5: the round-4 verdict re-pointed the
+    # near-dup headline at this LSH+pairs composition — the path
+    # actually recommended beyond 1M docs — after dedup_ngram_jaccard's
+    # warm number stayed above its carried target (COVERAGE.md Round-5).
+    # ngram stays in the headline set so its line remains comparable.
+    headline=True,
 )
 def dedup_near_dup_groups(spark, sf_dir):
     """THE end-to-end corpus-dedup pipeline in one query: banded-LSH

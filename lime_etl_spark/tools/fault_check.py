@@ -156,12 +156,23 @@ def _patch_sources(spark, counter, mode: str = "before"):
 # ---------------------------------------------------------------------------
 
 
-def phase_retry(sf_dir: str, out_path: str) -> None:
-    """retry-source + retry-sink + streaming-midwrite on local[N,4]."""
-    from lime_etl_spark.registry import REGISTRY
+def phase_retry(
+    sf_dir: str, out_path: str, queries: "list[str] | None" = None,
+    streaming: bool = True,
+) -> None:
+    """retry-source + retry-sink (+ streaming-midwrite) on local[N,4].
+
+    ``queries``: defaults to RETRY_QUERIES; pass ``["@primary"]`` to
+    sweep the driver's full 50-query scored window (the completeness
+    form: every scored query retry-deterministic, not just exemplars).
+    """
+    from lime_etl_spark.registry import PRIMARY_QUERIES, REGISTRY
     from lime_etl_spark.session import DEFAULT_SHUFFLE_PARTITIONS, get_spark
     from lime_etl_spark.tools.spill_check import content_checksum
 
+    names = queries or RETRY_QUERIES
+    if names == ["@primary"]:
+        names = list(PRIMARY_QUERIES)
     spark = get_spark(
         "fault-check-retry",
         master=f"local[{DEFAULT_SHUFFLE_PARTITIONS},4]",
@@ -169,7 +180,7 @@ def phase_retry(sf_dir: str, out_path: str) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[str, dict] = {}
-    for name in RETRY_QUERIES:
+    for name in names:
         q = REGISTRY[name]
         clean_digest, clean_rows = content_checksum(q.spark_fn(spark, sf_dir))
         entry = {"rows": clean_rows, "clean_checksum": clean_digest}
@@ -196,7 +207,8 @@ def phase_retry(sf_dir: str, out_path: str) -> None:
             print(f"# {name} {label}: match={entry[label]['match']} "
                   f"retried={counter.value}", flush=True)
         results[name] = entry
-    results["streaming_midwrite"] = _streaming_midwrite(spark, sf_dir)
+    if streaming:
+        results["streaming_midwrite"] = _streaming_midwrite(spark, sf_dir)
     with open(out_path, "w", encoding="utf-8") as fh:
         json.dump(results, fh)
     spark.stop()
@@ -451,12 +463,23 @@ def _block_loss_probe(spark, app_id: str) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _spawn(phase: str, sf_dir: str, out_path: str, executor_mem: str) -> dict:
+def _spawn(
+    phase: str,
+    sf_dir: str,
+    out_path: str,
+    executor_mem: str,
+    queries: "list[str] | None" = None,
+    no_streaming: bool = False,
+) -> dict:
     env = dict(os.environ, **{PHASE_ENV: out_path})
     cmd = [
         sys.executable, "-m", "lime_etl_spark.tools.fault_check",
         "--phase", phase, "--sf-dir", sf_dir, "--executor-mem", executor_mem,
     ]
+    if queries:
+        cmd += ["--queries", *queries]
+    if no_streaming:
+        cmd += ["--no-streaming"]
     subprocess.run(cmd, check=True, env=env)
     with open(out_path, encoding="utf-8") as fh:
         return json.load(fh)
@@ -470,9 +493,20 @@ def main() -> None:
     ap.add_argument("--phase", choices=["retry", "kill"], default=None,
                     help=argparse.SUPPRESS)
     ap.add_argument("--which", nargs="*", default=["retry", "kill"])
+    ap.add_argument(
+        "--queries", nargs="*", default=None,
+        help="retry-phase query list; '@primary' = the 50-query scored window",
+    )
+    ap.add_argument(
+        "--no-streaming", action="store_true",
+        help="skip the streaming mid-write check in the retry phase",
+    )
     args = ap.parse_args()
     if args.phase == "retry":
-        phase_retry(args.sf_dir, os.environ[PHASE_ENV])
+        phase_retry(
+            args.sf_dir, os.environ[PHASE_ENV], queries=args.queries,
+            streaming=not args.no_streaming,
+        )
         return
     if args.phase == "kill":
         phase_kill(args.sf_dir, os.environ[PHASE_ENV], args.executor_mem)
@@ -483,14 +517,32 @@ def main() -> None:
     for phase in args.which:
         fd, path = tempfile.mkstemp(prefix=f"lime_fault_{phase}_", suffix=".json")
         os.close(fd)
-        report[phase] = _spawn(phase, args.sf_dir, path, args.executor_mem)
+        report[phase] = _spawn(
+            phase, args.sf_dir, path, args.executor_mem,
+            queries=args.queries, no_streaming=args.no_streaming,
+        )
+    observed_retries = 0
     for name, entry in report.get("retry", {}).items():
         if name == "streaming_midwrite":
             ok &= entry["match"] and entry["double_decided_docs"] == 0
             ok &= entry["retried_tasks"] > 0
         else:
             for label in ("retry_source", "retry_sink"):
-                ok &= entry[label]["match"] and entry[label]["retried_tasks"] > 0
+                ok &= entry[label]["match"]
+                observed_retries += entry[label]["retried_tasks"]
+                if args.queries is None:
+                    # the exemplar set is chosen to be injectable on
+                    # every path — zero observed retries there means
+                    # the harness is broken, fail loudly. Broad sweeps
+                    # (@primary) legitimately include queries the
+                    # source patch cannot reach (streaming sources,
+                    # the survey-JSON pipelines), so for those the
+                    # gate is match-only and the per-query retry
+                    # counts stand as the record of what fired.
+                    ok &= entry[label]["retried_tasks"] > 0
+    if report.get("retry"):
+        report["retry_observed_retried_tasks_total"] = observed_retries
+        ok &= observed_retries > 0
     for name, entry in report.get("kill", {}).items():
         if name == "iterative_checkpoints":
             # localCheckpoint mode: either outcome is honest (the kill
