@@ -439,9 +439,27 @@ def connected_components(
     filesystem round-trip per round. Single-host default stays
     localCheckpoint (task-level retries never lose blocks — the
     executor survives).
+
+    Checkpoint-dir hygiene (r5 review): the session checkpoint dir is
+    a GLOBAL — this function points it at a per-call unique
+    subdirectory of ``reliable_checkpoint_dir`` (so concurrent calls
+    never clobber each other) and restores the previous setting before
+    returning. Retention: Spark does not delete reliable checkpoints
+    by default, and every round writes a labels copy — set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` or prune
+    the directory after the result is consumed; the iteration copies
+    are dead the moment the next round checkpoints.
     """
+    sc = pairs.sparkSession.sparkContext
+    prev_ckpt_dir = None
     if reliable_checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
+        import os as _os
+        import uuid as _uuid
+
+        prev_ckpt_dir = sc.getCheckpointDir()
+        sc.setCheckpointDir(
+            _os.path.join(reliable_checkpoint_dir, f"cc_{_uuid.uuid4().hex[:12]}")
+        )
 
     def _ckpt(df: DataFrame) -> DataFrame:
         if reliable_checkpoint_dir is not None:
@@ -450,42 +468,49 @@ def connected_components(
 
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    edges = _ckpt(fwd.union(rev).distinct())
-    labels = _ckpt(
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-    )
-    converged = False
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(
-                labels.select(
-                    F.col("id").alias("dst"), F.col("label").alias("dst_label")
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("dst_label").alias("nbr_label"))
+    try:
+        edges = _ckpt(fwd.union(rev).distinct())
+        labels = _ckpt(
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("label", F.col("id"))
         )
-        stepped = (
-            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
-            .select(
-                labels["id"],
-                F.least(
-                    labels["label"], F.coalesce(F.col("nbr_label"), labels["label"])
-                ).alias("label"),
-                (
-                    F.coalesce(F.col("nbr_label"), labels["label"]) < labels["label"]
-                ).alias("__changed"),
+        converged = False
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(
+                    labels.select(
+                        F.col("id").alias("dst"), F.col("label").alias("dst_label")
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("dst_label").alias("nbr_label"))
             )
-        )
-        stepped = _ckpt(stepped)
-        n_changed = stepped.filter(F.col("__changed")).count()
-        labels = stepped.drop("__changed")
-        if n_changed == 0:
-            converged = True
-            break
+            stepped = (
+                labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+                .select(
+                    labels["id"],
+                    F.least(
+                        labels["label"], F.coalesce(F.col("nbr_label"), labels["label"])
+                    ).alias("label"),
+                    (
+                        F.coalesce(F.col("nbr_label"), labels["label"]) < labels["label"]
+                    ).alias("__changed"),
+                )
+            )
+            stepped = _ckpt(stepped)
+            n_changed = stepped.filter(F.col("__changed")).count()
+            labels = stepped.drop("__changed")
+            if n_changed == 0:
+                converged = True
+                break
+    finally:
+        # all checkpoints are eager, so the prior session-global dir can
+        # be restored immediately (a previously-unset dir stays pointed
+        # at our per-call subdir — there is no unset API)
+        if prev_ckpt_dir is not None:
+            sc.setCheckpointDir(prev_ckpt_dir)
     if not converged:
         # Unconverged labels silently split components — a wrong answer,
         # not a degraded one. Dedup graphs converge in a handful of

@@ -782,35 +782,52 @@ def calibrate_nprobe(
     under train_max=2000) — no formula generalizes, so the knob is
     calibrated empirically. Cost is bounded: ONE exact pass for the
     sample's ground truth (``sample`` probes broadcast against the
-    streamed corpus), then one cheap sample-search per trial (the index
-    is NOT retrained — training/assignment are reused), ≤ log2(k_cells)
-    trials. Returns (nprobe, measured_recall); caps at the cell count
-    (exhaustive probing == exact search over the index, recall 1.0
-    modulo ties).
+    streamed corpus, ≤ sample·k result rows collected to the driver so
+    trials never re-execute the exact lineage), then one cheap
+    sample-search per trial against the SAME index (``assigned`` is
+    cached for the duration of the calibration if the caller hadn't
+    already, so trials don't re-run the full-corpus assignment),
+    ≤ log2(k_cells) trials. Returns (nprobe, measured_recall); caps at
+    the cell count (exhaustive probing == exact search over the index,
+    recall 1.0 modulo ties).
     """
     if not 0.0 < target_recall <= 1.0:
         raise ValueError(f"target_recall in (0, 1], got {target_recall}")
+    n_cells = len(index.cents)
+    if n_cells and index.cents.shape[1] != dim:
+        raise ValueError(
+            f"dim={dim} does not match the index's centroid width "
+            f"{index.cents.shape[1]}"
+        )
     probe_set = queries.select(id_col, vec_col).orderBy(id_col).limit(sample)
     exact = cosine_topk(probe_set, candidates, k=k, id_col=id_col, vec_col=vec_col)
-    exact_pairs = exact.select("query_id", "neighbor_id")
-    n_exact = exact_pairs.count()
-    if n_exact == 0:
+    # bounded: <= sample * k (query_id, neighbor_id) pairs
+    exact_pairs = {
+        (r.query_id, r.neighbor_id)
+        for r in exact.select("query_id", "neighbor_id").collect()
+    }
+    if not exact_pairs:
         return start_nprobe, 1.0
-    n_cells = len(index.cents)
     nprobe = min(max(1, start_nprobe), max(1, n_cells))
-    while True:
-        approx = ivf_search(
-            probe_set, index, k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col
-        )
-        hit = exact_pairs.join(
-            approx.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_semi",
-        ).count()
-        recall = hit / n_exact
-        if recall >= target_recall or nprobe >= n_cells:
-            return nprobe, recall
-        nprobe = min(n_cells, nprobe * 2)
+    we_cached = not index.assigned.is_cached
+    if we_cached:
+        index.assigned.cache()
+    try:
+        while True:
+            approx = ivf_search(
+                probe_set, index, k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+            )
+            got = {
+                (r.query_id, r.neighbor_id)
+                for r in approx.select("query_id", "neighbor_id").collect()
+            }
+            recall = len(exact_pairs & got) / len(exact_pairs)
+            if recall >= target_recall or nprobe >= n_cells:
+                return nprobe, recall
+            nprobe = min(n_cells, nprobe * 2)
+    finally:
+        if we_cached:
+            index.assigned.unpersist()
 
 
 def ivf_topk(
@@ -872,11 +889,22 @@ def ivf_topk(
         id_col=id_col, vec_col=vec_col, train_max=train_max,
     )
     if target_recall is not None:
-        nprobe, _ = calibrate_nprobe(
+        nprobe, measured = calibrate_nprobe(
             queries, candidates, index, dim, k=k,
             target_recall=target_recall, start_nprobe=nprobe,
             id_col=id_col, vec_col=vec_col,
         )
+        if measured < target_recall:
+            import warnings
+
+            warnings.warn(
+                f"ivf_topk: calibration reached nprobe={nprobe} (exhaustive "
+                f"over {len(index.cents)} cells) but measured recall@{k} is "
+                f"{measured:.3f} < target {target_recall} — the index itself "
+                "is too coarse for this target; retrain with more cells, a "
+                "larger train_max, or use exact cosine_topk.",
+                stacklevel=2,
+            )
     elif train_max is not None and nprobe <= 4:
         import warnings
 

@@ -56,3 +56,17 @@ def cleanup_dir_at_exit(path: str) -> None:
     import shutil
 
     atexit.register(shutil.rmtree, path, ignore_errors=True)
+
+
+def package_root() -> str:
+    """Directory CONTAINING the lime_etl_spark package — the path
+    executors and subprocess runners need on PYTHONPATH so their
+    python workers can import the package regardless of how the
+    driver found it. One definition (r5 review: this expression was
+    duplicated across five tool/test call sites, each a silent drift
+    risk if the install layout ever changes)."""
+    import os
+
+    import lime_etl_spark
+
+    return os.path.dirname(os.path.dirname(os.path.abspath(lime_etl_spark.__file__)))

@@ -308,12 +308,12 @@ def phase_kill(sf_dir: str, out_path: str, executor_mem: str) -> None:
     mid-query, assert the query still completes with an identical
     checksum; then observe the iterative-op behavior with local vs
     reliable checkpoints."""
-    import lime_etl_spark
+    from lime_etl_spark.ops.util import package_root
     from lime_etl_spark.registry import REGISTRY
     from lime_etl_spark.session import get_spark
     from lime_etl_spark.tools.spill_check import content_checksum
 
-    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(lime_etl_spark.__file__)))
+    pkg_root = package_root()
     spark = get_spark(
         "fault-check-kill",
         master="local-cluster[3,4,4096]",
@@ -544,19 +544,31 @@ def main() -> None:
         report["retry_observed_retried_tasks_total"] = observed_retries
         ok &= observed_retries > 0
     for name, entry in report.get("kill", {}).items():
+        # a kill run where nothing was killed proves nothing (r5 review:
+        # a fast query finishing before the delay yielded match=true
+        # with killed_pid=null and the gate passed vacuously) — every
+        # kill-phase entry must show an actual victim PID
         if name == "iterative_checkpoints":
             # localCheckpoint mode: either outcome is honest (the kill
             # races the query; dying is the DOCUMENTED behavior when
             # blocks are lost) — but the reliable mode must survive+match
             ok &= entry["reliable"]["survived"] and entry["reliable"]["match"]
+            ok &= (
+                entry["reliable"]["killed_pid"] is not None
+                and entry["localCheckpoint"]["killed_pid"] is not None
+            )
         elif name == "checkpoint_block_loss_probe":
             # the probe is the deterministic contrast: losing an executor
             # must break a localCheckpointed read and NOT a reliable one
             ok &= (not entry["localCheckpoint"]["survived"]) and (
                 entry["reliable"]["survived"] and entry["reliable"]["match"]
             )
+            ok &= (
+                entry["reliable"]["killed_pid"] is not None
+                and entry["localCheckpoint"]["killed_pid"] is not None
+            )
         else:
-            ok &= entry["match"]
+            ok &= entry["match"] and entry["killed_pid"] is not None
     report["all_match"] = ok
     line = json.dumps(report)
     print(line)

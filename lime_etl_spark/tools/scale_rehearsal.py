@@ -146,14 +146,12 @@ def _session(
     process's env in local-cluster mode, but PYTHONPATH is pinned
     explicitly so their python workers can import lime_etl_spark even
     when the driver found it via sys.path manipulation."""
-    import lime_etl_spark
-
+    from lime_etl_spark.ops.util import package_root
     from lime_etl_spark.session import get_spark
 
     extra = {}
     if master:
-        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(lime_etl_spark.__file__)))
-        extra["spark.executorEnv.PYTHONPATH"] = pkg_root
+        extra["spark.executorEnv.PYTHONPATH"] = package_root()
         extra["spark.driver.memory"] = driver_mem or "8g"
         # local-cluster's [n,cores,mem] triple is the WORKER's capacity;
         # executors still launch with the spark.executor.memory default

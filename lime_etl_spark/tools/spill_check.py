@@ -112,11 +112,9 @@ def run_phase(
 
     extra = {"spark.ui.enabled": "true"}
     if master:
-        import lime_etl_spark
+        from lime_etl_spark.ops.util import package_root
 
-        extra["spark.executorEnv.PYTHONPATH"] = os.path.dirname(
-            os.path.dirname(os.path.abspath(lime_etl_spark.__file__))
-        )
+        extra["spark.executorEnv.PYTHONPATH"] = package_root()
         extra["spark.executor.memory"] = executor_mem or "2g"
         extra["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     spark = get_spark("spill-check", master=master, extra_conf=extra)

@@ -21,11 +21,11 @@ import sys
 
 _SMOKE = r"""
 import os
-import lime_etl_spark
+from lime_etl_spark.ops.util import package_root
 from lime_etl_spark.session import get_spark
 from lime_etl_spark.registry import REGISTRY
 
-pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(lime_etl_spark.__file__)))
+pkg_root = package_root()
 spark = get_spark(
     "cluster-smoke",
     master="local-cluster[2,2,1536]",
@@ -58,12 +58,11 @@ print("CLUSTER_SMOKE_OK")
 
 
 def test_engine_runs_on_local_cluster(sf_dir):
-    import lime_etl_spark
     import os
 
-    pkg_root = os.path.dirname(
-        os.path.dirname(os.path.abspath(lime_etl_spark.__file__))
-    )
+    from lime_etl_spark.ops.util import package_root
+
+    pkg_root = package_root()
     proc = subprocess.run(
         [sys.executable, "-c", _SMOKE],
         capture_output=True,

@@ -56,11 +56,9 @@ print("FAULT_SMOKE_OK")
 
 
 def test_task_retries_are_deterministic(sf_dir):
-    import lime_etl_spark
+    from lime_etl_spark.ops.util import package_root
 
-    pkg_root = os.path.dirname(
-        os.path.dirname(os.path.abspath(lime_etl_spark.__file__))
-    )
+    pkg_root = package_root()
     proc = subprocess.run(
         [sys.executable, "-c", _SMOKE],
         capture_output=True,
@@ -82,6 +80,10 @@ def test_connected_components_reliable_checkpoint_parity(spark, sf_dir, tmp_path
     docs = read_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_near_dups(docs, threshold=0.5).select("id_a", "id_b")
     local = sorted(map(tuple, dedup.connected_components(pairs).collect()))
+    # the session checkpoint dir is global state — point it somewhere
+    # first and assert the reliable run restores it (r5 review)
+    prev = str(tmp_path / "prior_ckpt")
+    spark.sparkContext.setCheckpointDir(prev)
     reliable = sorted(
         map(
             tuple,
@@ -90,5 +92,11 @@ def test_connected_components_reliable_checkpoint_parity(spark, sf_dir, tmp_path
             ).collect(),
         )
     )
+    # getCheckpointDir returns the set dir plus a context UUID (and
+    # setCheckpointDir appends another on restore) — assert containment:
+    # later checkpoints land back under the caller's tree, not ours
+    restored = spark.sparkContext.getCheckpointDir()
+    assert restored is not None and "/prior_ckpt/" in restored, restored
+    assert "/ckpt/" not in restored, restored
     assert local == reliable
     assert len(local) > 0

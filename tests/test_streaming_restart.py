@@ -106,11 +106,9 @@ print("RUNNER_DONE", flush=True)
 
 
 def _env(which: str, src: str, work: str, sleep_s: float) -> dict:
-    import lime_etl_spark
+    from lime_etl_spark.ops.util import package_root
 
-    pkg_root = os.path.dirname(
-        os.path.dirname(os.path.abspath(lime_etl_spark.__file__))
-    )
+    pkg_root = package_root()
     return {
         **os.environ,
         "PYTHONPATH": pkg_root,
