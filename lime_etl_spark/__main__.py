@@ -53,6 +53,12 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     prep.add_argument("--out", required=True, help="output directory")
     prep.add_argument("--budget", type=int, default=512, help="tokens per bin")
+    prep.add_argument(
+        "--resumable",
+        action="store_true",
+        help="materialize stages under OUT/_stages and resume completed "
+        "ones on re-run (the restartable form for long preps)",
+    )
 
     chk = sub.add_parser(
         "check", help="run declarative constraint checks against a parquet table"
@@ -142,12 +148,18 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "prepare-corpus":
-        from lime_etl_spark.pipelines.corpus import prepare_training_corpus
+        from lime_etl_spark.pipelines.corpus import (
+            prepare_training_corpus,
+            prepare_training_corpus_resumable,
+        )
 
         spark = get_spark("cli-prepare-corpus")
-        counts = prepare_training_corpus(
-            spark, args.sf_dir, args.out, budget=args.budget
+        fn = (
+            prepare_training_corpus_resumable
+            if args.resumable
+            else prepare_training_corpus
         )
+        counts = fn(spark, args.sf_dir, args.out, budget=args.budget)
         for k, v in counts.items():
             print(f"{k:22s} {v}")
         return 0

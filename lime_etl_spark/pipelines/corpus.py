@@ -20,19 +20,107 @@ pipeline is shuffle-linear in corpus size (the worst exchange is the
 span window). Stage counts are returned for auditability — a corpus
 prep run that cannot say how many docs each gate dropped is not
 reproducible.
+
+Two entry points:
+
+- ``prepare_training_corpus``: one lazy plan end to end — the right
+  shape when the run is expected to complete (Catalyst sees the whole
+  pipeline; nothing is materialized twice).
+- ``prepare_training_corpus_resumable``: each expensive stage is
+  MATERIALIZED under ``out_dir``/_stages with a write-then-publish
+  manifest, and a re-run loads completed stages instead of recomputing
+  them. At 100 TB a multi-hour prep job dying at stage 4 must not
+  re-pay stages 1-3 (driver OOM, preemption, quota kill — the same
+  steady-state failures FAULT_CHECK.json rehearses at task level,
+  one level up). Determinism of every stage (hash splits, fixed
+  salts, canonical-min survivors) is what makes resume EXACT: a
+  resumed run and an uninterrupted run produce identical artifacts
+  (pinned in tests/test_pipelines.py).
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
+import shutil
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lime_etl_spark.io.sinks import write_parquet_clustered
 from lime_etl_spark.io.sources import read_table
 from lime_etl_spark.ops import dedup, quality, sampling, text
 from lime_etl_spark.ops.text import token_count
+
+
+def _stage_input_checked(spark: SparkSession, sf_dir: str) -> "tuple[DataFrame, int]":
+    """Stage 0: input contract. doc_id is the dedup/split/pack identity —
+    a NULL or duplicated id silently corrupts every downstream stage, so
+    the pipeline refuses such input instead of processing it.
+    with_row_count folds the audit total into the same scan."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_total = quality.gate(
+        docs,
+        [quality.not_null("doc_id"), quality.unique("doc_id")],
+        with_row_count=True,
+    )
+    return docs, n_total
+
+
+def _stage_filtered(docs: DataFrame) -> DataFrame:
+    """Stage 1: filter verdicts — keep only 'keep'."""
+    verdicts = text.filter_decisions(docs)
+    return docs.join(
+        verdicts.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+
+
+def _stage_survivors(kept: DataFrame, jaccard_threshold: float) -> DataFrame:
+    """Stage 2: near-dup groups on the filtered corpus; the canonical
+    (min-id) document of each group survives."""
+    pairs = dedup.minhash_near_dups(kept, threshold=jaccard_threshold)
+    comp = dedup.connected_components(pairs)
+    dropped = comp.filter(F.col("doc_id") != F.col("component_id")).select("doc_id")
+    return kept.join(dropped, "doc_id", "left_anti")
+
+
+def _stage_clean(survivors: DataFrame) -> DataFrame:
+    """Stages 3+4: span-level boilerplate removal, then redaction."""
+    spans = text.span_dedup(survivors)
+    return text.redact(
+        spans.select("doc_id", F.col("text_deduped").alias("text")),
+        out="text",
+    ).select("doc_id", "text")
+
+
+def _finalize(
+    spark: SparkSession,
+    clean: DataFrame,
+    out_dir: str,
+    budget: int,
+    train_pct: int,
+    salt: str,
+) -> dict[str, int]:
+    """Stages 5-7: split, pack, clustered writes; returns final counts."""
+    split = sampling.with_split(clean, "doc_id", train_pct=train_pct, salt=salt)
+    train = split.filter(F.col("split") == "train").drop("split")
+    evald = split.filter(F.col("split") == "eval").drop("split")
+
+    sized = train.withColumn("n_tokens", token_count("text").cast("bigint"))
+    packed = sampling.pack_sequences(sized, budget=budget, salt=salt)
+    bins = sampling.pack_materialize(packed, salt=salt)
+
+    write_parquet_clustered(bins, os.path.join(out_dir, "train"), ["pack_bin"])
+    write_parquet_clustered(evald, os.path.join(out_dir, "eval"), ["doc_id"])
+
+    train_bins = spark.read.parquet(os.path.join(out_dir, "train"))
+    n_eval = spark.read.parquet(os.path.join(out_dir, "eval")).count()
+    return {
+        "n_train_docs": int(train_bins.agg(F.sum("n_docs")).collect()[0][0] or 0),
+        "n_train_bins": train_bins.count(),
+        "n_eval_docs": n_eval,
+    }
 
 
 def prepare_training_corpus(
@@ -52,62 +140,162 @@ def prepare_training_corpus(
     (hash splits, fixed salts, canonical-min survivors) — re-running
     yields byte-identical artifacts.
     """
-    docs = read_table(spark, sf_dir, "documents")
-
-    # 0. input contract: doc_id is the dedup/split/pack identity — a
-    # NULL or duplicated id silently corrupts every downstream stage,
-    # so the pipeline refuses such input instead of processing it.
-    # with_row_count folds the audit total into the same scan.
-    n_total = quality.gate(
-        docs,
-        [quality.not_null("doc_id"), quality.unique("doc_id")],
-        with_row_count=True,
-    )
-
-    # 1. filter verdicts — keep only 'keep'
-    verdicts = text.filter_decisions(docs)
-    kept = docs.join(
-        verdicts.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
-    )
+    docs, n_total = _stage_input_checked(spark, sf_dir)
+    kept = _stage_filtered(docs)
     n_filtered = kept.count()
-
-    # 2. near-dup groups on the filtered corpus; canonical doc survives
-    pairs = dedup.minhash_near_dups(kept, threshold=jaccard_threshold)
-    comp = dedup.connected_components(pairs)
-    dropped = comp.filter(F.col("doc_id") != F.col("component_id")).select("doc_id")
-    survivors = kept.join(dropped, "doc_id", "left_anti")
+    survivors = _stage_survivors(kept, jaccard_threshold)
     n_deduped = survivors.count()
-
-    # 3. span-level boilerplate removal, 4. redaction
-    spans = text.span_dedup(survivors)
-    clean = text.redact(
-        spans.select("doc_id", F.col("text_deduped").alias("text")),
-        out="text",
-    ).select("doc_id", "text")
-
-    # 5. deterministic split
-    split = sampling.with_split(clean, "doc_id", train_pct=train_pct, salt=salt)
-    train = split.filter(F.col("split") == "train").drop("split")
-    evald = split.filter(F.col("split") == "eval").drop("split")
-
-    # 6. pack the train split into token-budget rows
-    sized = train.withColumn("n_tokens", token_count("text").cast("bigint"))
-    packed = sampling.pack_sequences(sized, budget=budget, salt=salt)
-    bins = sampling.pack_materialize(packed, salt=salt)
-
-    # 7. clustered writes: train bins by pack_bin, eval docs by doc_id
-    write_parquet_clustered(bins, os.path.join(out_dir, "train"), ["pack_bin"])
-    write_parquet_clustered(evald, os.path.join(out_dir, "eval"), ["doc_id"])
-
-    train_bins = spark.read.parquet(os.path.join(out_dir, "train"))
-    n_eval = spark.read.parquet(os.path.join(out_dir, "eval")).count()
+    clean = _stage_clean(survivors)
+    counts = _finalize(spark, clean, out_dir, budget, train_pct, salt)
     return {
         "n_total": n_total,
         "n_after_filter": n_filtered,
         "n_after_near_dedup": n_deduped,
-        "n_train_docs": int(
-            train_bins.agg(F.sum("n_docs")).collect()[0][0] or 0
-        ),
-        "n_train_bins": train_bins.count(),
-        "n_eval_docs": n_eval,
+        **counts,
     }
+
+
+# ---------------------------------------------------------------------------
+# Resumable form: stage materialization + write-then-publish manifests
+# ---------------------------------------------------------------------------
+
+_MANIFEST = "_MANIFEST.json"
+
+
+def _fingerprint(stage: str, params: dict, upstream: "str | None") -> str:
+    """Stage identity: name + its params + the upstream stage's
+    fingerprint, chained — changing any parameter invalidates that
+    stage AND everything downstream, while upstream reuse survives."""
+    payload = json.dumps(
+        {"stage": stage, "params": params, "upstream": upstream}, sort_keys=True
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _try_load_stage(spark: SparkSession, stage_dir: str, fp: str):
+    """Return (df, rows) when the stage dir holds a PUBLISHED manifest
+    with a matching fingerprint, else None. The manifest is written
+    AFTER the parquet (write-then-publish): a run killed mid-write
+    leaves data without a manifest, which reads as 'not done' and is
+    overwritten on resume — never half-read."""
+    mp = os.path.join(stage_dir, _MANIFEST)
+    if not os.path.exists(mp):
+        return None
+    with open(mp, encoding="utf-8") as fh:
+        m = json.load(fh)
+    if m.get("fingerprint") != fp:
+        return None
+    return spark.read.parquet(stage_dir), int(m["rows"])
+
+
+def _materialize_stage(df: DataFrame, stage_dir: str, fp: str) -> "tuple[DataFrame, int]":
+    """Write a stage's output and publish its manifest; returns the
+    re-read frame (so downstream lineage starts at the parquet — the
+    point of materialization) and the row count (free from the write's
+    metadata via a count on the re-read, one footer-only job)."""
+    if os.path.exists(stage_dir):
+        shutil.rmtree(stage_dir)  # stale/mismatched remnants
+    df.write.parquet(stage_dir)
+    spark = df.sparkSession
+    out = spark.read.parquet(stage_dir)
+    rows = out.count()
+    tmp = os.path.join(stage_dir, _MANIFEST + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"fingerprint": fp, "rows": rows}, fh)
+    os.replace(tmp, os.path.join(stage_dir, _MANIFEST))  # atomic publish
+    return out, rows
+
+
+def prepare_training_corpus_resumable(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    budget: int = 512,
+    jaccard_threshold: float = 0.5,
+    train_pct: int = 90,
+    salt: str = "corpus-v1",
+    stop_after: "str | None" = None,
+) -> dict:
+    """``prepare_training_corpus`` with per-stage restartability.
+
+    The three expensive stages (``filtered``, ``survivors``, ``clean``)
+    are materialized under ``out_dir``/_stages/<name> with a manifest
+    published only after the parquet is fully written. A re-run with
+    the same parameters loads completed stages (manifest fingerprint
+    match) and recomputes only what is missing; changing a parameter
+    invalidates that stage and everything downstream via fingerprint
+    chaining. The final split/pack/write stages are cheap relative to
+    near-dedup and always recompute from ``clean`` — their writes are
+    full overwrites, so re-finalizing is idempotent.
+
+    ``stop_after``: materialize up to that stage and return early —
+    partial runs for inspection, and the test hook that simulates a
+    pipeline dying between stages.
+
+    Resume assumes the INPUT under ``sf_dir`` is immutable (the
+    standard warehouse contract); a changed input at the same path
+    must use a fresh ``out_dir`` (or clear _stages). Note the
+    manifest's atomic-publish protocol is rename-based — on object
+    stores without atomic rename, publish manifests to a consistent
+    store or accept a tiny window where a crashed publish is re-done.
+
+    Returns the same counts as the one-shot form plus
+    ``stages_reused`` / ``stages_computed`` — an audit of what the
+    resume actually skipped.
+    """
+    valid_stops = (None, "filtered", "survivors", "clean")
+    if stop_after not in valid_stops:
+        raise ValueError(f"stop_after must be one of {valid_stops[1:]}, got {stop_after!r}")
+    stages_root = os.path.join(out_dir, "_stages")
+    os.makedirs(stages_root, exist_ok=True)
+    reused: list[str] = []
+    computed: list[str] = []
+
+    docs, n_total = _stage_input_checked(spark, sf_dir)
+
+    fp_filtered = _fingerprint("filtered", {"sf_dir": sf_dir}, None)
+    d_filtered = os.path.join(stages_root, "filtered")
+    loaded = _try_load_stage(spark, d_filtered, fp_filtered)
+    if loaded is None:
+        kept, n_filtered = _materialize_stage(
+            _stage_filtered(docs), d_filtered, fp_filtered
+        )
+        computed.append("filtered")
+    else:
+        kept, n_filtered = loaded
+        reused.append("filtered")
+    counts: dict = {"n_total": n_total, "n_after_filter": n_filtered}
+    if stop_after == "filtered":
+        return {**counts, "stages_reused": reused, "stages_computed": computed}
+
+    fp_survivors = _fingerprint(
+        "survivors", {"jaccard_threshold": jaccard_threshold}, fp_filtered
+    )
+    d_survivors = os.path.join(stages_root, "survivors")
+    loaded = _try_load_stage(spark, d_survivors, fp_survivors)
+    if loaded is None:
+        survivors, n_deduped = _materialize_stage(
+            _stage_survivors(kept, jaccard_threshold), d_survivors, fp_survivors
+        )
+        computed.append("survivors")
+    else:
+        survivors, n_deduped = loaded
+        reused.append("survivors")
+    counts["n_after_near_dedup"] = n_deduped
+    if stop_after == "survivors":
+        return {**counts, "stages_reused": reused, "stages_computed": computed}
+
+    fp_clean = _fingerprint("clean", {}, fp_survivors)
+    d_clean = os.path.join(stages_root, "clean")
+    loaded = _try_load_stage(spark, d_clean, fp_clean)
+    if loaded is None:
+        clean, _ = _materialize_stage(_stage_clean(survivors), d_clean, fp_clean)
+        computed.append("clean")
+    else:
+        clean, _ = loaded
+        reused.append("clean")
+    if stop_after == "clean":
+        return {**counts, "stages_reused": reused, "stages_computed": computed}
+
+    final = _finalize(spark, clean, out_dir, budget, train_pct, salt)
+    return {**counts, **final, "stages_reused": reused, "stages_computed": computed}

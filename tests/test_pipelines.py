@@ -180,3 +180,67 @@ def test_prepare_training_corpus_rejects_corrupt_input(spark, tmp_path):
     bad.coalesce(1).write.parquet(src + "/documents.parquet")
     with pytest.raises(ValueError, match="quality gate failed"):
         prepare_training_corpus(spark, src, str(tmp_path / "out"))
+
+
+def test_corpus_resumable_resumes_and_matches_oneshot(spark, sf_dir, tmp_path):
+    """A pipeline that materialized through 'survivors' then died must
+    resume by LOADING those stages and produce artifacts identical to
+    the uninterrupted one-shot form (determinism makes resume exact)."""
+    import os
+
+    from lime_etl_spark.pipelines.corpus import (
+        prepare_training_corpus,
+        prepare_training_corpus_resumable,
+    )
+
+    base = prepare_training_corpus(spark, sf_dir, str(tmp_path / "oneshot"), budget=256)
+    out = str(tmp_path / "resumable")
+    partial = prepare_training_corpus_resumable(
+        spark, sf_dir, out, budget=256, stop_after="survivors"
+    )
+    assert partial["stages_computed"] == ["filtered", "survivors"]
+    assert partial["stages_reused"] == []
+
+    full = prepare_training_corpus_resumable(spark, sf_dir, out, budget=256)
+    assert full["stages_reused"] == ["filtered", "survivors"]
+    assert full["stages_computed"] == ["clean"]
+    for k in base:
+        assert full[k] == base[k], (k, full[k], base[k])
+    for sub in ("train", "eval"):
+        a = sorted(map(tuple, spark.read.parquet(str(tmp_path / "oneshot" / sub)).collect()))
+        b = sorted(map(tuple, spark.read.parquet(os.path.join(out, sub)).collect()))
+        assert a == b, sub
+
+
+def test_corpus_resumable_param_change_invalidates_downstream(spark, sf_dir, tmp_path):
+    """Fingerprint chaining: changing the near-dedup threshold reuses
+    'filtered' but recomputes 'survivors' and 'clean'."""
+    import pytest
+
+    from lime_etl_spark.pipelines.corpus import prepare_training_corpus_resumable
+
+    out = str(tmp_path / "o")
+    prepare_training_corpus_resumable(spark, sf_dir, out, stop_after="clean")
+    r2 = prepare_training_corpus_resumable(
+        spark, sf_dir, out, jaccard_threshold=0.7, stop_after="clean"
+    )
+    assert r2["stages_reused"] == ["filtered"]
+    assert r2["stages_computed"] == ["survivors", "clean"]
+    with pytest.raises(ValueError, match="stop_after"):
+        prepare_training_corpus_resumable(spark, sf_dir, out, stop_after="bogus")
+
+
+def test_corpus_resumable_unpublished_stage_recomputed(spark, sf_dir, tmp_path):
+    """Write-then-publish: a stage dir holding parquet but NO manifest
+    (a run killed mid-write or mid-publish) reads as not-done and is
+    recomputed, never half-loaded."""
+    import os
+
+    from lime_etl_spark.pipelines.corpus import prepare_training_corpus_resumable
+
+    out = str(tmp_path / "o")
+    prepare_training_corpus_resumable(spark, sf_dir, out, stop_after="filtered")
+    os.remove(os.path.join(out, "_stages", "filtered", "_MANIFEST.json"))
+    r = prepare_training_corpus_resumable(spark, sf_dir, out, stop_after="filtered")
+    assert r["stages_computed"] == ["filtered"]
+    assert r["stages_reused"] == []
