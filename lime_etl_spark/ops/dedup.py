@@ -442,10 +442,16 @@ def connected_components(
 
     Checkpoint-dir hygiene (r5 review): the session checkpoint dir is
     a GLOBAL — this function points it at a per-call unique
-    subdirectory of ``reliable_checkpoint_dir`` (so concurrent calls
-    never clobber each other) and restores the previous setting before
-    returning. Retention: Spark does not delete reliable checkpoints
-    by default, and every round writes a labels copy — set
+    subdirectory of ``reliable_checkpoint_dir`` (so sequential calls
+    never collide on files) and restores the previous setting before
+    returning. Because the pointer itself is session-global, CONCURRENT
+    reliable-checkpoint calls in one session are NOT supported — their
+    set/restore interleave and one call's rounds can land in the
+    other's subdir; run concurrent component jobs in separate sessions.
+    If no checkpoint dir was previously set, the global stays pointed
+    at this call's subdir on return (Spark has no unset API).
+    Retention: Spark does not delete reliable checkpoints by default,
+    and every round writes a labels copy — set
     ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` or prune
     the directory after the result is consumed; the iteration copies
     are dead the moment the next round checkpoints.

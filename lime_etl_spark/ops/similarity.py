@@ -880,31 +880,48 @@ def ivf_topk(
     on a 64-probe sample meets the target (see calibrate_nprobe). The
     remedy for the train_max footgun above; when train_max is set
     with NEITHER a raised nprobe nor a target, a warning carries the
-    measured numbers. Composition: ivf_index (train+assign once) →
-    ivf_search; reuse those directly to amortize the index across many
-    probe batches.
+    measured numbers. On this path the corpus assignment is cached
+    across calibration AND the final search, and the (small, ≤
+    n_queries·k rows) result is materialized eagerly so the cache is
+    actually consumed before being dropped. Composition: ivf_index
+    (train+assign once) → ivf_search; reuse those directly to amortize
+    the index across many probe batches.
     """
     index = ivf_index(
         candidates, dim, n_clusters=n_clusters, n_iter=n_iter,
         id_col=id_col, vec_col=vec_col, train_max=train_max,
     )
     if target_recall is not None:
-        nprobe, measured = calibrate_nprobe(
-            queries, candidates, index, dim, k=k,
-            target_recall=target_recall, start_nprobe=nprobe,
-            id_col=id_col, vec_col=vec_col,
-        )
-        if measured < target_recall:
-            import warnings
-
-            warnings.warn(
-                f"ivf_topk: calibration reached nprobe={nprobe} (exhaustive "
-                f"over {len(index.cents)} cells) but measured recall@{k} is "
-                f"{measured:.3f} < target {target_recall} — the index itself "
-                "is too coarse for this target; retrain with more cells, a "
-                "larger train_max, or use exact cosine_topk.",
-                stacklevel=2,
+        # cache the assignment around calibration AND the final search:
+        # letting calibrate_nprobe own the cache would drop it right
+        # before the final ivf_search re-runs the full-corpus
+        # assignment pass (r5 review)
+        we_cached = not index.assigned.is_cached
+        if we_cached:
+            index.assigned.cache()
+        try:
+            nprobe, measured = calibrate_nprobe(
+                queries, candidates, index, dim, k=k,
+                target_recall=target_recall, start_nprobe=nprobe,
+                id_col=id_col, vec_col=vec_col,
             )
+            if measured < target_recall:
+                import warnings
+
+                warnings.warn(
+                    f"ivf_topk: calibration reached nprobe={nprobe} (exhaustive "
+                    f"over {len(index.cents)} cells) but measured recall@{k} is "
+                    f"{measured:.3f} < target {target_recall} — the index itself "
+                    "is too coarse for this target; retrain with more cells, a "
+                    "larger train_max, or use exact cosine_topk.",
+                    stacklevel=2,
+                )
+            return ivf_search(
+                queries, index, k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+            ).localCheckpoint(eager=True)
+        finally:
+            if we_cached:
+                index.assigned.unpersist()
     elif train_max is not None and nprobe <= 4:
         import warnings
 

@@ -43,7 +43,6 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -172,38 +171,86 @@ def _fingerprint(stage: str, params: dict, upstream: "str | None") -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
-def _try_load_stage(spark: SparkSession, stage_dir: str, fp: str):
-    """Return (df, rows) when the stage dir holds a PUBLISHED manifest
-    with a matching fingerprint, else None. The manifest is written
-    AFTER the parquet (write-then-publish): a run killed mid-write
-    leaves data without a manifest, which reads as 'not done' and is
-    overwritten on resume — never half-read."""
-    mp = os.path.join(stage_dir, _MANIFEST)
-    if not os.path.exists(mp):
+class _StageFS:
+    """Manifest IO through the Hadoop FileSystem API, so the resumable
+    pipeline works on the paths its 100 TB target actually uses
+    (hdfs://, s3a://, ...) and not only the local filesystem (r5
+    review: os.path/open manifests crashed on any URI scheme AFTER
+    paying the stage compute). Local paths route through Hadoop's
+    RawLocalFileSystem, so one code path serves tests and clusters."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        jvm = spark._jvm
+        self._jvm = jvm
+        self._path_cls = jvm.org.apache.hadoop.fs.Path
+        p = self._path_cls(path)
+        self.fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def exists(self, path: str) -> bool:
+        return self.fs.exists(self._path_cls(path))
+
+    def delete(self, path: str) -> None:
+        self.fs.delete(self._path_cls(path), True)
+
+    def mkdirs(self, path: str) -> None:
+        self.fs.mkdirs(self._path_cls(path))
+
+    def read_json(self, path: str) -> dict:
+        stream = self.fs.open(self._path_cls(path))
+        try:
+            text = self._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        return json.loads(text)
+
+    def write_json_atomic(self, path: str, payload: dict) -> None:
+        """write to .tmp, then rename over the target — atomic on HDFS
+        and posix; on object stores without atomic rename the window is
+        a re-done publish, never a half-read (the tmp name is
+        underscore-prefixed so Spark readers ignore it either way)."""
+        tmp = path + ".tmp"
+        out = self.fs.create(self._path_cls(tmp), True)
+        try:
+            out.write(bytearray(json.dumps(payload), "utf-8"))
+        finally:
+            out.close()
+        dst = self._path_cls(path)
+        if self.fs.exists(dst):
+            self.fs.delete(dst, False)
+        self.fs.rename(self._path_cls(tmp), dst)
+
+
+def _try_load_stage(spark: SparkSession, sfs: _StageFS, stage_dir: str, fp: str):
+    """Return (df, manifest) when the stage dir holds a PUBLISHED
+    manifest with a matching fingerprint, else None. The manifest is
+    written AFTER the parquet (write-then-publish): a run killed
+    mid-write leaves data without a manifest, which reads as 'not
+    done' and is overwritten on resume — never half-read."""
+    mp = stage_dir.rstrip("/") + "/" + _MANIFEST
+    if not sfs.exists(mp):
         return None
-    with open(mp, encoding="utf-8") as fh:
-        m = json.load(fh)
+    m = sfs.read_json(mp)
     if m.get("fingerprint") != fp:
         return None
-    return spark.read.parquet(stage_dir), int(m["rows"])
+    return spark.read.parquet(stage_dir), m
 
 
-def _materialize_stage(df: DataFrame, stage_dir: str, fp: str) -> "tuple[DataFrame, int]":
+def _materialize_stage(
+    df: DataFrame, sfs: _StageFS, stage_dir: str, fp: str, extra: "dict | None" = None
+) -> "tuple[DataFrame, dict]":
     """Write a stage's output and publish its manifest; returns the
     re-read frame (so downstream lineage starts at the parquet — the
-    point of materialization) and the row count (free from the write's
-    metadata via a count on the re-read, one footer-only job)."""
-    if os.path.exists(stage_dir):
-        shutil.rmtree(stage_dir)  # stale/mismatched remnants
+    point of materialization) and the manifest. ``extra``: additional
+    audit fields to persist (e.g. the input-gate total) so resumes can
+    reuse them without re-scanning."""
+    if sfs.exists(stage_dir):
+        sfs.delete(stage_dir)  # stale/mismatched remnants
     df.write.parquet(stage_dir)
     spark = df.sparkSession
     out = spark.read.parquet(stage_dir)
-    rows = out.count()
-    tmp = os.path.join(stage_dir, _MANIFEST + ".tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump({"fingerprint": fp, "rows": rows}, fh)
-    os.replace(tmp, os.path.join(stage_dir, _MANIFEST))  # atomic publish
-    return out, rows
+    manifest = {"fingerprint": fp, "rows": out.count(), **(extra or {})}
+    sfs.write_json_atomic(stage_dir.rstrip("/") + "/" + _MANIFEST, manifest)
+    return out, manifest
 
 
 def prepare_training_corpus_resumable(
@@ -234,10 +281,14 @@ def prepare_training_corpus_resumable(
 
     Resume assumes the INPUT under ``sf_dir`` is immutable (the
     standard warehouse contract); a changed input at the same path
-    must use a fresh ``out_dir`` (or clear _stages). Note the
-    manifest's atomic-publish protocol is rename-based — on object
-    stores without atomic rename, publish manifests to a consistent
-    store or accept a tiny window where a crashed publish is re-done.
+    must use a fresh ``out_dir`` (or clear _stages). Consequently the
+    input quality gate (full scan + unique-id check) runs only when
+    the ``filtered`` stage is computed — a resume that reuses it also
+    reuses the recorded gate verdict instead of re-scanning the raw
+    corpus (its ``n_total`` lives in the stage manifest). Manifest IO
+    goes through the Hadoop FileSystem of ``out_dir`` (hdfs/s3a/local
+    all work); the atomic publish is rename-based — on object stores
+    without atomic rename a crashed publish is simply re-done.
 
     Returns the same counts as the one-shot form plus
     ``stages_reused`` / ``stages_computed`` — an audit of what the
@@ -246,50 +297,51 @@ def prepare_training_corpus_resumable(
     valid_stops = (None, "filtered", "survivors", "clean")
     if stop_after not in valid_stops:
         raise ValueError(f"stop_after must be one of {valid_stops[1:]}, got {stop_after!r}")
-    stages_root = os.path.join(out_dir, "_stages")
-    os.makedirs(stages_root, exist_ok=True)
+    stages_root = out_dir.rstrip("/") + "/_stages"
+    sfs = _StageFS(spark, out_dir)
+    sfs.mkdirs(stages_root)
     reused: list[str] = []
     computed: list[str] = []
 
-    docs, n_total = _stage_input_checked(spark, sf_dir)
-
     fp_filtered = _fingerprint("filtered", {"sf_dir": sf_dir}, None)
-    d_filtered = os.path.join(stages_root, "filtered")
-    loaded = _try_load_stage(spark, d_filtered, fp_filtered)
+    d_filtered = stages_root + "/filtered"
+    loaded = _try_load_stage(spark, sfs, d_filtered, fp_filtered)
     if loaded is None:
-        kept, n_filtered = _materialize_stage(
-            _stage_filtered(docs), d_filtered, fp_filtered
+        docs, n_total = _stage_input_checked(spark, sf_dir)
+        kept, m = _materialize_stage(
+            _stage_filtered(docs), sfs, d_filtered, fp_filtered,
+            extra={"n_total": n_total},
         )
         computed.append("filtered")
     else:
-        kept, n_filtered = loaded
+        kept, m = loaded
         reused.append("filtered")
-    counts: dict = {"n_total": n_total, "n_after_filter": n_filtered}
+    counts: dict = {"n_total": int(m["n_total"]), "n_after_filter": int(m["rows"])}
     if stop_after == "filtered":
         return {**counts, "stages_reused": reused, "stages_computed": computed}
 
     fp_survivors = _fingerprint(
         "survivors", {"jaccard_threshold": jaccard_threshold}, fp_filtered
     )
-    d_survivors = os.path.join(stages_root, "survivors")
-    loaded = _try_load_stage(spark, d_survivors, fp_survivors)
+    d_survivors = stages_root + "/survivors"
+    loaded = _try_load_stage(spark, sfs, d_survivors, fp_survivors)
     if loaded is None:
-        survivors, n_deduped = _materialize_stage(
-            _stage_survivors(kept, jaccard_threshold), d_survivors, fp_survivors
+        survivors, m = _materialize_stage(
+            _stage_survivors(kept, jaccard_threshold), sfs, d_survivors, fp_survivors
         )
         computed.append("survivors")
     else:
-        survivors, n_deduped = loaded
+        survivors, m = loaded
         reused.append("survivors")
-    counts["n_after_near_dedup"] = n_deduped
+    counts["n_after_near_dedup"] = int(m["rows"])
     if stop_after == "survivors":
         return {**counts, "stages_reused": reused, "stages_computed": computed}
 
     fp_clean = _fingerprint("clean", {}, fp_survivors)
-    d_clean = os.path.join(stages_root, "clean")
-    loaded = _try_load_stage(spark, d_clean, fp_clean)
+    d_clean = stages_root + "/clean"
+    loaded = _try_load_stage(spark, sfs, d_clean, fp_clean)
     if loaded is None:
-        clean, _ = _materialize_stage(_stage_clean(survivors), d_clean, fp_clean)
+        clean, _ = _materialize_stage(_stage_clean(survivors), sfs, d_clean, fp_clean)
         computed.append("clean")
     else:
         clean, _ = loaded
