@@ -660,14 +660,18 @@ def sort_topn_parts(spark, sf_dir):
     oracle="""
     SELECT o_custkey, o_orderkey,
            round(sum(o_totalprice::DECIMAL(12,2)) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate NULLS FIRST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::DOUBLE AS running_spend
     FROM orders
     """,
 )
 def window_running_spend(spark, sf_dir):
     """Cumulative sum per customer — one hash exchange on o_custkey,
-    in-partition sort, single window pass."""
+    in-partition sort, single window pass. The oracle pins NULLS FIRST
+    (Spark's ASC default; DuckDB defaults NULLS LAST) so the window
+    semantics stay defined — and oracle-matched — if a sort column ever
+    carries NULLs (round-5 null-planted sweep)."""
     orders = _t(spark, sf_dir, "orders")
     out = analytics.running_agg(
         orders,
@@ -2325,7 +2329,8 @@ def profile_orders(spark, sf_dir):
            round(percent_rank() OVER w, 6) AS pct_rank,
            round(cume_dist()    OVER w, 6) AS cume
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice NULLS FIRST, o_orderkey)
     """,
 )
 def window_percent_rank(spark, sf_dir):
@@ -2601,10 +2606,11 @@ def agg_stats_summary(spark, sf_dir):
     oracle="""
     SELECT o_custkey, o_orderkey,
            round(sum(o_totalprice::DECIMAL(12,2)) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate NULLS FIRST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::DOUBLE AS running_spend,
            round(sum(o_totalprice::DECIMAL(12,2)) OVER (
-             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate) NULLS FIRST
              RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2)::DOUBLE AS spend_30d
     FROM orders
     """,
