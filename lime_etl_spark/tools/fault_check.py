@@ -173,6 +173,8 @@ def phase_retry(
     names = queries or RETRY_QUERIES
     if names == ["@primary"]:
         names = list(PRIMARY_QUERIES)
+    elif names == ["@all"]:
+        names = list(REGISTRY)
     spark = get_spark(
         "fault-check-retry",
         master=f"local[{DEFAULT_SHUFFLE_PARTITIONS},4]",
@@ -495,7 +497,8 @@ def main() -> None:
     ap.add_argument("--which", nargs="*", default=["retry", "kill"])
     ap.add_argument(
         "--queries", nargs="*", default=None,
-        help="retry-phase query list; '@primary' = the 50-query scored window",
+        help="retry-phase query list; '@primary' = the 50-query scored "
+             "window, '@all' = every registry query",
     )
     ap.add_argument(
         "--no-streaming", action="store_true",
