@@ -87,8 +87,16 @@ elif which == "quality":
         slow(stream), os.path.join(work, "state"), ck, rules=list(_FIXTURE_RULES)
     )
 else:
-    from lime_etl_spark.streaming.events import read_events_stream, session_windows
+    from lime_etl_spark.streaming.events import (
+        read_events_stream,
+        session_windows,
+        use_rocksdb_state_store,
+    )
 
+    if os.environ.get("LIME_RESTART_ROCKSDB") == "1":
+        # the production state-store backend: restart must restore
+        # session state from a RocksDB checkpoint, not just HDFS-backed
+        use_rocksdb_state_store(spark, True)
     stream = read_events_stream(spark, src, max_files_per_trigger=1)
     q = (
         session_windows(slow(stream))
@@ -109,10 +117,12 @@ def _env(which: str, src: str, work: str, sleep_s: float) -> dict:
     from lime_etl_spark.ops.util import package_root
 
     pkg_root = package_root()
+    base, _, variant = which.partition(":")
     return {
         **os.environ,
         "PYTHONPATH": pkg_root,
-        "LIME_RESTART_WHICH": which,
+        "LIME_RESTART_WHICH": base,
+        "LIME_RESTART_ROCKSDB": "1" if variant == "rocksdb" else "0",
         "LIME_RESTART_SRC": src,
         "LIME_RESTART_WORK": work,
         "LIME_RESTART_SLEEP": str(sleep_s),
@@ -173,10 +183,17 @@ def split_sources(spark, sf_dir, tmp_path_factory):
     events = str(root / "events")
     read_table(spark, sf_dir, "documents").repartition(12).write.parquet(docs)
     read_table(spark, sf_dir, "events").repartition(12).write.parquet(events)
-    return {"dedup": docs, "quality": events, "sessions": events}
+    return {
+        "dedup": docs,
+        "quality": events,
+        "sessions": events,
+        "sessions:rocksdb": events,
+    }
 
 
-@pytest.mark.parametrize("which", ["dedup", "quality", "sessions"])
+@pytest.mark.parametrize(
+    "which", ["dedup", "quality", "sessions", "sessions:rocksdb"]
+)
 def test_kill_and_restart_equals_uninterrupted(
     which, spark, split_sources, tmp_path
 ):
@@ -188,7 +205,13 @@ def test_kill_and_restart_equals_uninterrupted(
     _run_and_kill(_env(which, src, fault_work, sleep_s=0.5))
     _run_to_completion(_env(which, src, fault_work, sleep_s=0))
 
-    if which == "dedup":
+    if which.startswith("sessions"):
+        # file sink: reading the output path goes through _spark_metadata,
+        # so files from the killed in-flight batch are invisible
+        clean = _rows(spark.read.parquet(os.path.join(clean_work, "out")))
+        fault = _rows(spark.read.parquet(os.path.join(fault_work, "out")))
+        assert clean == fault and len(clean) > 0
+    elif which == "dedup":
         from pyspark.sql import functions as F
 
         from lime_etl_spark.streaming.dedup import (
@@ -211,15 +234,9 @@ def test_kill_and_restart_equals_uninterrupted(
             fault.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
         )
         assert fault.count() > 0
-    elif which == "quality":
+    else:
         from lime_etl_spark.streaming.quality import timeline
 
         clean = _rows(timeline(spark, os.path.join(clean_work, "state")))
         fault = _rows(timeline(spark, os.path.join(fault_work, "state")))
-        assert clean == fault and len(clean) > 0
-    else:
-        # file sink: reading the output path goes through _spark_metadata,
-        # so files from the killed in-flight batch are invisible
-        clean = _rows(spark.read.parquet(os.path.join(clean_work, "out")))
-        fault = _rows(spark.read.parquet(os.path.join(fault_work, "out")))
         assert clean == fault and len(clean) > 0

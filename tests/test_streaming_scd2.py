@@ -271,3 +271,87 @@ def test_ordered_multibatch_cdc_at_fixture_scale(spark, sf_dir, tmp_path):
         os.path.join(state, scd2.QUARANTINE_SUBDIR, "**", "*.parquet"),
         recursive=True,
     )
+
+
+def test_crash_between_state_writes_converges_on_replay(spark, sf_dir, tmp_path):
+    """process_batch performs THREE sequential partition-overwrite
+    writes (changes, quarantine, hwm). A process dying between them
+    leaves a batch partially applied — but the streaming checkpoint has
+    not committed that batch, so it REPLAYS, and replay purity (every
+    read filters ingest_batch < batch_id, every write overwrites its
+    own batch partition) must converge the torn state to exactly the
+    uninterrupted result. Simulates both realistic torn states: (a)
+    changes written, quarantine+hwm missing; (b) changes+quarantine
+    written, hwm missing."""
+    import glob
+
+    from lime_etl_spark.io import sinks
+    from lime_etl_spark.io.sources import read_table
+    from lime_etl_spark.streaming.state import read_state_or_empty
+
+    ev = read_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 4
+    batches = []
+    for i in range(4):
+        a = lo + span * i
+        b = hi if i == 3 else lo + span * (i + 1)
+        batches.append(
+            ev.filter(
+                (F.col("ts") >= a)
+                & (F.col("ts") <= b if i == 3 else F.col("ts") < b)
+            )
+        )
+
+    clean = str(tmp_path / "clean")
+    for i, b in enumerate(batches):
+        scd2.process_batch(b, i, clean)
+
+    def _state_rows(state):
+        hist = _hist_rows(spark, state)
+        quar = sorted(
+            tuple(r)
+            for r in read_state_or_empty(
+                spark,
+                os.path.join(state, scd2.QUARANTINE_SUBDIR),
+                "user_id bigint, event_type string, ts timestamp, "
+                "event_id bigint, conflicts_with_hwm timestamp, ingest_batch bigint",
+            ).collect()
+        )
+        hwm = sorted(
+            tuple(r)
+            for r in read_state_or_empty(
+                spark, os.path.join(state, scd2.HWM_SUBDIR), scd2._hwm_schema("user_id")
+            ).collect()
+        )
+        return hist, quar, hwm
+
+    for torn_writes in (1, 2):  # 1 = only changes landed; 2 = +quarantine
+        state = str(tmp_path / f"torn{torn_writes}")
+        scd2.process_batch(batches[0], 0, state)
+        scd2.process_batch(batches[1], 1, state)
+        # crash mid-batch-2: replicate process_batch's write sequence,
+        # stopping after `torn_writes` of the three writes
+        stored = read_state_or_empty(
+            spark, os.path.join(state, scd2.CHANGES_SUBDIR),
+            scd2._schema("user_id", "event_type", "ts", "event_id"),
+        )
+        stored_hwm = read_state_or_empty(
+            spark, os.path.join(state, scd2.HWM_SUBDIR), scd2._hwm_schema("user_id")
+        )
+        surviving, quarantined, hwm_out = scd2.plan_batch(
+            batches[2], stored, 2, stored_hwm=stored_hwm
+        )
+        sinks.idempotent_reload(
+            surviving.withColumn("ingest_batch", F.lit(2)),
+            os.path.join(state, scd2.CHANGES_SUBDIR), "ingest_batch",
+        )
+        if torn_writes == 2:
+            sinks.idempotent_reload(
+                quarantined.withColumn("ingest_batch", F.lit(2)),
+                os.path.join(state, scd2.QUARANTINE_SUBDIR), "ingest_batch",
+            )
+        # restart: the checkpoint replays batch 2 in full, then batch 3
+        scd2.process_batch(batches[2], 2, state)
+        scd2.process_batch(batches[3], 3, state)
+        assert _state_rows(state) == _state_rows(clean), f"torn after {torn_writes} writes"
