@@ -434,89 +434,78 @@ def connected_components(
     the mid-QUERY kills there happened to land in pair generation,
     where plain lineage still covers recompute, so whether a given
     kill hits the hazard is timing). Pass a durable directory
-    (HDFS/object store on a cluster) to checkpoint reliably instead:
-    each round's labels survive executor loss, at the cost of a
-    filesystem round-trip per round. Single-host default stays
-    localCheckpoint (task-level retries never lose blocks — the
-    executor survives).
+    (HDFS/object store on a cluster) for durable per-round
+    materialization instead: each round's labels are WRITTEN AS
+    PARQUET under a per-call unique ``cc_*`` subdirectory and re-read,
+    so lineage restarts at the files and executor loss recomputes by
+    re-reading — same durability as ``df.checkpoint`` without
+    touching the session-global checkpoint dir (the r5 implementation
+    used ``setCheckpointDir`` and so forbade concurrent calls; this
+    form is concurrency-safe — each call owns its own subdir and no
+    session state is mutated). Cost is one filesystem round-trip per
+    round. Single-host default stays localCheckpoint (task-level
+    retries never lose blocks — the executor survives).
 
-    Checkpoint-dir hygiene (r5 review): the session checkpoint dir is
-    a GLOBAL — this function points it at a per-call unique
-    subdirectory of ``reliable_checkpoint_dir`` (so sequential calls
-    never collide on files) and restores the previous setting before
-    returning. Because the pointer itself is session-global, CONCURRENT
-    reliable-checkpoint calls in one session are NOT supported — their
-    set/restore interleave and one call's rounds can land in the
-    other's subdir; run concurrent component jobs in separate sessions.
-    If no checkpoint dir was previously set, the global stays pointed
-    at this call's subdir on return (Spark has no unset API).
-    Retention: Spark does not delete reliable checkpoints by default,
-    and every round writes a labels copy — set
-    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` or prune
-    the directory after the result is consumed; the iteration copies
-    are dead the moment the next round checkpoints.
+    Retention: the round files are not auto-deleted; the RETURNED
+    frame reads from the final round's parquet, so prune the call's
+    ``cc_*`` directory only after the result is consumed (the
+    earlier-round copies are dead the moment the next round lands).
     """
-    sc = pairs.sparkSession.sparkContext
-    prev_ckpt_dir = None
     if reliable_checkpoint_dir is not None:
-        import os as _os
+        import itertools as _itertools
         import uuid as _uuid
 
-        prev_ckpt_dir = sc.getCheckpointDir()
-        sc.setCheckpointDir(
-            _os.path.join(reliable_checkpoint_dir, f"cc_{_uuid.uuid4().hex[:12]}")
+        base_dir = (
+            reliable_checkpoint_dir.rstrip("/") + f"/cc_{_uuid.uuid4().hex[:12]}"
         )
+        seq = _itertools.count()
+        spark = pairs.sparkSession
 
     def _ckpt(df: DataFrame) -> DataFrame:
         if reliable_checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
+            path = f"{base_dir}/round_{next(seq)}"
+            df.write.parquet(path)
+            return spark.read.parquet(path)
         return df.localCheckpoint(eager=True)
 
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    try:
-        edges = _ckpt(fwd.union(rev).distinct())
-        labels = _ckpt(
-            edges.select(F.col("src").alias("id"))
-            .distinct()
-            .withColumn("label", F.col("id"))
+    edges = _ckpt(fwd.union(rev).distinct())
+    labels = _ckpt(
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    converged = False
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("dst_label")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_label"))
         )
-        converged = False
-        for _ in range(max_iter):
-            nbr_min = (
-                edges.join(
-                    labels.select(
-                        F.col("id").alias("dst"), F.col("label").alias("dst_label")
-                    ),
-                    "dst",
-                )
-                .groupBy("src")
-                .agg(F.min("dst_label").alias("nbr_label"))
+        stepped = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce(F.col("nbr_label"), labels["label"])
+                ).alias("label"),
+                (
+                    F.coalesce(F.col("nbr_label"), labels["label"]) < labels["label"]
+                ).alias("__changed"),
             )
-            stepped = (
-                labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
-                .select(
-                    labels["id"],
-                    F.least(
-                        labels["label"], F.coalesce(F.col("nbr_label"), labels["label"])
-                    ).alias("label"),
-                    (
-                        F.coalesce(F.col("nbr_label"), labels["label"]) < labels["label"]
-                    ).alias("__changed"),
-                )
-            )
-            stepped = _ckpt(stepped)
-            n_changed = stepped.filter(F.col("__changed")).count()
-            labels = stepped.drop("__changed")
-            if n_changed == 0:
-                converged = True
-                break
-    finally:
-        # all checkpoints are eager, so the prior session-global dir can
-        # be restored immediately (a previously-unset dir stays pointed
-        # at our per-call subdir — there is no unset API)
-        if prev_ckpt_dir is not None:
-            sc.setCheckpointDir(prev_ckpt_dir)
+        )
+        stepped = _ckpt(stepped)
+        n_changed = stepped.filter(F.col("__changed")).count()
+        labels = stepped.drop("__changed")
+        if n_changed == 0:
+            converged = True
+            break
     if not converged:
         # Unconverged labels silently split components — a wrong answer,
         # not a degraded one. Dedup graphs converge in a handful of

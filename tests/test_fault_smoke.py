@@ -80,10 +80,12 @@ def test_connected_components_reliable_checkpoint_parity(spark, sf_dir, tmp_path
     docs = read_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_near_dups(docs, threshold=0.5).select("id_a", "id_b")
     local = sorted(map(tuple, dedup.connected_components(pairs).collect()))
-    # the session checkpoint dir is global state — point it somewhere
-    # first and assert the reliable run restores it (r5 review)
+    # r6: the reliable path materializes rounds as parquet under its own
+    # cc_* subdir and never touches the session-global checkpoint dir —
+    # pin that by setting the global first and asserting it is UNCHANGED
     prev = str(tmp_path / "prior_ckpt")
     spark.sparkContext.setCheckpointDir(prev)
+    before = spark.sparkContext.getCheckpointDir()
     reliable = sorted(
         map(
             tuple,
@@ -92,11 +94,48 @@ def test_connected_components_reliable_checkpoint_parity(spark, sf_dir, tmp_path
             ).collect(),
         )
     )
-    # getCheckpointDir returns the set dir plus a context UUID (and
-    # setCheckpointDir appends another on restore) — assert containment:
-    # later checkpoints land back under the caller's tree, not ours
-    restored = spark.sparkContext.getCheckpointDir()
-    assert restored is not None and "/prior_ckpt/" in restored, restored
-    assert "/ckpt/" not in restored, restored
+    assert spark.sparkContext.getCheckpointDir() == before
     assert local == reliable
     assert len(local) > 0
+    # round files exist under a per-call cc_* subdir of the caller's dir
+    cc_dirs = list((tmp_path / "ckpt").glob("cc_*"))
+    assert len(cc_dirs) == 1, cc_dirs
+    assert list(cc_dirs[0].glob("round_*")), "expected per-round parquet dirs"
+
+
+def test_connected_components_reliable_concurrent_calls(spark, sf_dir, tmp_path):
+    """Two reliable-checkpoint component jobs running CONCURRENTLY in one
+    session must not cross-write (the r5 setCheckpointDir implementation
+    forbade this; r6's per-call subdirs make it safe)."""
+    import threading
+
+    from lime_etl_spark.io.sources import read_table
+    from lime_etl_spark.ops import dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dups(docs, threshold=0.5).select("id_a", "id_b")
+    expected = sorted(map(tuple, dedup.connected_components(pairs).collect()))
+    results: dict = {}
+
+    def run(tag: str) -> None:
+        try:
+            results[tag] = sorted(
+                map(
+                    tuple,
+                    dedup.connected_components(
+                        pairs, reliable_checkpoint_dir=str(tmp_path / "shared")
+                    ).collect(),
+                )
+            )
+        except Exception as ex:  # surface in the assert below
+            results[tag] = repr(ex)
+
+    threads = [threading.Thread(target=run, args=(t,)) for t in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results["a"] == expected, results["a"] if isinstance(results["a"], str) else "mismatch"
+    assert results["b"] == expected, results["b"] if isinstance(results["b"], str) else "mismatch"
+    # two calls -> two distinct cc_* subdirs under the shared root
+    assert len(list((tmp_path / "shared").glob("cc_*"))) == 2
