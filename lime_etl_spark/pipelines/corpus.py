@@ -47,6 +47,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lime_etl_spark.io.fsutil import HadoopFS
 from lime_etl_spark.io.sinks import write_parquet_clustered
 from lime_etl_spark.io.sources import read_table
 from lime_etl_spark.ops import dedup, quality, sampling, text
@@ -171,65 +172,30 @@ def _fingerprint(stage: str, params: dict, upstream: "str | None") -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
-class _StageFS:
-    """Manifest IO through the Hadoop FileSystem API, so the resumable
-    pipeline works on the paths its 100 TB target actually uses
-    (hdfs://, s3a://, ...) and not only the local filesystem (r5
-    review: os.path/open manifests crashed on any URI scheme AFTER
-    paying the stage compute). Local paths route through Hadoop's
-    RawLocalFileSystem, so one code path serves tests and clusters."""
-
-    def __init__(self, spark: SparkSession, path: str):
-        jvm = spark._jvm
-        self._jvm = jvm
-        self._path_cls = jvm.org.apache.hadoop.fs.Path
-        p = self._path_cls(path)
-        self.fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-
-    def exists(self, path: str) -> bool:
-        return self.fs.exists(self._path_cls(path))
-
-    def delete(self, path: str) -> None:
-        self.fs.delete(self._path_cls(path), True)
-
-    def mkdirs(self, path: str) -> None:
-        self.fs.mkdirs(self._path_cls(path))
-
-    def read_json(self, path: str) -> dict:
-        stream = self.fs.open(self._path_cls(path))
-        try:
-            text = self._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-        finally:
-            stream.close()
-        return json.loads(text)
-
-    def write_json_atomic(self, path: str, payload: dict) -> None:
-        """write to .tmp, then rename over the target — atomic on HDFS
-        and posix; on object stores without atomic rename the window is
-        a re-done publish, never a half-read (the tmp name is
-        underscore-prefixed so Spark readers ignore it either way)."""
-        tmp = path + ".tmp"
-        out = self.fs.create(self._path_cls(tmp), True)
-        try:
-            out.write(bytearray(json.dumps(payload), "utf-8"))
-        finally:
-            out.close()
-        dst = self._path_cls(path)
-        if self.fs.exists(dst):
-            self.fs.delete(dst, False)
-        self.fs.rename(self._path_cls(tmp), dst)
+# moved to io/fsutil.py in round 6 so the protocol and its object-store
+# failure-mode shim (S3LikeFS) live together; alias kept for callers
+_StageFS = HadoopFS
 
 
-def _try_load_stage(spark: SparkSession, sfs: _StageFS, stage_dir: str, fp: str):
+def _try_load_stage(spark: SparkSession, sfs: HadoopFS, stage_dir: str, fp: str):
     """Return (df, manifest) when the stage dir holds a PUBLISHED
     manifest with a matching fingerprint, else None. The manifest is
     written AFTER the parquet (write-then-publish): a run killed
     mid-write leaves data without a manifest, which reads as 'not
-    done' and is overwritten on resume — never half-read."""
+    done' and is overwritten on resume — never half-read.
+
+    A manifest that exists but cannot be parsed also reads as 'not
+    done': on stores where rename is copy-then-delete a crash mid-copy
+    leaves a TORN manifest (observed under the S3LikeFS shim — the r5
+    form raised JSONDecodeError here, wedging the resume until the
+    torn file was hand-deleted; now it is recomputed and republished)."""
     mp = stage_dir.rstrip("/") + "/" + _MANIFEST
     if not sfs.exists(mp):
         return None
-    m = sfs.read_json(mp)
+    try:
+        m = sfs.read_json(mp)
+    except (ValueError, UnicodeDecodeError):
+        return None  # torn publish -> recompute + republish
     if m.get("fingerprint") != fp:
         return None
     return spark.read.parquet(stage_dir), m
@@ -243,9 +209,13 @@ def _materialize_stage(
     point of materialization) and the manifest. ``extra``: additional
     audit fields to persist (e.g. the input-gate total) so resumes can
     reuse them without re-scanning."""
-    if sfs.exists(stage_dir):
-        sfs.delete(stage_dir)  # stale/mismatched remnants
-    df.write.parquet(stage_dir)
+    # UNCONDITIONAL delete + overwrite write: guarding the delete behind
+    # an exists() probe made the recompute CRASH (PATH_ALREADY_EXISTS)
+    # on stores whose listings lag writes — found by the S3LikeFS
+    # delayed-listing test, not argued. delete() on a missing path is a
+    # no-op; overwrite covers remnants the delete's own listing missed.
+    sfs.delete(stage_dir)  # stale/mismatched remnants
+    df.write.mode("overwrite").parquet(stage_dir)
     spark = df.sparkSession
     out = spark.read.parquet(stage_dir)
     manifest = {"fingerprint": fp, "rows": out.count(), **(extra or {})}
@@ -262,6 +232,7 @@ def prepare_training_corpus_resumable(
     train_pct: int = 90,
     salt: str = "corpus-v1",
     stop_after: "str | None" = None,
+    stage_fs: "HadoopFS | None" = None,
 ) -> dict:
     """``prepare_training_corpus`` with per-stage restartability.
 
@@ -293,12 +264,20 @@ def prepare_training_corpus_resumable(
     Returns the same counts as the one-shot form plus
     ``stages_reused`` / ``stages_computed`` — an audit of what the
     resume actually skipped.
+
+    ``stage_fs``: inject the manifest filesystem (default: the Hadoop
+    FileSystem of ``out_dir``). tests/test_objectstore_sim.py passes
+    the ``S3LikeFS`` shim here to run this pipeline under non-atomic
+    rename, torn-manifest, and delayed-listing semantics — the
+    object-store commit window is OBSERVED, not argued (crash at every
+    point of the publish window resumes to artifacts identical to an
+    uninterrupted run).
     """
     valid_stops = (None, "filtered", "survivors", "clean")
     if stop_after not in valid_stops:
         raise ValueError(f"stop_after must be one of {valid_stops[1:]}, got {stop_after!r}")
     stages_root = out_dir.rstrip("/") + "/_stages"
-    sfs = _StageFS(spark, out_dir)
+    sfs = stage_fs if stage_fs is not None else HadoopFS(spark, out_dir)
     sfs.mkdirs(stages_root)
     reused: list[str] = []
     computed: list[str] = []
