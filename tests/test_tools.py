@@ -99,3 +99,21 @@ def test_rate_documents_distinct_up_to_vocab(spark):
         F.array_join(words, " ").alias("text")
     )
     assert df.distinct().count() == vocab
+
+
+def test_bench_exec_metric_honest_for_eager_plans():
+    """r5 verdict 'what's wrong #1': BENCH carried a 76x-understated
+    exec-only number for queries whose construction executes eagerly.
+    The harness must (a) flag them in the registry, (b) publish
+    fresh-plan warm as their exec metric."""
+    import bench
+    from lime_etl_spark.registry import REGISTRY
+
+    # the known eager constructors are flagged
+    assert REGISTRY["dedup_near_dup_groups"].eager_plan
+    assert REGISTRY["dedup_components"].eager_plan
+    # lazy headline queries are not
+    assert not REGISTRY["q1_pricing_summary"].eager_plan
+    # metric selection: eager -> fresh warm; lazy -> built-plan re-run
+    assert bench.exec_metric(True, 3.4, 0.044) == 3.4
+    assert bench.exec_metric(False, 3.4, 0.044) == 0.044
