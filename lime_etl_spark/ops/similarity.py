@@ -789,7 +789,10 @@ def calibrate_nprobe(
     already, so trials don't re-run the full-corpus assignment),
     ≤ log2(k_cells) trials. Returns (nprobe, measured_recall); caps at
     the cell count (exhaustive probing == exact search over the index,
-    recall 1.0 modulo ties).
+    recall 1.0 modulo ties). When the exact pass yields ZERO ground
+    truth pairs (empty or degenerate probe set) there is nothing to
+    measure: returns (clamped start_nprobe, NaN) — never a fabricated
+    recall.
     """
     if not 0.0 < target_recall <= 1.0:
         raise ValueError(f"target_recall in (0, 1], got {target_recall}")
@@ -807,7 +810,12 @@ def calibrate_nprobe(
         for r in exact.select("query_id", "neighbor_id").collect()
     }
     if not exact_pairs:
-        return start_nprobe, 1.0
+        # nothing to measure against (empty/degenerate probe set) —
+        # return NaN, not a fabricated 1.0, so callers can tell a
+        # vacuous calibration from a real one (r5 advice); NaN also
+        # compares False against any target, so ivf_topk neither
+        # warns nor claims the target was met
+        return min(max(1, start_nprobe), max(1, n_cells)), float("nan")
     nprobe = min(max(1, start_nprobe), max(1, n_cells))
     we_cached = not index.assigned.is_cached
     if we_cached:
@@ -916,9 +924,20 @@ def ivf_topk(
                     "larger train_max, or use exact cosine_topk.",
                     stacklevel=2,
                 )
-            return ivf_search(
+            # materialize the (small, <= n_queries*k rows) result into
+            # its own cache WITH LINEAGE INTACT before the assignment
+            # cache is dropped: localCheckpoint here truncated lineage
+            # into executor-storage blocks, which on a cluster with
+            # dynamic allocation/executor loss made a later read fail
+            # unrecoverably — the exact hazard connected_components
+            # documents (r5 advice). With cache()+count(), a lost block
+            # just recomputes (re-running the assignment — slower,
+            # never wrong). Callers may unpersist when done.
+            res = ivf_search(
                 queries, index, k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col
-            ).localCheckpoint(eager=True)
+            ).cache()
+            res.count()
+            return res
         finally:
             if we_cached:
                 index.assigned.unpersist()

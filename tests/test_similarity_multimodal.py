@@ -392,13 +392,19 @@ def test_ivf_sampled_training(spark, sf_dir):
         for r in similarity.cosine_topk(q, emb, k=5).collect()
     }
     full = similarity.ivf_topk(q, emb, dim=64, k=5, n_clusters=8, nprobe=4)
-    samp = similarity.ivf_topk(
-        q, emb, dim=64, k=5, n_clusters=8, nprobe=4, train_max=200
-    )
+    # these two calls deliberately exercise the train_max footgun the
+    # warning exists for — capture it so the suite stays warning-clean
+    # and a future REAL warning is visible (r5 verdict nit)
+    with pytest.warns(UserWarning, match="trains on a sample"):
+        samp = similarity.ivf_topk(
+            q, emb, dim=64, k=5, n_clusters=8, nprobe=4, train_max=200
+        )
     s1 = sorted(map(tuple, samp.collect()))
-    s2 = sorted(map(tuple, similarity.ivf_topk(
-        q, emb, dim=64, k=5, n_clusters=8, nprobe=4, train_max=200
-    ).collect()))
+    with pytest.warns(UserWarning, match="trains on a sample"):
+        rerun = similarity.ivf_topk(
+            q, emb, dim=64, k=5, n_clusters=8, nprobe=4, train_max=200
+        )
+    s2 = sorted(map(tuple, rerun.collect()))
     assert s1 == s2  # deterministic
     # every query still finds k neighbors from the FULL corpus
     from collections import Counter
@@ -478,3 +484,44 @@ def test_ivf_train_max_without_nprobe_warns(spark, sf_dir):
             q, emb, dim=64, k=5, n_clusters=8, train_max=200, nprobe=8
         )
     assert not any("recall" in str(w.message) for w in caught)
+
+def test_ivf_calibrate_nprobe_empty_probe_set_returns_nan(spark, sf_dir):
+    """Zero ground-truth pairs (empty probe set) must yield a
+    DISTINGUISHABLE NaN, never a fabricated 1.0 'measured' recall
+    (r5 advice)."""
+    import math
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    empty_q = emb.filter(F.col("vec_id") < 0)
+    index = similarity.ivf_index(emb, dim=64, n_clusters=8)
+    nprobe, recall = similarity.calibrate_nprobe(
+        empty_q, emb, index, dim=64, k=5, target_recall=0.9, start_nprobe=4
+    )
+    assert math.isnan(recall)
+    assert 1 <= nprobe <= 8
+    # wired form: no spurious 'target met'/'too coarse' warning, and an
+    # empty result, not a crash
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = similarity.ivf_topk(
+            empty_q, emb, dim=64, k=5, n_clusters=8, target_recall=0.9
+        )
+    assert out.count() == 0
+    assert not any("too coarse" in str(w.message) for w in caught)
+
+
+def test_ivf_topk_target_recall_result_survives_cache_drop(spark, sf_dir):
+    """The target_recall path must return a frame with INTACT lineage
+    (r5 advice: localCheckpoint'ed results die with their executor);
+    after unpersisting everything the frame must still recompute."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    res = similarity.ivf_topk(
+        q, emb, dim=64, k=5, n_clusters=8, target_recall=0.5
+    )
+    first = sorted(map(tuple, res.collect()))
+    res.unpersist(blocking=True)  # simulate total cache loss
+    assert sorted(map(tuple, res.collect())) == first
+    assert len(first) > 0
