@@ -203,15 +203,19 @@ def lsh_bucketed_topk(
     multi_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_recall: float | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine, but only within the probe's LSH
     bucket(s). Join on bucket replaces the cross join — candidate set
     per probe shrinks ~2^n_planes-fold.
 
-    multi_probe=1 additionally probes every flip-one-bit neighbor bucket
-    (n_planes+1 buckets total): the nearest misses in hyperplane LSH are
-    vectors just across ONE hyperplane, so one-bit probing recovers most
-    of the recall loss for a (n_planes+1)/2^n_planes coverage cost.
+    multi_probe is the probing DEPTH: 1 additionally probes every
+    flip-one-bit neighbor bucket (n_planes+1 buckets total — the
+    nearest misses in hyperplane LSH are vectors just across ONE
+    hyperplane, so one-bit probing recovers most of the recall loss for
+    a (n_planes+1)/2^n_planes coverage cost); 2 adds the two-bit flips
+    (+C(n_planes,2) buckets) for the next recall increment; 0 probes
+    only the home bucket.
     The default (None) sizes n_planes from the corpus count via
     ``recommended_n_planes`` so corpus/2^n_planes tracks the per-bucket
     candidate budget (the same footgun-removal as ivf_topk's default —
@@ -221,7 +225,32 @@ def lsh_bucketed_topk(
     default makes construction EAGER — a ``candidates.count()`` job
     runs at call time and the candidates plan evaluates once extra;
     cache the input or pass n_planes explicitly if that matters.
+
+    ``target_recall`` (round-6): calibrate the knobs empirically
+    instead of guessing — the cheapest (n_planes, multi_probe) on the
+    descend-planes/deepen-probing ladder whose measured recall@k on a
+    64-probe sample meets the target (see calibrate_lsh; the IVF path
+    got the same treatment in round 5, closing the asymmetric-API gap).
+    Construction is eager on this path (the calibration trials run at
+    call time). Explicit-parameter calls are untouched (the
+    oracle-pinned registry path passes n_planes=5 and no target).
     """
+    if target_recall is not None:
+        n_planes, multi_probe, measured = calibrate_lsh(
+            queries, candidates, dim, k=k, target_recall=target_recall,
+            start_n_planes=n_planes, id_col=id_col, vec_col=vec_col,
+        )
+        if measured == measured and measured < target_recall:  # not NaN
+            import warnings
+
+            warnings.warn(
+                f"lsh_bucketed_topk: calibration descended to n_planes="
+                f"{n_planes}, multi_probe={multi_probe} (probing the whole "
+                f"bucket space) but measured recall@{k} is {measured:.3f} < "
+                f"target {target_recall} — ties at the k-boundary; use exact "
+                "cosine_topk if that matters.",
+                stacklevel=2,
+            )
     if n_planes is None:
         # max(1,·): an empty corpus sizes to the 1-plane minimum
         # instead of tripping the helper's explicit-input validation
@@ -232,13 +261,17 @@ def lsh_bucketed_topk(
         F.col("bucket"),
     )
     if multi_probe >= 1:
-        probes = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(2**i).cast("bigint"))
+        flips = [
+            F.col("bucket").bitwiseXOR(F.lit(2**i).cast("bigint"))
+            for i in range(n_planes)
+        ]
+        if multi_probe >= 2:
+            flips += [
+                F.col("bucket").bitwiseXOR(F.lit(2**i + 2**j).cast("bigint"))
                 for i in range(n_planes)
-            ],
-        )
+                for j in range(i + 1, n_planes)
+            ]
+        probes = F.array(F.col("bucket"), *flips)
         qb = qb0.select(
             "query_id", "qv", F.explode(probes).alias("bucket")
         )
@@ -270,6 +303,72 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+def calibrate_lsh(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 5,
+    target_recall: float = 0.9,
+    start_n_planes: int | None = None,
+    sample: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "tuple[int, int, float]":
+    """Measure-and-adjust for hyperplane LSH — the mirror of
+    ``calibrate_nprobe`` (round-6: the IVF path had a measured recall
+    knob, LSH had guesswork). Walks the cheapest-first ladder
+    (start planes, depth 1) → (start planes, depth 2) → (fewer planes,
+    depth 2) → ... → (1 plane), measuring recall@k against the EXACT
+    top-k on a deterministic ``sample``-probe set, and stops at the
+    first rung meeting ``target_recall``.
+
+    Why this ladder: deepening multi-probe keeps bucket sizes (and the
+    corpus-side shuffle) fixed while probing more buckets — the cheap
+    recall increment; dropping a plane DOUBLES every bucket (quadratic
+    in-bucket cost at fixed corpus) — the expensive one. At 1 plane the
+    probe set covers the whole bucket space, so the ladder converges to
+    exact-search recall (1.0 modulo ties at the k-boundary).
+
+    Cost is bounded exactly like calibrate_nprobe: one exact pass for
+    the sample's ground truth (≤ sample·k pairs collected), then one
+    sample-search per rung, ≤ 2 + start_n_planes rungs. Returns
+    (n_planes, multi_probe, measured_recall); zero ground-truth pairs
+    (empty/degenerate probe set) returns NaN recall, never a
+    fabricated 1.0.
+    """
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(f"target_recall in (0, 1], got {target_recall}")
+    if start_n_planes is None:
+        start_n_planes = recommended_n_planes(max(1, candidates.count()))
+    probe_set = queries.select(id_col, vec_col).orderBy(id_col).limit(sample)
+    exact = cosine_topk(probe_set, candidates, k=k, id_col=id_col, vec_col=vec_col)
+    exact_pairs = {
+        (r.query_id, r.neighbor_id)
+        for r in exact.select("query_id", "neighbor_id").collect()
+    }
+    if not exact_pairs:
+        return start_n_planes, 1, float("nan")
+    ladder = [(start_n_planes, 1)]
+    if start_n_planes >= 2:
+        ladder.append((start_n_planes, 2))
+        ladder += [(p, 2) for p in range(start_n_planes - 1, 0, -1)]
+    last = ladder[0] + (0.0,)
+    for planes, depth in ladder:
+        approx = lsh_bucketed_topk(
+            probe_set, candidates, dim, k=k, n_planes=planes,
+            multi_probe=depth, id_col=id_col, vec_col=vec_col,
+        )
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in approx.select("query_id", "neighbor_id").collect()
+        }
+        recall = len(exact_pairs & got) / len(exact_pairs)
+        last = (planes, depth, recall)
+        if recall >= target_recall:
+            return last
+    return last
 
 
 def _round_half_up(x: np.ndarray, digits: int = 6) -> np.ndarray:

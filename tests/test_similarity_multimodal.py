@@ -525,3 +525,73 @@ def test_ivf_topk_target_recall_result_survives_cache_drop(spark, sf_dir):
     res.unpersist(blocking=True)  # simulate total cache loss
     assert sorted(map(tuple, res.collect())) == first
     assert len(first) > 0
+
+
+def test_lsh_multi_probe_depth2_superset_and_recall(spark, sf_dir):
+    """Depth-2 probing searches a strict superset of buckets — its
+    result set's recall vs exact must be >= depth-1's at the same
+    plane count, and per-query rows still k."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 16)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(q, emb, k=5).collect()
+    }
+
+    def rec(depth):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.lsh_bucketed_topk(
+                q, emb, dim=64, k=5, n_planes=6, multi_probe=depth
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r0, r1, r2 = rec(0), rec(1), rec(2)
+    assert r0 <= r1 <= r2, (r0, r1, r2)
+
+
+def test_calibrate_lsh_reaches_target_and_wires_in(spark, sf_dir):
+    """calibrate_lsh walks the plane/depth ladder until measured
+    recall@k meets the target; lsh_bucketed_topk(target_recall=...)
+    wires it in (round-6: parity with the IVF knob)."""
+    from collections import Counter
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 16)
+    planes, depth, recall = similarity.calibrate_lsh(
+        q, emb, dim=64, k=5, target_recall=0.9, start_n_planes=8
+    )
+    # the ladder bottoms out at 1 plane = whole bucket space = exact
+    assert recall >= 0.9 or planes == 1, (planes, depth, recall)
+    rows = similarity.lsh_bucketed_topk(
+        q, emb, dim=64, k=5, target_recall=0.9
+    ).collect()
+    per_q = Counter(r.query_id for r in rows)
+    assert all(v == 5 for v in per_q.values())
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(q, emb, k=5).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(exact & got) / len(exact) >= 0.9
+    with pytest.raises(ValueError):
+        similarity.calibrate_lsh(q, emb, dim=64, target_recall=0.0)
+
+
+def test_calibrate_lsh_empty_probe_set_returns_nan(spark, sf_dir):
+    """Same honesty contract as calibrate_nprobe: zero ground-truth
+    pairs -> NaN, never a fabricated recall."""
+    import math
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    empty_q = emb.filter(F.col("vec_id") < 0)
+    planes, depth, recall = similarity.calibrate_lsh(
+        empty_q, emb, dim=64, k=5, target_recall=0.9, start_n_planes=5
+    )
+    assert math.isnan(recall)
+    assert planes == 5 and depth == 1
+    out = similarity.lsh_bucketed_topk(
+        empty_q, emb, dim=64, k=5, target_recall=0.9
+    )
+    assert out.count() == 0
