@@ -388,12 +388,127 @@ def minhash_near_dups(
 # ---------------------------------------------------------------------------
 
 
+def _label_prop_components(edges: DataFrame, ckpt, max_iter: int):
+    """Min-label propagation over a fixed bidirectional edge list.
+    Returns ((id, label) labels, rounds). Rounds = graph diameter."""
+    labels = ckpt(
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for rounds in range(1, max_iter + 1):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("dst_label")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce(F.col("nbr_label"), labels["label"])
+                ).alias("label"),
+                (
+                    F.coalesce(F.col("nbr_label"), labels["label"]) < labels["label"]
+                ).alias("__changed"),
+            )
+        )
+        stepped = ckpt(stepped)
+        n_changed = stepped.filter(F.col("__changed")).count()
+        labels = stepped.drop("__changed")
+        if n_changed == 0:
+            return labels, rounds
+    # Unconverged labels silently split components — a wrong answer,
+    # not a degraded one. Dedup graphs converge in a handful of
+    # rounds; hitting the cap means a pathological chain (or a bug)
+    # and must surface, not ship.
+    raise RuntimeError(
+        f"connected_components did not converge within max_iter={max_iter}; "
+        "raise max_iter (graph diameter exceeds it) or use "
+        "algorithm='two_phase_star' (logarithmic rounds)"
+    )
+
+
+def _two_phase_star_components(edges: DataFrame, ckpt, max_iter: int):
+    """Alternating large-star/small-star edge rewriting (Kiveris et
+    al.). Returns ((id, label) labels, rounds). Rounds = O(log n)
+    regardless of diameter.
+
+    Both phases hang neighbors under each node's closed-neighborhood
+    min m(u) = min(Γ(u) ∪ {u}); large-star rewrites the strictly
+    larger neighbors, small-star the smaller ones plus the node
+    itself. At the fixpoint every component is a star rooted at its
+    min, read off directly as (child, root) edges. Convergence is
+    detected by an order-independent signature (count + bit_xor of
+    xxhash64(child, root)) of the canonical edge set — two scalars
+    per round, no edge-set diff join."""
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+
+    def star(bidir: DataFrame, large: bool) -> DataFrame:
+        m = bidir.groupBy("src").agg(
+            F.least(F.col("src"), F.min("dst")).alias("m")
+        )
+        j = bidir.join(m, "src")
+        if large:
+            out = j.filter(F.col("dst") > F.col("src")).select(
+                F.col("dst").alias("child"), F.col("m").alias("root")
+            )
+        else:
+            out = (
+                j.filter(F.col("dst") < F.col("src"))
+                .select(F.col("dst").alias("child"), F.col("m").alias("root"))
+                .union(m.select(F.col("src").alias("child"), F.col("m").alias("root")))
+            )
+        return out.filter(F.col("child") != F.col("root")).distinct()
+
+    def signature(star_edges: DataFrame):
+        row = star_edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(child, root))").alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    def bidir_of(star_edges: DataFrame) -> DataFrame:
+        fwd = star_edges.select(F.col("child").alias("src"), F.col("root").alias("dst"))
+        rev = star_edges.select(F.col("root").alias("src"), F.col("child").alias("dst"))
+        return fwd.union(rev)
+
+    cur = edges
+    prev_sig = None
+    for rounds in range(1, max_iter + 1):
+        ls = star(cur, large=True)
+        ss = ckpt(star(bidir_of(ls), large=False))
+        sig = signature(ss)
+        if sig == prev_sig:
+            # fixpoint: ss is a (child, root) star forest
+            labels = nodes.join(
+                ss.select(F.col("child").alias("id"), F.col("root").alias("label")),
+                "id",
+                "left",
+            ).select("id", F.coalesce(F.col("label"), F.col("id")).alias("label"))
+            return labels, rounds
+        prev_sig = sig
+        cur = bidir_of(ss)
+    raise RuntimeError(
+        f"connected_components(two_phase_star) did not converge within "
+        f"max_iter={max_iter} rounds — not expected for any graph of "
+        f"< 2^{max_iter} nodes; this indicates a bug, please report"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
     reliable_checkpoint_dir: str | None = None,
+    algorithm: str = "label_prop",
 ) -> DataFrame:
     """Cluster near-duplicate PAIRS into duplicate GROUPS.
 
@@ -403,13 +518,26 @@ def connected_components(
     (its only dedup is keep-latest, lime_survey_orders_shipped.py:69-70);
     this is the standard closing step of a corpus-dedup pipeline.
 
-    Algorithm: iterative min-label propagation. Every node starts
-    labelled with itself; each round a node adopts the minimum label in
-    its closed neighborhood; converged when no label changes. Rounds
-    needed = graph diameter, and near-dup components are small and
-    dense (a duplicate cluster is near-clique), so convergence in a
-    handful of rounds — not the O(log n) large-star/small-star variant,
-    which only pays off on long-chain graphs that dedup never produces.
+    ``algorithm`` (round 6, measured head-to-head at sf1 — SCALE.md):
+
+    - ``"label_prop"`` (default): iterative min-label propagation.
+      Every node starts labelled with itself; each round a node adopts
+      the minimum label in its closed neighborhood; converged when no
+      label changes. Rounds needed = graph diameter; near-dup
+      components are small and dense (a duplicate cluster is
+      near-clique), so convergence in a handful of rounds, and each
+      round is the cheaper unit (one join + one groupBy on a
+      fixed-size label table).
+    - ``"two_phase_star"``: alternating large-star/small-star edge
+      rewriting (Kiveris et al., "Connected Components in MapReduce
+      and Beyond"): large-star hangs every larger neighbor under the
+      neighborhood min, small-star re-hangs the smaller ones;
+      converges in O(log n) ROUNDS regardless of diameter — the unit
+      that matters at 100 TB is rounds (each is a full shuffle +
+      checkpoint barrier), and a chain-shaped graph sends label_prop
+      to diameter rounds while this stays logarithmic. The trade-off:
+      each round rewrites the EDGE set (bigger than the label table)
+      and costs ~2 shuffles + a distinct.
 
     Scale notes:
     - Each round is one join + one groupBy, both shuffling on node id —
@@ -471,49 +599,13 @@ def connected_components(
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     edges = _ckpt(fwd.union(rev).distinct())
-    labels = _ckpt(
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-    )
-    converged = False
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(
-                labels.select(
-                    F.col("id").alias("dst"), F.col("label").alias("dst_label")
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("dst_label").alias("nbr_label"))
-        )
-        stepped = (
-            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
-            .select(
-                labels["id"],
-                F.least(
-                    labels["label"], F.coalesce(F.col("nbr_label"), labels["label"])
-                ).alias("label"),
-                (
-                    F.coalesce(F.col("nbr_label"), labels["label"]) < labels["label"]
-                ).alias("__changed"),
-            )
-        )
-        stepped = _ckpt(stepped)
-        n_changed = stepped.filter(F.col("__changed")).count()
-        labels = stepped.drop("__changed")
-        if n_changed == 0:
-            converged = True
-            break
-    if not converged:
-        # Unconverged labels silently split components — a wrong answer,
-        # not a degraded one. Dedup graphs converge in a handful of
-        # rounds; hitting the cap means a pathological chain (or a bug)
-        # and must surface, not ship.
-        raise RuntimeError(
-            f"connected_components did not converge within max_iter={max_iter}; "
-            "raise max_iter (graph diameter exceeds it)"
+    if algorithm == "label_prop":
+        labels, _rounds = _label_prop_components(edges, _ckpt, max_iter)
+    elif algorithm == "two_phase_star":
+        labels, _rounds = _two_phase_star_components(edges, _ckpt, max_iter)
+    else:
+        raise ValueError(
+            f"algorithm must be 'label_prop' or 'two_phase_star', got {algorithm!r}"
         )
     w = Window.partitionBy("component_id")
     out = labels.select(

@@ -3687,6 +3687,24 @@ def dedup_components(spark, sf_dir):
     return dedup.connected_components(pairs)
 
 
+def _dedup_components_star(spark, sf_dir):
+    """dedup_components on the two_phase_star algorithm (round 6:
+    alternating large-star/small-star edge rewriting, O(log n) rounds
+    regardless of graph diameter — the rounds-reduction variant for
+    chain-shaped graphs; see ops/dedup.py). Same recursive-CTE oracle:
+    the algorithms must be value-identical, and the driver checks it."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.2)
+    return dedup.connected_components(pairs, algorithm="two_phase_star")
+
+
+REGISTRY["dedup_components_star"] = Query(
+    _dedup_components_star,
+    REGISTRY["dedup_components"].oracle,  # identical contract by design
+    eager_plan=True,
+)
+
+
 @register(
     "text_repetition",
     oracle=f"""

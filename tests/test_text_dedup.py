@@ -861,3 +861,93 @@ def test_decontam_prefilter_gates_ingest(spark, tmp_path):
     assert sorted(r.doc_id for r in dec.collect()) == [1, 3]
     corpus = spark.read.parquet(os.path.join(state, sdedup.DOCS_SUBDIR))
     assert sorted(r.doc_id for r in corpus.collect()) == [1, 3]
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_two_phase_star_matches_union_find(spark, edges):
+    """Property: the large-star/small-star variant agrees with the
+    reference union-find on membership and sizes — same contract as
+    label_prop (round-6 rounds-reduction experiment)."""
+    from lime_etl_spark.ops.dedup import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    nodes = {n for e in edges for n in e}
+    expected = {}
+    sizes = {}
+    for n in nodes:
+        root = find(n)
+        expected[n] = min(m for m in nodes if find(m) == root)
+    for n in nodes:
+        sizes[expected[n]] = sizes.get(expected[n], 0) + 1
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_a BIGINT, id_b BIGINT"
+    )
+    got = {
+        r["doc_id"]: (r["component_id"], r["component_size"])
+        for r in connected_components(pairs, algorithm="two_phase_star").collect()
+    }
+    assert got == {n: (expected[n], sizes[expected[n]]) for n in nodes}
+
+
+def test_two_phase_star_logarithmic_on_chains(spark):
+    """The motivating case: a 200-node path needs ~200 label_prop
+    rounds (raises at max_iter=50) but only O(log n) star rounds."""
+    from lime_etl_spark.ops.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a BIGINT, id_b BIGINT"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=50)
+    out = connected_components(chain, max_iter=50, algorithm="two_phase_star")
+    rows = out.collect()
+    assert {r["component_id"] for r in rows} == {0}
+    assert all(r["component_size"] == 201 for r in rows)
+    with pytest.raises(ValueError, match="algorithm"):
+        connected_components(chain, algorithm="bogus")
+
+
+def test_two_phase_star_reliable_checkpoint_parity(spark, tmp_path):
+    """The durable-materialization path works for the star variant too."""
+    from lime_etl_spark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "id_a BIGINT, id_b BIGINT"
+    )
+    local = sorted(
+        map(tuple, connected_components(pairs, algorithm="two_phase_star").collect())
+    )
+    durable = sorted(
+        map(
+            tuple,
+            connected_components(
+                pairs,
+                algorithm="two_phase_star",
+                reliable_checkpoint_dir=str(tmp_path / "ckpt"),
+            ).collect(),
+        )
+    )
+    assert local == durable
+    assert len(local) == 6
