@@ -123,7 +123,7 @@ def main() -> None:
                 # execute eagerly at plan construction, so their
                 # exec-only entry IS their fresh-plan warm time
                 "eager_plan_queries": [n for n, q in headline if q.eager_plan],
-                "runs_per_query": 5,
+                "runs_per_query": {"standard": 5, "eager_plan": 3},
                 "steady_state": "min of 2 warm runs",
             }
         )

@@ -170,6 +170,12 @@ def idempotent_reload(
     IS the delete-window semantics, done atomically per partition and
     safe to re-run after failure (same guarantee the reference's
     DELETE+COPY provides, without the cross-system transaction risk).
+    On object stores the per-partition swap is NOT atomic (rename =
+    copy+delete); the operative guarantee there is re-run convergence —
+    a torn partition (subset of part files + dead-attempt strays) is
+    pinned to converge to the clean state on re-run
+    (tests/test_objectstore_sim.py), and job-level atomicity needs the
+    S3A/magic committer (DEPLOYMENT.md round-6).
     """
     (
         df.write.mode("overwrite")
