@@ -390,11 +390,22 @@ def minhash_near_dups(
 
 def _label_prop_components(edges: DataFrame, ckpt, max_iter: int):
     """Min-label propagation over a fixed bidirectional edge list.
-    Returns ((id, label) labels, rounds). Rounds = graph diameter."""
+    Returns ((id, label) labels, rounds). Rounds = graph diameter.
+
+    The FIRST propagation step is fused into the label init: initial
+    labels are identities, so round 1's edges⋈labels join degenerates
+    to min-over-neighbors of the ids — one groupBy, no join. On
+    near-clique dedup graphs that converts the loop from 2 full rounds
+    (propagate + confirm) to 1 (confirm only): measured at sf0.1 and
+    sf1 open-vocab, −35%/−40% components wall, checksum-identical
+    labels across all interleaved A/B runs (SCALE.md round-6)."""
     labels = ckpt(
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("mn")).alias("label"),
+        )
     )
     for rounds in range(1, max_iter + 1):
         nbr_min = (
