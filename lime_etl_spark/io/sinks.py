@@ -199,20 +199,33 @@ def compact_parquet(
     footer overhead dominate reads. Compaction = one job: read,
     repartition to ceil(bytes/target) (range-clustered when
     ``cluster_by`` is given, so compaction also restores data-skipping
-    locality), write to a temp dir, atomic-ish swap. The swap is
-    rename-based — on object stores run it as copy+prune or compact
-    into a new prefix and flip the reader.
+    locality), write to a temp sibling, swap. All filesystem work goes
+    through the Hadoop FileSystem of ``path`` (round 6 — the
+    os.walk/shutil form silently worked only on local paths, the same
+    local-only defect class the r5 review caught in manifest IO), so
+    hdfs://, s3a:// and file:// all take the same code path.
+
+    The swap (delete old dir, rename tmp over it) is NOT atomic even
+    on HDFS — a reader racing the swap can see the directory missing,
+    and a crash between delete and rename leaves only the ``tmp``
+    sibling (data intact, re-runnable: compact again or rename by
+    hand). On object stores the rename itself is copy+delete. For a
+    zero-downtime flip at scale, compact into a NEW prefix and flip
+    the reader's pointer instead of swapping in place — this helper is
+    the maintenance-window form.
     """
     import math
-    import os
-    import shutil
 
-    total = sum(
-        os.path.getsize(os.path.join(dp, f))
-        for dp, _, fs in os.walk(path)
-        for f in fs
-        if f.endswith(".parquet")
-    )
+    from lime_etl_spark.io.fsutil import HadoopFS
+
+    hfs = HadoopFS(spark, path)
+    jpath = hfs._path_cls(path)
+    total = 0
+    it = hfs.fs.listFiles(jpath, True)  # recursive
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            total += st.getLen()
     n_files = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compacting"
@@ -220,8 +233,8 @@ def compact_parquet(
         write_parquet_clustered(df, tmp, cluster_by, n_files=n_files)
     else:
         df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    hfs.delete(path)
+    hfs.fs.rename(hfs._path_cls(tmp), jpath)  # directory move
     return n_files
 
 

@@ -373,3 +373,17 @@ def test_skew_report_and_stats(spark):
     # plan: one hash aggregate on the key, top-k via TakeOrdered
     plan = skew.key_histogram(df, ["k"])._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_compact_parquet_works_on_uri_paths(spark, tmp_path):
+    """Round 6: compaction must work on URI paths (hdfs://, s3a://,
+    file://) — the os.walk/shutil form silently worked only on bare
+    local paths, the same local-only defect class the r5 review caught
+    in manifest IO. file:// exercises the Hadoop FS code path."""
+    from lime_etl_spark.io.sinks import compact_parquet
+
+    path = str(tmp_path / "t")
+    spark.range(10000).repartition(8).write.parquet(path)
+    n = compact_parquet(spark, "file://" + path, target_bytes=1 << 30)
+    assert n == 1
+    assert spark.read.parquet(path).count() == 10000
