@@ -797,7 +797,9 @@ class IVFIndex:
             {
                 "version": 1,
                 "n_clusters": int(self.cents.shape[0]),
-                "dim": int(self.cents.shape[1]) if self.cents.size else 0,
+                # ndim, not size: an EMPTY index still has a (0, dim)
+                # matrix whose width must survive the round-trip
+                "dim": int(self.cents.shape[1]) if self.cents.ndim == 2 else 0,
                 "corpus_fingerprint": corpus_fingerprint,
             },
         )
@@ -864,6 +866,10 @@ def ivf_index_load(
         .collect()
     )  # bounded: k rows of dim doubles
     cents = np.array([r.centroid for r in cent_rows], dtype="float64")
+    if cents.size == 0:
+        # np.array([]) collapses to shape (0,); restore (0, dim) so a
+        # round-tripped empty index keeps the saved matrix shape
+        cents = cents.reshape(0, manifest.get("dim", 0))
     if len(cent_rows) != manifest["n_clusters"]:
         raise ValueError(
             f"IVF index at {path} is corrupt: manifest says "

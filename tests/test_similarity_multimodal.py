@@ -658,3 +658,40 @@ def test_ivf_index_load_refuses_stale_and_torn(spark, sf_dir, tmp_path):
         fh.write('{"version": 1, "n_clu')
     with pytest.raises(ValueError, match="IVF index manifest"):
         similarity.ivf_index_load(spark, str(tmp_path / "idx"))
+
+
+def test_round6_apis_on_degenerate_corpora(spark, tmp_path):
+    """The r5 degenerate-sweep ethos applied to the round-6 APIs:
+    empty and 1-vector corpora through index save/load, search, and
+    both calibrators — no crashes, NaN (never fabricated) recalls,
+    shape-faithful round-trips."""
+    import math
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    one = spark.createDataFrame([(1, [0.1] * 64)], "vec_id bigint, embedding array<double>")
+
+    # empty corpus: index trains to 0 cells, save/load keeps (0, 64)
+    idx = similarity.ivf_index(empty, dim=64)
+    assert idx.cents.shape == (0, 64)
+    d = str(tmp_path / "empty_idx")
+    idx.save(d)
+    loaded = similarity.ivf_index_load(spark, d)
+    assert loaded.cents.shape == (0, 64)
+
+    # 1-vector corpus: round-trip + search (self excluded -> 0 rows)
+    idx1 = similarity.ivf_index(one, dim=64, n_clusters=1)
+    fp = similarity.ivf_corpus_fingerprint(one)
+    d1 = str(tmp_path / "one_idx")
+    idx1.save(d1, corpus_fingerprint=fp)
+    l1 = similarity.ivf_index_load(spark, d1, expected_fingerprint=fp)
+    assert similarity.ivf_search(one, l1, k=5).count() == 0
+
+    # calibrators: zero ground truth (self-excluded singleton) -> NaN
+    p, depth, rec = similarity.calibrate_lsh(one, one, dim=64, target_recall=0.9)
+    assert math.isnan(rec) and p >= 1 and depth == 1
+    out = similarity.lsh_bucketed_topk(empty, empty, dim=64, target_recall=0.9)
+    assert out.count() == 0
+
+    # fingerprint of an empty corpus is stable and distinct
+    assert similarity.ivf_corpus_fingerprint(empty) == "0:None"
+    assert similarity.ivf_corpus_fingerprint(one) != "0:None"
