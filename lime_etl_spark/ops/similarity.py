@@ -1192,3 +1192,189 @@ def quantize_embeddings(
         ),
     )
     return df.withColumn("scale", scale).withColumn(out, q)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup — k-means cells, in-cell rank-based pruning (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def _semantic_ranked(
+    df: DataFrame,
+    dim: int,
+    n_clusters: int,
+    n_iter: int,
+    centroids,
+    keep: str,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared front half of both semantic_dedup variants: deterministic
+    k-means assignment plus a 9dp-rounded cosine-to-own-centroid column
+    (``cent_cos``) that defines the in-cluster pruning priority. The
+    centroid matrix rides a broadcast k-row frame; everything else is
+    JVM array math, so the ranking is SQL-oracle-reproducible."""
+    if keep not in ("farthest", "closest"):
+        raise ValueError(f"keep must be 'farthest' or 'closest', got {keep!r}")
+    spark = df.sparkSession
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else kmeans_centroids_embeddings(
+            df, dim, k=n_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        )
+    )
+    v = df.select(F.col(id_col).alias("__sid"), _to_double(F.col(vec_col)).alias("e"))
+    assigned = _assign_cluster(v, cents, "e")
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cluster int, ce array<double>",
+    )
+    j = assigned.join(F.broadcast(cdf), "cluster", "left")
+    cent_cos = F.round(
+        _dot(F.col("e"), F.col("ce")) / (_norm(F.col("e")) * _norm(F.col("ce"))), 9
+    )
+    return j.select("__sid", "e", "cluster", cent_cos.alias("cent_cos"))
+
+
+def _survivor_projection(ranked: DataFrame, id_col: str) -> DataFrame:
+    return ranked.select(
+        F.col("__sid").alias(id_col),
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.round(F.col("cent_cos"), 6).alias("cent_cos"),
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    n_clusters: int = 16,
+    threshold: float = 0.3,
+    n_iter: int = 5,
+    centroids=None,
+    keep: str = "farthest",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public):
+    cluster embeddings with deterministic k-means, then inside each
+    cluster drop every document that has ANY higher-priority neighbor
+    with cosine >= threshold. Priority = cosine to the cluster centroid
+    ascending for keep='farthest' (the paper's choice: redundant
+    near-centroid copies go, outliers stay; 'closest' inverts), ties by
+    id — fully deterministic, so both variants and the DuckDB oracle
+    agree row-for-row. Returns survivors (id, cluster, cent_cos 6dp).
+
+    Pruning is the paper's upper-triangular form, not a greedy chain:
+    a doc is dropped if any higher-ranked doc (kept or not) is within
+    threshold. Survivors are therefore pairwise < threshold inside a
+    cluster (if cos(a,b) >= t and rank a < b, b is gone) — pinned in
+    tests — and the rule is one anti-join, no iteration.
+
+    Scale: the self-join and the dedup are keyed on cluster — cost is
+    sum over cells of |cell|^2, the same regime as IVF search; grow
+    n_clusters with the corpus (recommended_n_clusters) and let AQE
+    skew-split a hot cell. No driver state beyond the k*dim centroid
+    matrix. Training is one Arrow pass + a (k*dim)-row shuffle per
+    iteration; pass ``centroids`` (e.g. a saved IVFIndex's ``cents``)
+    to skip it and reuse one clustering across corpus snapshots.
+
+    This JVM form materializes a row per candidate pair carrying both
+    vectors; ``semantic_dedup_arrow`` is the 100 TB shape (blocked
+    in-cell matmul, only dropped ids leave the kernel).
+    """
+    ranked = _semantic_ranked(
+        df, dim, n_clusters, n_iter, centroids, keep, id_col, vec_col
+    )
+    order = (
+        [F.col("cent_cos").asc(), F.col("__sid").asc()]
+        if keep == "farthest"
+        else [F.col("cent_cos").desc(), F.col("__sid").asc()]
+    )
+    rk = ranked.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("cluster").orderBy(*order))
+    )
+    a = rk.select("cluster", F.col("rk").alias("rk_a"), F.col("e").alias("ea"))
+    b = rk.select(
+        "cluster",
+        F.col("rk").alias("rk_b"),
+        F.col("__sid").alias("id_b"),
+        F.col("e").alias("eb"),
+    )
+    cos = F.round(
+        _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("rk_a") < F.col("rk_b"))
+        .filter(cos >= F.lit(threshold))
+        .select("id_b")
+        .distinct()
+    )
+    survivors = ranked.join(
+        dropped, ranked["__sid"] == dropped["id_b"], "left_anti"
+    )
+    return _survivor_projection(survivors, id_col)
+
+
+def semantic_dedup_arrow(
+    df: DataFrame,
+    dim: int,
+    n_clusters: int = 16,
+    threshold: float = 0.3,
+    n_iter: int = 5,
+    centroids=None,
+    keep: str = "farthest",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_block_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Arrow twin of semantic_dedup — identical semantics (bit-parity
+    pinned in tests), one grouped applyInPandas per k-means cell: sort
+    the cell by priority, blocked normalized matmul, mark any column
+    with an over-threshold upper-triangular hit, emit survivors only.
+
+    Why this is the 100 TB shape (same argument as the bucketed
+    embedding kernel): the JVM form shuffles a row per candidate pair
+    carrying BOTH vectors; here only the cell's vectors move, the
+    score matrix lives in the kernel at BLAS throughput and is blocked
+    under ``score_block_bytes`` so an oversized cell degrades to more
+    blocks instead of OOM. One cell must fit in one task — the same
+    bound the pair join already implies; grow n_clusters with the
+    corpus."""
+    thr = float(threshold)
+    blk_bytes = int(score_block_bytes)
+    asc = keep == "farthest"  # validated (with `keep` itself) in _semantic_ranked
+    ranked = _semantic_ranked(
+        df, dim, n_clusters, n_iter, centroids, keep, id_col, vec_col
+    )
+
+    def kernel(pdf):
+        empty = pd.DataFrame({"__sid": [], "cluster": [], "cent_cos": []}).astype(
+            {"__sid": "int64", "cluster": "int32", "cent_cos": "float64"}
+        )
+        if pdf.empty:
+            return empty
+        pdf = pdf.sort_values(
+            ["cent_cos", "__sid"], ascending=[asc, True], kind="mergesort"
+        ).reset_index(drop=True)
+        X = np.array(pdf["e"].tolist(), dtype=np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        n = len(pdf)
+        idx = np.arange(n)
+        drop = np.zeros(n, dtype=bool)
+        blk = max(1, blk_bytes // (8 * n))
+        for lo in range(0, n, blk):
+            m = Xn[lo : lo + blk] @ Xn.T
+            # half-away-from-zero at 6dp == F.round (inlined by value)
+            scores = np.sign(m) * np.floor(np.abs(m) * 1e6 + 0.5) / 1e6
+            drop |= ((scores >= thr) & (idx[lo : lo + blk, None] < idx[None, :])).any(
+                axis=0
+            )
+        out = pdf.loc[~drop, ["__sid", "cluster", "cent_cos"]]
+        return out if len(out) else empty
+
+    survivors = ranked.groupBy("cluster").applyInPandas(
+        kernel, "__sid bigint, cluster int, cent_cos double"
+    )
+    return _survivor_projection(survivors, id_col)

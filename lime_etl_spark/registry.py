@@ -2916,17 +2916,18 @@ def ordered_registry() -> dict[str, Query]:
     return out
 
 
-def _ivf_oracle(n_iter: int = 5, n_clusters: int = 16, nprobe: int = 4, k: int = 5) -> str:
-    """SQL twin of similarity.ivf_topk(dim=64, k=5, n_clusters=16,
-    nprobe=4, n_iter=5). The 'iterative training is not SQL-expressible'
-    claim from round 2 was wrong for a FIXED iteration count: Lloyd's
-    with deterministic init (k lowest-id vectors) unrolls into n_iter
-    chained CTE rounds of assignment (argmax 9dp-rounded cosine, ties →
-    lowest cluster — both engines round half-away and the numpy paths
-    now round before argmax/argsort) and per-dim means (round(avg, 9),
-    empty clusters carrying the previous centroid forward). Search is
-    then probe-top-nprobe + in-cell exact cosine, same as the LSH
-    oracle."""
+def _kmeans_assign_ctes(n_iter: int = 5, n_clusters: int = 16) -> list[str]:
+    """Shared CTE chain replicating similarity.kmeans_centroids_embeddings
+    + final assignment: Lloyd's with deterministic init (k lowest-id
+    vectors) unrolled into n_iter rounds of assignment (argmax
+    9dp-rounded cosine, ties → lowest cluster — both engines round
+    half-away and the numpy paths round before argmax/argsort) and
+    per-dim means (round(avg, 9), empty clusters carrying the previous
+    centroid forward). Ends with ``rF`` (per-vector cluster ranking by
+    final-centroid cosine; r = 1 is the assignment), plus ``v``,
+    ``norms``, ``cnF`` (final centroid norms), and ``dF`` (vec x
+    centroid dots) for downstream reuse. Composed by _ivf_oracle and
+    _semantic_dedup_oracle."""
     parts = [
         """v AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
                FROM embeddings)""",
@@ -2987,6 +2988,17 @@ def _ivf_oracle(n_iter: int = 5, n_clusters: int = 16, nprobe: int = 4, k: int =
       FROM dF d
       JOIN norms nv ON nv.vec_id = d.vec_id
       JOIN cnF cn ON cn.cluster = d.cluster)""")
+    return parts
+
+
+def _ivf_oracle(n_iter: int = 5, n_clusters: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    """SQL twin of similarity.ivf_topk(dim=64, k=5, n_clusters=16,
+    nprobe=4, n_iter=5). The 'iterative training is not SQL-expressible'
+    claim from round 2 was wrong for a FIXED iteration count — the
+    unrolled training chain lives in _kmeans_assign_ctes (shared with
+    the semantic-dedup oracle). Search is then probe-top-nprobe +
+    in-cell exact cosine, same as the LSH oracle."""
+    parts = _kmeans_assign_ctes(n_iter, n_clusters)
     parts.append("""cand AS MATERIALIZED (SELECT vec_id AS neighbor_id, cluster FROM rF WHERE r = 1)""")
     parts.append(f"""qp AS MATERIALIZED (
       SELECT vec_id AS query_id, cluster FROM rF
@@ -3019,7 +3031,12 @@ def _ivf_oracle(n_iter: int = 5, n_clusters: int = 16, nprobe: int = 4, k: int =
     """
 
 
-@register("ann_ivf_topk", oracle=_ivf_oracle())
+@register(
+    "ann_ivf_topk",
+    oracle=_ivf_oracle(),
+    # k-means training collects per-iteration means at plan-construction
+    eager_plan=True,
+)
 def ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (similarity.ivf_topk): deterministic
     k-means cells (init = lowest-id vectors, argmax of 9dp-rounded
@@ -3033,6 +3050,88 @@ def ann_ivf_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 32)
     out = similarity.ivf_topk(queries, emb, dim=64, k=5, n_clusters=16, nprobe=4)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def _semantic_dedup_oracle(
+    n_iter: int = 5, n_clusters: int = 16, threshold: float = 0.3
+) -> str:
+    """SQL twin of similarity.semantic_dedup(dim=64, n_clusters=16,
+    threshold=0.3, n_iter=5, keep='farthest'): the unrolled k-means
+    chain (_kmeans_assign_ctes) yields the assignment; cent_cos is the
+    9dp-rounded cosine to the OWN final centroid (dF already holds the
+    dots); priority = row_number per cluster by (cent_cos ASC, vec_id);
+    a doc is dropped when ANY higher-priority in-cluster doc is within
+    the 6dp-rounded cosine threshold (SemDeDup's upper-triangular rule
+    — one anti-join, no recursion); survivors project cent_cos at 6dp
+    to keep the hashed output away from 1-ulp accumulation noise."""
+    parts = _kmeans_assign_ctes(n_iter, n_clusters)
+    parts.append("""asg AS MATERIALIZED (SELECT vec_id, cluster FROM rF WHERE r = 1)""")
+    parts.append("""centc AS MATERIALIZED (
+      SELECT d.vec_id, d.cluster,
+             round(d.dot / (nv.nrm * cn.cnrm), 9) AS cent_cos
+      FROM dF d
+      JOIN asg a ON a.vec_id = d.vec_id AND a.cluster = d.cluster
+      JOIN norms nv ON nv.vec_id = d.vec_id
+      JOIN cnF cn ON cn.cluster = d.cluster)""")
+    parts.append("""rk AS MATERIALIZED (
+      SELECT vec_id, cluster, cent_cos,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY cent_cos ASC, vec_id) AS rk
+      FROM centc)""")
+    parts.append("""cpairs AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM rk a JOIN rk b ON a.cluster = b.cluster AND a.rk < b.rk)""")
+    parts.append("""cdots AS MATERIALIZED (
+      SELECT id_a, id_b, sum(ae[i] * be[i]) AS dot
+      FROM (SELECT p.id_a, p.id_b, va.e AS ae, vb.e AS be,
+                   unnest(range(1, 65)) AS i
+            FROM cpairs p
+            JOIN v va ON va.vec_id = p.id_a
+            JOIN v vb ON vb.vec_id = p.id_b)
+      GROUP BY id_a, id_b)""")
+    parts.append(f"""dropped AS MATERIALIZED (
+      SELECT DISTINCT id_b FROM cdots
+      JOIN norms na ON na.vec_id = id_a
+      JOIN norms nb ON nb.vec_id = id_b
+      WHERE round(dot / (na.nrm * nb.nrm), 6) >= {threshold})""")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT r.vec_id, r.cluster::BIGINT AS cluster,
+           round(r.cent_cos, 6) AS cent_cos
+    FROM rk r LEFT JOIN dropped d ON d.id_b = r.vec_id
+    WHERE d.id_b IS NULL
+    """
+
+
+@register(
+    "dedup_semantic",
+    oracle=_semantic_dedup_oracle(),
+    # k-means training collects per-iteration means at plan-construction
+    eager_plan=True,
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): deterministic
+    k-means cells over the embedding column, then inside each cell drop
+    every vector with ANY higher-priority neighbor at cosine >= 0.3,
+    priority = distance-from-centroid (farthest kept first — redundant
+    near-centroid copies go, outliers stay). The fifth dedup modality
+    of the north star (exact / ngram / minhash / simhash / embedding
+    -pair), and the first that dedups on MEANING rather than surface
+    form. No reference counterpart (the reference has no vector ops);
+    fully oracled because training, assignment, ranking, and the
+    upper-triangular prune are all deterministic and unroll to SQL.
+
+    Runs the Arrow form (one blocked normalized matmul per cell in a
+    grouped applyInPandas; only survivors leave the kernel) — the JVM
+    pair-join form is its bit-parity semantics twin, pinned in
+    tests/test_similarity_multimodal.py. Scale is the IVF regime:
+    cluster-keyed work, sum over cells of |cell|^2, n_clusters grows
+    with the corpus."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_arrow(
+        emb, dim=64, n_clusters=16, threshold=0.3, n_iter=5
+    )
 
 
 # ===========================================================================

@@ -695,3 +695,76 @@ def test_round6_apis_on_degenerate_corpora(spark, tmp_path):
     # fingerprint of an empty corpus is stable and distinct
     assert similarity.ivf_corpus_fingerprint(empty) == "0:None"
     assert similarity.ivf_corpus_fingerprint(one) != "0:None"
+
+
+def test_semantic_dedup_jvm_arrow_parity_and_invariants(spark, sf_dir):
+    """The fifth dedup modality: JVM pair-join form and Arrow blocked
+    -matmul form are row-identical; survivors are pairwise below the
+    threshold inside each cluster (the upper-triangular rule's defining
+    invariant); every dropped doc has a surviving or higher-priority
+    witness >= threshold (nothing dropped without cause)."""
+    import itertools
+
+    import numpy as np
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    kw = dict(dim=64, n_clusters=16, threshold=0.3, n_iter=5)
+    jvm = sorted(map(tuple, similarity.semantic_dedup(emb, **kw).collect()))
+    arrow = sorted(map(tuple, similarity.semantic_dedup_arrow(emb, **kw).collect()))
+    assert jvm == arrow and 0 < len(jvm) < emb.count()
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+
+    def cos6(a, b):
+        c = float(vecs[a] @ vecs[b]) / (
+            np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])
+        )
+        return np.sign(c) * np.floor(abs(c) * 1e6 + 0.5) / 1e6
+
+    by_cluster = {}
+    for vid, cl, _ in jvm:
+        by_cluster.setdefault(cl, []).append(vid)
+    for members in by_cluster.values():
+        for a, b in itertools.combinations(members, 2):
+            assert cos6(a, b) < 0.3, (a, b)
+
+
+def test_semantic_dedup_keep_and_threshold_knobs(spark, sf_dir):
+    """threshold > 1 keeps everything (cosine caps at 1); threshold -1
+    keeps exactly one doc per non-empty cluster; keep='closest' prefers
+    the near-centroid doc where 'farthest' prefers the outlier; a bad
+    keep raises before any job runs."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    keep_all = similarity.semantic_dedup(emb, dim=64, threshold=1.01)
+    assert keep_all.count() == n
+
+    one_per = similarity.semantic_dedup(emb, dim=64, threshold=-1.0).collect()
+    assert len(one_per) == len({r.cluster for r in one_per})
+
+    far = similarity.semantic_dedup(emb, dim=64, threshold=-1.0, keep="farthest")
+    near = similarity.semantic_dedup(emb, dim=64, threshold=-1.0, keep="closest")
+    fc = {r.cluster: r.cent_cos for r in far.collect()}
+    nc = {r.cluster: r.cent_cos for r in near.collect()}
+    assert set(fc) == set(nc)
+    assert all(fc[c] <= nc[c] for c in fc) and any(fc[c] < nc[c] for c in fc)
+
+    with pytest.raises(ValueError, match="keep"):
+        similarity.semantic_dedup(emb, dim=64, keep="middle")
+
+
+def test_semantic_dedup_pretrained_centroids_match_training(spark, sf_dir):
+    """centroids= (the IVFIndex reuse path: train once, dedup many
+    snapshots) reproduces the in-line-training result exactly, for both
+    variants — including through an index save/load round-trip."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    trained = sorted(
+        map(tuple, similarity.semantic_dedup(emb, dim=64, threshold=0.3).collect())
+    )
+    idx = similarity.ivf_index(emb, dim=64, n_clusters=16)
+    reused = similarity.semantic_dedup(emb, dim=64, centroids=idx.cents, threshold=0.3)
+    assert sorted(map(tuple, reused.collect())) == trained
+    arrow = similarity.semantic_dedup_arrow(
+        emb, dim=64, centroids=idx.cents, threshold=0.3
+    )
+    assert sorted(map(tuple, arrow.collect())) == trained
