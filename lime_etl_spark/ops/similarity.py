@@ -1217,13 +1217,18 @@ def _semantic_ranked(
     if keep not in ("farthest", "closest"):
         raise ValueError(f"keep must be 'farthest' or 'closest', got {keep!r}")
     spark = df.sparkSession
-    cents = (
-        np.asarray(centroids, dtype=np.float64)
-        if centroids is not None
-        else kmeans_centroids_embeddings(
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+    else:
+        if n_clusters is None:
+            # same sizing rule as ivf_index: cells shrink with the
+            # corpus so in-cell pair work stays ~n*budget, not n^2
+            # (max(1,·): empty corpus -> min_clusters, not ValueError;
+            # the count makes construction eager, as in ivf_index)
+            n_clusters = recommended_n_clusters(max(1, df.count()))
+        cents = kmeans_centroids_embeddings(
             df, dim, k=n_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col
         )
-    )
     v = df.select(F.col(id_col).alias("__sid"), _to_double(F.col(vec_col)).alias("e"))
     assigned = _assign_cluster(v, cents, "e")
     cdf = spark.createDataFrame(
@@ -1248,7 +1253,7 @@ def _survivor_projection(ranked: DataFrame, id_col: str) -> DataFrame:
 def semantic_dedup(
     df: DataFrame,
     dim: int,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     threshold: float = 0.3,
     n_iter: int = 5,
     centroids=None,
@@ -1278,6 +1283,10 @@ def semantic_dedup(
     matrix. Training is one Arrow pass + a (k*dim)-row shuffle per
     iteration; pass ``centroids`` (e.g. a saved IVFIndex's ``cents``)
     to skip it and reuse one clustering across corpus snapshots.
+    n_clusters=None (default) sizes cells from the corpus count via
+    recommended_n_clusters — the safe default at scale (a fixed k on a
+    growing corpus re-grows the quadratic in-cell term); like
+    ivf_index this adds one eager count at construction.
 
     This JVM form materializes a row per candidate pair carrying both
     vectors; ``semantic_dedup_arrow`` is the 100 TB shape (blocked
@@ -1320,7 +1329,7 @@ def semantic_dedup(
 def semantic_dedup_arrow(
     df: DataFrame,
     dim: int,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     threshold: float = 0.3,
     n_iter: int = 5,
     centroids=None,

@@ -759,7 +759,12 @@ def test_semantic_dedup_pretrained_centroids_match_training(spark, sf_dir):
     variants — including through an index save/load round-trip."""
     emb = read_table(spark, sf_dir, "embeddings")
     trained = sorted(
-        map(tuple, similarity.semantic_dedup(emb, dim=64, threshold=0.3).collect())
+        map(
+            tuple,
+            similarity.semantic_dedup(
+                emb, dim=64, n_clusters=16, threshold=0.3
+            ).collect(),
+        )
     )
     idx = similarity.ivf_index(emb, dim=64, n_clusters=16)
     reused = similarity.semantic_dedup(emb, dim=64, centroids=idx.cents, threshold=0.3)
