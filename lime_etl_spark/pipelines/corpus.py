@@ -85,6 +85,36 @@ def _stage_survivors(kept: DataFrame, jaccard_threshold: float) -> DataFrame:
     return kept.join(dropped, "doc_id", "left_anti")
 
 
+def _stage_semantic(
+    spark: SparkSession,
+    sf_dir: str,
+    survivors: DataFrame,
+    threshold: float,
+    dim: int,
+) -> DataFrame:
+    """Optional stage 2.5: semantic dedup (SemDeDup) over the
+    ``embeddings`` rows of the text-dedup survivors — surface-form
+    dedup (stage 2) cannot see a paraphrased duplicate; this stage
+    drops documents whose MEANING duplicates a higher-priority
+    survivor in the same k-means cell. Cells auto-size from the
+    surviving corpus (recommended_n_clusters), so in-cell pair work
+    stays ~n·budget. Documents without an embedding row are KEPT —
+    no evidence is never grounds to drop."""
+    from lime_etl_spark.ops import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cand = emb.join(
+        survivors.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    kept_ids = similarity.semantic_dedup_arrow(cand, dim=dim, threshold=threshold)
+    dropped = cand.select("vec_id").join(
+        kept_ids.select("vec_id"), "vec_id", "left_anti"
+    )
+    return survivors.join(
+        dropped.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_anti"
+    )
+
+
 def _stage_clean(survivors: DataFrame) -> DataFrame:
     """Stages 3+4: span-level boilerplate removal, then redaction."""
     spans = text.span_dedup(survivors)
@@ -131,28 +161,37 @@ def prepare_training_corpus(
     jaccard_threshold: float = 0.5,
     train_pct: int = 90,
     salt: str = "corpus-v1",
+    semantic_threshold: "float | None" = None,
+    embedding_dim: int = 64,
 ) -> dict[str, int]:
     """Run the full preparation pipeline over ``sf_dir``/documents and
     write train (packed) + eval (raw) parquet under ``out_dir``.
 
-    Returns stage counts: total -> after_filter -> after_near_dedup,
-    plus split sizes and packed-bin count. Deterministic end to end
-    (hash splits, fixed salts, canonical-min survivors) — re-running
-    yields byte-identical artifacts.
+    Returns stage counts: total -> after_filter -> after_near_dedup
+    (-> after_semantic when ``semantic_threshold`` is set — the
+    optional SemDeDup stage over ``sf_dir``/embeddings, see
+    ``_stage_semantic``), plus split sizes and packed-bin count.
+    Deterministic end to end (hash splits, fixed salts, canonical-min
+    survivors, deterministic k-means) — re-running yields
+    byte-identical artifacts.
     """
     docs, n_total = _stage_input_checked(spark, sf_dir)
     kept = _stage_filtered(docs)
     n_filtered = kept.count()
     survivors = _stage_survivors(kept, jaccard_threshold)
     n_deduped = survivors.count()
-    clean = _stage_clean(survivors)
-    counts = _finalize(spark, clean, out_dir, budget, train_pct, salt)
-    return {
+    counts = {
         "n_total": n_total,
         "n_after_filter": n_filtered,
         "n_after_near_dedup": n_deduped,
-        **counts,
     }
+    if semantic_threshold is not None:
+        survivors = _stage_semantic(
+            spark, sf_dir, survivors, semantic_threshold, embedding_dim
+        )
+        counts["n_after_semantic"] = survivors.count()
+    clean = _stage_clean(survivors)
+    return {**counts, **_finalize(spark, clean, out_dir, budget, train_pct, salt)}
 
 
 # ---------------------------------------------------------------------------
@@ -233,10 +272,13 @@ def prepare_training_corpus_resumable(
     salt: str = "corpus-v1",
     stop_after: "str | None" = None,
     stage_fs: "HadoopFS | None" = None,
+    semantic_threshold: "float | None" = None,
+    embedding_dim: int = 64,
 ) -> dict:
     """``prepare_training_corpus`` with per-stage restartability.
 
-    The three expensive stages (``filtered``, ``survivors``, ``clean``)
+    The expensive stages (``filtered``, ``survivors``, optionally
+    ``semantic`` when ``semantic_threshold`` is set, ``clean``)
     are materialized under ``out_dir``/_stages/<name> with a manifest
     published only after the parquet is fully written. A re-run with
     the same parameters loads completed stages (manifest fingerprint
@@ -273,9 +315,11 @@ def prepare_training_corpus_resumable(
     point of the publish window resumes to artifacts identical to an
     uninterrupted run).
     """
-    valid_stops = (None, "filtered", "survivors", "clean")
+    valid_stops = (None, "filtered", "survivors", "semantic", "clean")
     if stop_after not in valid_stops:
         raise ValueError(f"stop_after must be one of {valid_stops[1:]}, got {stop_after!r}")
+    if stop_after == "semantic" and semantic_threshold is None:
+        raise ValueError("stop_after='semantic' requires semantic_threshold")
     stages_root = out_dir.rstrip("/") + "/_stages"
     sfs = stage_fs if stage_fs is not None else HadoopFS(spark, out_dir)
     sfs.mkdirs(stages_root)
@@ -316,7 +360,36 @@ def prepare_training_corpus_resumable(
     if stop_after == "survivors":
         return {**counts, "stages_reused": reused, "stages_computed": computed}
 
-    fp_clean = _fingerprint("clean", {}, fp_survivors)
+    # Optional SemDeDup stage: chained AFTER survivors, so toggling or
+    # re-thresholding it invalidates semantic+clean but reuses the
+    # expensive text-dedup stages; with it off the clean fingerprint is
+    # byte-identical to the pre-round-6 chain (old stage dirs resume).
+    fp_upstream = fp_survivors
+    if semantic_threshold is not None:
+        fp_semantic = _fingerprint(
+            "semantic",
+            {"semantic_threshold": semantic_threshold, "embedding_dim": embedding_dim},
+            fp_survivors,
+        )
+        d_semantic = stages_root + "/semantic"
+        loaded = _try_load_stage(spark, sfs, d_semantic, fp_semantic)
+        if loaded is None:
+            survivors, m = _materialize_stage(
+                _stage_semantic(
+                    spark, sf_dir, survivors, semantic_threshold, embedding_dim
+                ),
+                sfs, d_semantic, fp_semantic,
+            )
+            computed.append("semantic")
+        else:
+            survivors, m = loaded
+            reused.append("semantic")
+        counts["n_after_semantic"] = int(m["rows"])
+        fp_upstream = fp_semantic
+        if stop_after == "semantic":
+            return {**counts, "stages_reused": reused, "stages_computed": computed}
+
+    fp_clean = _fingerprint("clean", {}, fp_upstream)
     d_clean = stages_root + "/clean"
     loaded = _try_load_stage(spark, sfs, d_clean, fp_clean)
     if loaded is None:

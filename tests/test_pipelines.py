@@ -260,3 +260,67 @@ def test_corpus_resumable_on_uri_path(spark, sf_dir, tmp_path):
     r2 = prepare_training_corpus_resumable(spark, sf_dir, out, stop_after="filtered")
     assert r2["stages_reused"] == ["filtered"]
     assert r2["n_total"] == r1["n_total"] and r2["n_after_filter"] == r1["n_after_filter"]
+
+
+def test_corpus_semantic_stage_oneshot_and_resumable(spark, sf_dir, tmp_path):
+    """The optional SemDeDup stage: drops semantically-duplicate docs
+    beyond what surface-form dedup caught, stays deterministic, and in
+    the resumable form chains fingerprints so (a) a resume reuses it,
+    (b) re-thresholding recomputes ONLY semantic+clean, and (c) leaving
+    it off keeps the pre-round-6 fingerprint chain (old stage dirs
+    still resume)."""
+    from lime_etl_spark.pipelines.corpus import (
+        prepare_training_corpus,
+        prepare_training_corpus_resumable,
+    )
+
+    out = str(tmp_path / "sem")
+    c = prepare_training_corpus(
+        spark, sf_dir, out, budget=256, semantic_threshold=0.3
+    )
+    assert c["n_after_near_dedup"] >= c["n_after_semantic"] > 0
+    assert c["n_train_docs"] + c["n_eval_docs"] == c["n_after_semantic"]
+    # deterministic
+    c2 = prepare_training_corpus(
+        spark, sf_dir, str(tmp_path / "sem2"), budget=256, semantic_threshold=0.3
+    )
+    assert c2 == c
+
+    # resumable: die after semantic, resume computes only clean
+    rout = str(tmp_path / "rsem")
+    partial = prepare_training_corpus_resumable(
+        spark, sf_dir, rout, budget=256, semantic_threshold=0.3,
+        stop_after="semantic",
+    )
+    assert partial["stages_computed"] == ["filtered", "survivors", "semantic"]
+    full = prepare_training_corpus_resumable(
+        spark, sf_dir, rout, budget=256, semantic_threshold=0.3
+    )
+    assert full["stages_reused"] == ["filtered", "survivors", "semantic"]
+    assert full["stages_computed"] == ["clean"]
+    for k in c:
+        assert full[k] == c[k], (k, full[k], c[k])
+
+    # re-thresholding invalidates semantic+clean, reuses text stages
+    re_thr = prepare_training_corpus_resumable(
+        spark, sf_dir, rout, budget=256, semantic_threshold=0.5
+    )
+    assert re_thr["stages_reused"] == ["filtered", "survivors"]
+    assert re_thr["stages_computed"] == ["semantic", "clean"]
+    assert re_thr["n_after_semantic"] >= full["n_after_semantic"]
+
+    # semantic off on the same out_dir: clean's upstream fingerprint is
+    # the pre-semantic chain, so text stages still resume and clean
+    # recomputes from survivors (threshold-0.5 clean doesn't match)
+    off = prepare_training_corpus_resumable(spark, sf_dir, rout, budget=256)
+    assert off["stages_reused"] == ["filtered", "survivors"]
+    assert off["stages_computed"] == ["clean"]
+    assert "n_after_semantic" not in off
+
+    # stop_after='semantic' without the stage enabled is a loud error
+    import pytest
+
+    with pytest.raises(ValueError, match="semantic_threshold"):
+        prepare_training_corpus_resumable(
+            spark, sf_dir, str(tmp_path / "x"), stop_after="semantic"
+        )
