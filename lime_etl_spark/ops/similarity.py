@@ -41,6 +41,15 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def _gnorm(a: Column) -> Column:
+    """Zero-guarded norm for cosine denominators: matches the Arrow
+    kernels' ``np.maximum(norm, 1e-300)``, so an all-zero vector gets
+    cosine 0 (dot is 0) instead of NULL — NULL breaks JVM/Arrow parity
+    because Spark window ASC sorts NULLs first while pandas sort_values
+    puts NaN last."""
+    return F.greatest(_norm(a), F.lit(1e-300))
+
+
 def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> DataFrame:
     return df.withColumn(out, F.round(_norm(_to_double(F.col(vec_col))), 6))
 
@@ -79,7 +88,7 @@ def cosine_topk(
             "neighbor_id",
             F.round(
                 _dot(F.col("qv"), F.col("cv"))
-                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                / (_gnorm(F.col("qv")) * _gnorm(F.col("cv"))),
                 6,
             ).alias("score"),
         )
@@ -290,7 +299,7 @@ def lsh_bucketed_topk(
             "neighbor_id",
             F.round(
                 _dot(F.col("qv"), F.col("cv"))
-                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                / (_gnorm(F.col("qv")) * _gnorm(F.col("cv"))),
                 6,
             ).alias("score"),
         )
@@ -533,7 +542,7 @@ def embedding_near_dup_bucketed(
     )
     pairs = a_side.join(b_side, "bucket").filter(F.col("id_a") < F.col("id_b"))
     cos = F.round(
-        _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6
+        _dot(F.col("ea"), F.col("eb")) / (_gnorm(F.col("ea")) * _gnorm(F.col("eb"))), 6
     )
     return (
         pairs.select("id_a", "id_b", cos.alias("cosine"))
@@ -957,7 +966,7 @@ def ivf_search(
             "neighbor_id",
             F.round(
                 _dot(F.col("qv"), F.col("cv"))
-                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                / (_gnorm(F.col("qv")) * _gnorm(F.col("cv"))),
                 6,
             ).alias("score"),
         )
@@ -1237,7 +1246,7 @@ def _semantic_ranked(
     )
     j = assigned.join(F.broadcast(cdf), "cluster", "left")
     cent_cos = F.round(
-        _dot(F.col("e"), F.col("ce")) / (_norm(F.col("e")) * _norm(F.col("ce"))), 9
+        _dot(F.col("e"), F.col("ce")) / (_gnorm(F.col("e")) * _gnorm(F.col("ce"))), 9
     )
     return j.select("__sid", "e", "cluster", cent_cos.alias("cent_cos"))
 
@@ -1311,7 +1320,7 @@ def semantic_dedup(
         F.col("e").alias("eb"),
     )
     cos = F.round(
-        _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6
+        _dot(F.col("ea"), F.col("eb")) / (_gnorm(F.col("ea")) * _gnorm(F.col("eb"))), 6
     )
     dropped = (
         a.join(b, "cluster")
@@ -1359,11 +1368,11 @@ def semantic_dedup_arrow(
     )
 
     def kernel(pdf):
-        empty = pd.DataFrame({"__sid": [], "cluster": [], "cent_cos": []}).astype(
-            {"__sid": "int64", "cluster": "int32", "cent_cos": "float64"}
-        )
+        # slicing the incoming frame (even when empty) keeps the Arrow
+        # dtypes, so any id type the JVM twin accepts works here too
+        cols = ["__sid", "cluster", "cent_cos"]
         if pdf.empty:
-            return empty
+            return pdf.loc[[], cols]
         pdf = pdf.sort_values(
             ["cent_cos", "__sid"], ascending=[asc, True], kind="mergesort"
         ).reset_index(drop=True)
@@ -1380,10 +1389,10 @@ def semantic_dedup_arrow(
             drop |= ((scores >= thr) & (idx[lo : lo + blk, None] < idx[None, :])).any(
                 axis=0
             )
-        out = pdf.loc[~drop, ["__sid", "cluster", "cent_cos"]]
-        return out if len(out) else empty
+        return pdf.loc[~drop, cols]
 
+    sid_type = ranked.schema["__sid"].dataType.simpleString()
     survivors = ranked.groupBy("cluster").applyInPandas(
-        kernel, "__sid bigint, cluster int, cent_cos double"
+        kernel, f"__sid {sid_type}, cluster int, cent_cos double"
     )
     return _survivor_projection(survivors, id_col)

@@ -99,20 +99,50 @@ def _stage_semantic(
     survivor in the same k-means cell. Cells auto-size from the
     surviving corpus (recommended_n_clusters), so in-cell pair work
     stays ~n·budget. Documents without an embedding row are KEPT —
-    no evidence is never grounds to drop."""
+    no evidence is never grounds to drop.
+
+    Returns ``(result, cand)`` where ``cand`` is the CACHED
+    survivors⋈embeddings frame: k-means training makes ~7 eager passes
+    over it (cell-sizing count, init collect, one assignment+means pass
+    per Lloyd iteration) which would otherwise each re-execute the full
+    upstream filter+dedup lineage in the one-shot pipeline. The caller
+    unpersists it once the stage output has been consumed.
+
+    The cached pass doubles as this stage's input contract: a
+    duplicated vec_id pair has cosine 1.0, so the lower-priority copy
+    of a UNIQUE document would land in the drop set and the anti-join
+    below would silently delete that document — the stage-0 discipline
+    (refuse identity-corrupting input) applies to this stage's identity
+    column too, checked on the joined frame so only duplicates that can
+    actually corrupt the output are scanned for. A NULL vec_id cannot
+    reach ``cand`` (the semi-join drops null keys), so uniqueness is
+    the one rule needed; its scan also returns the count that sizes
+    the k-means cells (same recommended_n_clusters rule the operator's
+    auto-sizing applies)."""
     from lime_etl_spark.ops import similarity
 
     emb = read_table(spark, sf_dir, "embeddings")
     cand = emb.join(
         survivors.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
-    )
-    kept_ids = similarity.semantic_dedup_arrow(cand, dim=dim, threshold=threshold)
+    ).cache()
+    try:
+        n = quality.gate(cand, [quality.unique("vec_id")], with_row_count=True)
+        kept_ids = similarity.semantic_dedup_arrow(
+            cand,
+            dim=dim,
+            threshold=threshold,
+            n_clusters=similarity.recommended_n_clusters(max(1, n)),
+        )
+    except Exception:
+        cand.unpersist()
+        raise
     dropped = cand.select("vec_id").join(
         kept_ids.select("vec_id"), "vec_id", "left_anti"
     )
-    return survivors.join(
+    result = survivors.join(
         dropped.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_anti"
     )
+    return result, cand
 
 
 def _stage_clean(survivors: DataFrame) -> DataFrame:
@@ -185,13 +215,18 @@ def prepare_training_corpus(
         "n_after_filter": n_filtered,
         "n_after_near_dedup": n_deduped,
     }
+    sem_cand = None
     if semantic_threshold is not None:
-        survivors = _stage_semantic(
+        survivors, sem_cand = _stage_semantic(
             spark, sf_dir, survivors, semantic_threshold, embedding_dim
         )
         counts["n_after_semantic"] = survivors.count()
     clean = _stage_clean(survivors)
-    return {**counts, **_finalize(spark, clean, out_dir, budget, train_pct, salt)}
+    final = _finalize(spark, clean, out_dir, budget, train_pct, salt)
+    if sem_cand is not None:
+        # every action that reads the semantic stage has run
+        sem_cand.unpersist()
+    return {**counts, **final}
 
 
 # ---------------------------------------------------------------------------
@@ -374,12 +409,14 @@ def prepare_training_corpus_resumable(
         d_semantic = stages_root + "/semantic"
         loaded = _try_load_stage(spark, sfs, d_semantic, fp_semantic)
         if loaded is None:
-            survivors, m = _materialize_stage(
-                _stage_semantic(
-                    spark, sf_dir, survivors, semantic_threshold, embedding_dim
-                ),
-                sfs, d_semantic, fp_semantic,
+            sem_out, sem_cand = _stage_semantic(
+                spark, sf_dir, survivors, semantic_threshold, embedding_dim
             )
+            survivors, m = _materialize_stage(
+                sem_out, sfs, d_semantic, fp_semantic,
+            )
+            # the stage output is parquet-backed now — cache done
+            sem_cand.unpersist()
             computed.append("semantic")
         else:
             survivors, m = loaded

@@ -324,3 +324,31 @@ def test_corpus_semantic_stage_oneshot_and_resumable(spark, sf_dir, tmp_path):
         prepare_training_corpus_resumable(
             spark, sf_dir, str(tmp_path / "x"), stop_after="semantic"
         )
+
+
+def test_corpus_semantic_stage_refuses_duplicated_vec_id(spark, sf_dir, tmp_path):
+    """A duplicated vec_id pair has cosine 1.0, so without a gate the
+    lower-priority copy of a UNIQUE document lands in the drop set and
+    the anti-join silently deletes that document. The stage applies the
+    pipeline's stage-0 discipline to ITS identity column instead:
+    refuse identity-corrupting input loudly."""
+    import shutil
+
+    import pytest
+
+    from lime_etl_spark.io.sources import read_table
+    from lime_etl_spark.ops.quality import QualityError
+    from lime_etl_spark.pipelines.corpus import prepare_training_corpus
+
+    bad = tmp_path / "bad_sf"
+    bad.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", str(bad / "documents.parquet"))
+    emb = read_table(spark, sf_dir, "embeddings")
+    # duplicate EVERY embedding row: whatever survives text dedup is
+    # guaranteed to hit the gate
+    emb.union(emb).write.parquet(str(bad / "embeddings.parquet"))
+    with pytest.raises(QualityError):
+        prepare_training_corpus(
+            spark, str(bad), str(tmp_path / "bad_out"),
+            budget=256, semantic_threshold=0.3,
+        )

@@ -728,6 +728,75 @@ def test_semantic_dedup_jvm_arrow_parity_and_invariants(spark, sf_dir):
         for a, b in itertools.combinations(members, 2):
             assert cos6(a, b) < 0.3, (a, b)
 
+    # witness check: every dropped doc has a HIGHER-PRIORITY in-cluster
+    # doc (kept or not — the upper-triangular rule) within threshold
+    ranked = similarity._semantic_ranked(
+        emb, 64, 16, 5, None, "farthest", "vec_id", "embedding"
+    ).collect()
+    prio = {}  # vec_id -> (cluster, rank)
+    for cl in {r.cluster for r in ranked}:
+        cell = sorted(
+            (r for r in ranked if r.cluster == cl),
+            key=lambda r: (r.cent_cos, r["__sid"]),
+        )
+        for rk, r in enumerate(cell):
+            prio[r["__sid"]] = (cl, rk)
+    survivors = {vid for vid, _, _ in jvm}
+    dropped = set(vecs) - survivors
+    assert dropped  # the fixture has semantic dups — the check is non-vacuous
+    for d in dropped:
+        cl, rk = prio[d]
+        assert any(
+            cos6(w, d) >= 0.3
+            for w, (wcl, wrk) in prio.items()
+            if wcl == cl and wrk < rk
+        ), f"{d} dropped without an over-threshold higher-priority witness"
+
+
+def test_semantic_dedup_zero_norm_and_string_id_parity(spark):
+    """Two input domains the twins must agree on: an all-zero embedding
+    (the JVM form's unguarded cosine used to yield NULL — Spark window
+    ASC sorts NULLs first, pandas sort_values puts NaN last — breaking
+    the pinned parity) and a non-bigint id column (the Arrow kernel
+    used to hardcode '__sid bigint'). Parity is exercised at
+    threshold=-1.0 too, where the zero vector's cosine-0 edges
+    participate in drops."""
+    rows = [
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.99, 0.1, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.0, 0.98, 0.2, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    for thr in (0.3, -1.0):
+        kw = dict(dim=4, n_clusters=2, threshold=thr, n_iter=3)
+        jvm = sorted(map(tuple, similarity.semantic_dedup(emb, **kw).collect()))
+        arrow = sorted(
+            map(tuple, similarity.semantic_dedup_arrow(emb, **kw).collect())
+        )
+        assert jvm == arrow and jvm, thr
+    # cosine(0-vector, anything) is 0 < 0.3: the zero vector can
+    # neither be dropped nor drop anyone at the default threshold
+    surv = {
+        r.vec_id
+        for r in similarity.semantic_dedup(
+            emb, dim=4, n_clusters=2, threshold=0.3, n_iter=3
+        ).collect()
+    }
+    assert 1 in surv and len(surv) < len(rows)
+
+    semb = spark.createDataFrame(
+        [(f"doc-{i}", v) for i, v in rows], "vec_id string, embedding array<double>"
+    )
+    kw = dict(dim=4, n_clusters=2, threshold=0.3, n_iter=3)
+    sjvm = sorted(map(tuple, similarity.semantic_dedup(semb, **kw).collect()))
+    sarrow = sorted(
+        map(tuple, similarity.semantic_dedup_arrow(semb, **kw).collect())
+    )
+    assert sjvm == sarrow and sjvm
+    assert {t[0] for t in sjvm} == {f"doc-{i}" for i in surv}
+
 
 def test_semantic_dedup_keep_and_threshold_knobs(spark, sf_dir):
     """threshold > 1 keeps everything (cosine caps at 1); threshold -1
