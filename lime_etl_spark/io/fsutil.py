@@ -83,10 +83,12 @@ class HadoopFS:
     def read_json(self, path: str) -> dict:
         return json.loads(self._read_bytes(path).decode("utf-8"))
 
-    def _rename(self, src: str, dst: str) -> None:
+    def _rename(self, src: str, dst: str) -> bool:
         """The publish primitive — atomic on HDFS/posix; S3LikeFS
-        overrides this with copy-then-delete semantics."""
-        self.fs.rename(self._path_cls(src), self._path_cls(dst))
+        overrides this with copy-then-delete semantics. Hadoop's
+        FileSystem.rename reports most failures through its BOOLEAN
+        return, not an exception — callers must check it."""
+        return bool(self.fs.rename(self._path_cls(src), self._path_cls(dst)))
 
     def write_json_atomic(self, path: str, payload: dict) -> None:
         """write to .tmp, then rename over the target — atomic on HDFS
@@ -94,13 +96,23 @@ class HadoopFS:
         a re-done publish, never a half-read by the MANIFEST PROTOCOL
         (torn or missing manifests read as 'not done' — observed under
         S3LikeFS in tests/test_objectstore_sim.py, not argued). The tmp
-        name is underscore-prefixed so Spark readers ignore it."""
+        name is underscore-prefixed so Spark readers ignore it.
+
+        The pre-publish delete is UNCONDITIONAL — the protocol rule
+        _materialize_stage learned from the delayed-listing test: an
+        exists() probe lies on stores whose listings lag writes (and a
+        raw-fs probe is invisible to the S3LikeFS shim), while delete
+        on a missing path is a no-op. A rename returning false (e.g.
+        destination recreated by a concurrent writer on HDFS-semantics
+        stores) raises instead of silently losing the publish."""
         tmp = path + ".tmp"
         self._write_bytes(tmp, json.dumps(payload).encode("utf-8"))
-        dst = self._path_cls(path)
-        if self.fs.exists(dst):
-            self.fs.delete(dst, False)
-        self._rename(tmp, path)
+        self.delete(path)
+        if not self._rename(tmp, path):
+            raise IOError(
+                f"manifest publish failed: rename {tmp} -> {path} "
+                "returned false"
+            )
 
 
 class S3LikeFS(HadoopFS):
@@ -139,7 +151,7 @@ class S3LikeFS(HadoopFS):
                 return False
         return real
 
-    def _rename(self, src: str, dst: str) -> None:
+    def _rename(self, src: str, dst: str) -> bool:
         self.renames += 1
         armed = self.crash is not None and self.renames == self.crash_on_rename
         if armed and self.crash == "before_copy":
@@ -153,3 +165,4 @@ class S3LikeFS(HadoopFS):
         if armed and self.crash == "after_copy":
             raise InjectedCrash(f"crash after copy, before source delete: {src}")
         self.fs.delete(self._path_cls(src), False)
+        return True  # copy+delete either raised or fully succeeded

@@ -233,8 +233,21 @@ def compact_parquet(
         write_parquet_clustered(df, tmp, cluster_by, n_files=n_files)
     else:
         df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    hfs.delete(path)
-    hfs.fs.rename(hfs._path_cls(tmp), jpath)  # directory move
+    # Hadoop FileSystem reports most delete/rename failures through the
+    # BOOLEAN return, not an exception — ignoring it here could strand
+    # the dataset (old dir gone, compacted data stuck at the tmp name)
+    # while reporting success
+    if not hfs.fs.delete(jpath, True):
+        raise IOError(
+            f"compact_parquet: delete of {path} returned false (a "
+            f"concurrent writer?); compacted data is intact at {tmp}"
+        )
+    if not hfs.fs.rename(hfs._path_cls(tmp), jpath):  # directory move
+        raise IOError(
+            f"compact_parquet: rename {tmp} -> {path} returned false; "
+            f"the original was deleted — recover by renaming {tmp} "
+            "into place (the compacted data is complete there)"
+        )
     return n_files
 
 

@@ -457,8 +457,11 @@ def _two_phase_star_components(edges: DataFrame, ckpt, max_iter: int):
     itself. At the fixpoint every component is a star rooted at its
     min, read off directly as (child, root) edges. Convergence is
     detected by an order-independent signature (count + bit_xor of
-    xxhash64(child, root)) of the canonical edge set — two scalars
-    per round, no edge-set diff join."""
+    xxhash64(child, root)) of the canonical edge set — two scalars per
+    round — CONFIRMED by an exact exceptAll emptiness check on the one
+    round where signatures match, so a 64-bit collision (or xor
+    cancelling paired changes) can delay convergence by a round but
+    never declare it falsely."""
     nodes = edges.select(F.col("src").alias("id")).distinct()
 
     def star(bidir: DataFrame, large: bool) -> DataFrame:
@@ -491,12 +494,18 @@ def _two_phase_star_components(edges: DataFrame, ckpt, max_iter: int):
         return fwd.union(rev)
 
     cur = edges
-    prev_sig = None
+    prev_sig, prev_ss = None, None
     for rounds in range(1, max_iter + 1):
         ls = star(cur, large=True)
         ss = ckpt(star(bidir_of(ls), large=False))
         sig = signature(ss)
-        if sig == prev_sig:
+        # the signature is necessary-but-collidable (64-bit xor also
+        # cancels paired changes): on the one matching round, confirm
+        # the fixpoint EXACTLY — both sides are distinct sets of equal
+        # count, so a one-direction exceptAll decides equality. Runs
+        # once per job (signatures only match at/near convergence), so
+        # wrong-labels-on-collision is traded for one cheap extra join.
+        if sig == prev_sig and ss.exceptAll(prev_ss).isEmpty():
             # fixpoint: ss is a (child, root) star forest
             labels = nodes.join(
                 ss.select(F.col("child").alias("id"), F.col("root").alias("label")),
@@ -504,7 +513,7 @@ def _two_phase_star_components(edges: DataFrame, ckpt, max_iter: int):
                 "left",
             ).select("id", F.coalesce(F.col("label"), F.col("id")).alias("label"))
             return labels, rounds
-        prev_sig = sig
+        prev_sig, prev_ss = sig, ss
         cur = bidir_of(ss)
     raise RuntimeError(
         f"connected_components(two_phase_star) did not converge within "

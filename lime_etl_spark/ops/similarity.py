@@ -203,6 +203,38 @@ def with_lsh_bucket(
     return df.withColumn(out, bucket)
 
 
+def _probe_masks(n_planes: int, depth: int) -> "list[int]":
+    """XOR masks for multi-probe at ``depth``: every 1..depth-bit flip
+    of the bucket's plane bits (depth 0 = home bucket only). Validates
+    instead of silently clamping — multi_probe=3 used to behave exactly
+    like 2 with no error, a recall plateau the caller couldn't see.
+    Mask count is sum_{d<=depth} C(n_planes, d); the full bucket space
+    is reached at depth=n_planes."""
+    if not 0 <= depth <= n_planes:
+        raise ValueError(
+            f"multi_probe must be in [0, n_planes={n_planes}], got {depth}"
+        )
+    import itertools
+
+    return [
+        sum(2**i for i in combo)
+        for d in range(1, depth + 1)
+        for combo in itertools.combinations(range(n_planes), d)
+    ]
+
+
+def _explode_probes(side: DataFrame, masks: "list[int]", cols: "list[str]") -> DataFrame:
+    """Explode a bucketed side to one row per probed bucket (home +
+    each mask-flipped neighbor); identity when there are no masks."""
+    if not masks:
+        return side
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(m).cast("bigint")) for m in masks],
+    )
+    return side.select(*cols, F.explode(probes).alias("bucket"))
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -224,7 +256,9 @@ def lsh_bucketed_topk(
     hyperplane, so one-bit probing recovers most of the recall loss for
     a (n_planes+1)/2^n_planes coverage cost); 2 adds the two-bit flips
     (+C(n_planes,2) buckets) for the next recall increment; 0 probes
-    only the home bucket.
+    only the home bucket; any depth up to n_planes works (the full
+    bucket space at depth=n_planes) and out-of-range values raise
+    instead of silently clamping.
     The default (None) sizes n_planes from the corpus count via
     ``recommended_n_planes`` so corpus/2^n_planes tracks the per-bucket
     candidate budget (the same footgun-removal as ivf_topk's default —
@@ -269,23 +303,9 @@ def lsh_bucketed_topk(
         _to_double(F.col(vec_col)).alias("qv"),
         F.col("bucket"),
     )
-    if multi_probe >= 1:
-        flips = [
-            F.col("bucket").bitwiseXOR(F.lit(2**i).cast("bigint"))
-            for i in range(n_planes)
-        ]
-        if multi_probe >= 2:
-            flips += [
-                F.col("bucket").bitwiseXOR(F.lit(2**i + 2**j).cast("bigint"))
-                for i in range(n_planes)
-                for j in range(i + 1, n_planes)
-            ]
-        probes = F.array(F.col("bucket"), *flips)
-        qb = qb0.select(
-            "query_id", "qv", F.explode(probes).alias("bucket")
-        )
-    else:
-        qb = qb0
+    qb = _explode_probes(
+        qb0, _probe_masks(n_planes, multi_probe), ["query_id", "qv"]
+    )
     cb = with_lsh_bucket(candidates, dim, n_planes, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         _to_double(F.col(vec_col)).alias("cv"),
@@ -362,7 +382,9 @@ def calibrate_lsh(
     ladder = [(start_n_planes, 1)]
     if start_n_planes >= 2:
         ladder.append((start_n_planes, 2))
-        ladder += [(p, 2) for p in range(start_n_planes - 1, 0, -1)]
+        # depth is capped at the plane count (at 1 plane, depth 1
+        # already covers the whole 2-bucket space)
+        ladder += [(p, min(2, p)) for p in range(start_n_planes - 1, 0, -1)]
     last = ladder[0] + (0.0,)
     for planes, depth in ladder:
         approx = lsh_bucketed_topk(
@@ -521,20 +543,15 @@ def embedding_near_dup_bucketed(
         # max(1,·): empty corpus -> 1-plane minimum, not a ValueError
         n_planes = recommended_n_planes(max(1, df.count()))
     b = with_lsh_bucket(df, dim, n_planes, vec_col)
-    a_side = b.select(
-        F.col(id_col).alias("id_a"),
-        _to_double(F.col(vec_col)).alias("ea"),
-        F.col("bucket"),
-    )
-    if multi_probe >= 1:
-        probes = F.array(
+    a_side = _explode_probes(
+        b.select(
+            F.col(id_col).alias("id_a"),
+            _to_double(F.col(vec_col)).alias("ea"),
             F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(2**i).cast("bigint"))
-                for i in range(n_planes)
-            ],
-        )
-        a_side = a_side.select("id_a", "ea", F.explode(probes).alias("bucket"))
+        ),
+        _probe_masks(n_planes, multi_probe),
+        ["id_a", "ea"],
+    )
     b_side = b.select(
         F.col(id_col).alias("id_b"),
         _to_double(F.col(vec_col)).alias("eb"),
@@ -597,20 +614,15 @@ def embedding_near_dup_bucketed_arrow(
         n_planes = recommended_n_planes(max(1, df.count()))
 
     b = with_lsh_bucket(df, dim, n_planes, vec_col)
-    a_side = b.select(
-        F.col(id_col).alias("id_a"),
-        _to_double(F.col(vec_col)).alias("ea"),
-        F.col("bucket"),
-    )
-    if multi_probe >= 1:
-        probes = F.array(
+    a_side = _explode_probes(
+        b.select(
+            F.col(id_col).alias("id_a"),
+            _to_double(F.col(vec_col)).alias("ea"),
             F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(2**i).cast("bigint"))
-                for i in range(n_planes)
-            ],
-        )
-        a_side = a_side.select("id_a", "ea", F.explode(probes).alias("bucket"))
+        ),
+        _probe_masks(n_planes, multi_probe),
+        ["id_a", "ea"],
+    )
     b_side = b.select(
         F.col(id_col).alias("id_b"),
         _to_double(F.col(vec_col)).alias("eb"),
@@ -793,6 +805,14 @@ class IVFIndex:
         from lime_etl_spark.io.fsutil import HadoopFS
 
         spark = self.assigned.sparkSession
+        fs = HadoopFS(spark, path)
+        # UNPUBLISH FIRST on re-save: write-then-publish means the
+        # manifest must be the LAST thing to exist — leaving a previous
+        # save's manifest published while the data dirs below are
+        # rewritten would let a crash mid-rewrite load as a valid index
+        # over torn parquet (the exact failure the protocol exists to
+        # prevent); delete on a missing path is a no-op
+        fs.delete(path.rstrip("/") + "/_INDEX_MANIFEST.json")
         cent_rows = [
             (int(i), [float(x) for x in row]) for i, row in enumerate(self.cents)
         ]
@@ -800,7 +820,6 @@ class IVFIndex:
             cent_rows, "cluster int, centroid array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/centroids")
         self.assigned.write.mode("overwrite").parquet(path.rstrip("/") + "/assigned")
-        fs = HadoopFS(spark, path)
         fs.write_json_atomic(
             path.rstrip("/") + "/_INDEX_MANIFEST.json",
             {
@@ -814,14 +833,21 @@ class IVFIndex:
         )
 
 
-def ivf_corpus_fingerprint(candidates: DataFrame, id_col: str = "vec_id") -> str:
+def ivf_corpus_fingerprint(
+    candidates: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
     """Cheap order-independent corpus identity for stale-index refusal:
-    row count + bit_xor of xxhash64(id) — one narrow scan, no shuffle
-    beyond the scalar agg; ids are unique by the corpus contract, so a
-    changed/missing/extra id flips the xor."""
+    row count + bit_xor of xxhash64(id, embedding) — one narrow scan,
+    no shuffle beyond the scalar agg. Hashing the VECTOR alongside the
+    id matters: a re-embedded corpus (new model version, preprocessing
+    fix) keeps every vec_id, and an id-only fingerprint would wave a
+    stale index through to systematically-wrong neighbors — the exact
+    silent degradation the check exists to make loud. Ids are unique by
+    the corpus contract, so any changed/missing/extra row flips the
+    xor."""
     row = candidates.agg(
         F.count(F.lit(1)).alias("n"),
-        F.expr(f"bit_xor(xxhash64({id_col}))").alias("h"),
+        F.expr(f"bit_xor(xxhash64({id_col}, {vec_col}))").alias("h"),
     ).collect()[0]
     return f"{row['n']}:{row['h']}"
 

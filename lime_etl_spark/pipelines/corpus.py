@@ -270,6 +270,15 @@ def _try_load_stage(spark: SparkSession, sfs: HadoopFS, stage_dir: str, fp: str)
         m = sfs.read_json(mp)
     except (ValueError, UnicodeDecodeError):
         return None  # torn publish -> recompute + republish
+    except Exception:
+        # Java-side read failures (Py4JJavaError: ChecksumException on
+        # checksummed filesystems, EOFException, ...) are the same
+        # verdict as a torn publish: the manifest cannot be trusted, so
+        # the stage reads as 'not done' and is recomputed+republished —
+        # NOT a wedge that crashes every resume until the file is
+        # hand-deleted (the rule ivf_index_load applies, adapted to
+        # this protocol's recompute semantics)
+        return None
     if m.get("fingerprint") != fp:
         return None
     return spark.read.parquet(stage_dir), m

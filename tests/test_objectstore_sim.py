@@ -210,6 +210,30 @@ def test_idempotent_reload_rerun_converges_after_torn_partition(spark, tmp_path)
     assert sorted(map(tuple, spark.read.parquet(dest).collect())) == clean
 
 
+def test_out_of_band_corrupt_manifest_recomputes_not_wedges(
+    spark, sf_dir, tmp_path, clean_run
+):
+    """A manifest made unreadable OUT OF BAND (here: a plain-Python
+    overwrite leaves Hadoop's checksummed local FS with a stale .crc,
+    so the Hadoop-API read raises ChecksumException inside a
+    Py4JJavaError; the bytes are torn JSON besides) must read as 'not
+    done' and recompute — NOT wedge every resume until the file is
+    hand-deleted. The S3LikeFS torn-manifest test cannot catch this
+    class: the shim writes its torn bytes through the Hadoop API,
+    keeping the checksum consistent."""
+    out = tmp_path / "out"
+    _run(spark, sf_dir, out)
+    with open(str(out / "_stages" / "survivors" / _MANIFEST), "w") as fh:
+        fh.write('{"fingerprint": "')
+    resumed = _run(spark, sf_dir, out)
+    assert "survivors" in resumed["stages_computed"]  # recomputed, no wedge
+    clean_counts, clean_art = clean_run
+    assert {k: v for k, v in resumed.items() if k.startswith("n_")} == {
+        k: v for k, v in clean_counts.items() if k.startswith("n_")
+    }
+    assert _artifacts(spark, out) == clean_art
+
+
 def test_s3likefs_is_hadoopfs_on_the_happy_path(spark, tmp_path):
     """No crash armed: the shim's copy-then-delete publish must be
     byte-equivalent to the atomic-rename base class."""

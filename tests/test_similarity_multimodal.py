@@ -620,6 +620,82 @@ def test_ivf_index_save_load_roundtrip(spark, sf_dir, tmp_path):
     assert recall >= 0.5 or nprobe == 8
 
 
+def test_ivf_index_resave_crash_window_unpublishes_first(spark, sf_dir, tmp_path):
+    """A RE-save that dies while rewriting the data dirs must not leave
+    the PREVIOUS manifest published over half-rewritten parquet — the
+    manifest is deleted first, so a crash anywhere in the rewrite loads
+    as 'no index here' (write-then-publish means the manifest is always
+    the last thing to exist)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    index = similarity.ivf_index(emb, dim=64, n_clusters=8)
+    fp = similarity.ivf_corpus_fingerprint(emb)
+    d = str(tmp_path / "idx")
+    index.save(d, corpus_fingerprint=fp)
+    assert similarity.ivf_index_load(spark, d, expected_fingerprint=fp)
+    # re-save whose assigned-corpus write fails mid-flight (ANSI cast
+    # error at execution) — the stand-in for a process death there
+    bad_assigned = spark.range(3).select(
+        F.col("id").alias("vec_id"),
+        F.expr("cast('' as double)").alias("boom"),
+    )
+    with pytest.raises(Exception):
+        similarity.IVFIndex(index.cents, bad_assigned).save(
+            d, corpus_fingerprint=fp
+        )
+    with pytest.raises(ValueError, match="missing manifest"):
+        similarity.ivf_index_load(spark, d)
+
+
+def test_ivf_corpus_fingerprint_covers_vector_content(spark, sf_dir):
+    """A re-embedded corpus keeps every vec_id; the fingerprint must
+    still flip (an id-only fingerprint waved the stale index through to
+    systematically-wrong neighbors)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    fp1 = similarity.ivf_corpus_fingerprint(emb)
+    re_embedded = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x * F.lit(2.0))
+    )
+    fp2 = similarity.ivf_corpus_fingerprint(re_embedded)
+    assert fp1 != fp2
+    assert fp1.split(":")[0] == fp2.split(":")[0]  # same row count
+
+
+def test_multi_probe_general_depth_and_validation(spark, sf_dir):
+    """multi_probe is a general depth: any 1..n_planes works, depth n
+    covers the whole bucket space (== exact top-k), deeper never loses
+    recall, and out-of-range values raise instead of silently clamping
+    (multi_probe=3 used to behave exactly like 2)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    with pytest.raises(ValueError, match="multi_probe"):
+        similarity.lsh_bucketed_topk(q, emb, dim=64, n_planes=4, multi_probe=5)
+    with pytest.raises(ValueError, match="multi_probe"):
+        similarity.embedding_near_dup_bucketed(
+            emb, dim=64, n_planes=4, multi_probe=-1
+        )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(q, emb, k=5).collect()
+    }
+    hits = {}
+    for d in (2, 3):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.lsh_bucketed_topk(
+                q, emb, dim=64, k=5, n_planes=6, multi_probe=d
+            ).collect()
+        }
+        hits[d] = len(exact & got)
+    assert hits[3] >= hits[2]
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_bucketed_topk(
+            q, emb, dim=64, k=5, n_planes=4, multi_probe=4
+        ).collect()
+    }
+    assert full == exact
+
+
 def test_ivf_index_load_refuses_stale_and_torn(spark, sf_dir, tmp_path):
     """A changed corpus or a torn/unpublished save must be REFUSED
     loudly — a stale index returns confidently-wrong neighbors."""
