@@ -80,6 +80,12 @@ class LimeSurveyClient:
             raise LimeSurveyError(f"RPC {method} malformed response: {payload!r}")
         result = payload["result"]
         if isinstance(result, dict) and "status" in result and len(result) == 1:
+            # {'status': X} is LimeSurvey's shape for BOTH errors and
+            # some success acks: delete_survey and friends return
+            # {'status': 'OK'} on success — raising on those reported
+            # every successful admin call as a failure
+            if str(result["status"]) == "OK":
+                return result
             raise LimeSurveyError(f"RPC {method} server error: {result['status']}")
         return result
 
@@ -147,22 +153,35 @@ class LimeSurveyClient:
         never used (it pulled the WHOLE survey as one base64 payload):
         LimeSurvey's remote-control API takes iFromResponseID /
         iToResponseID exactly for this."""
-        raw = self._rpc(
-            "export_responses",
-            [
-                self.session_key, sid, "json", None, status, heading, response,
-                from_response_id, to_response_id, fields,
-            ],
-        )
+        try:
+            raw = self._rpc(
+                "export_responses",
+                [
+                    self.session_key, sid, "json", None, status, heading, response,
+                    from_response_id, to_response_id, fields,
+                ],
+            )
+        except LimeSurveyError as exc:
+            # LimeSurvey reports an empty export ('No Data, ...') as a
+            # status payload — a DATA condition, not a failure: a sparse
+            # id range must yield an empty page, not crash the extract
+            if "No Data" in str(exc):
+                return {"responses": []}
+            raise
         return json.loads(base64.b64decode(str(raw)).decode("utf-8"))
 
     def export_responses_by_token(self, sid: int, token: str) -> dict:
         # reference param names are typo'd ($sLanguageCode / sCompletationStatus,
         # limesurvey.py:135-136); correct spelling used here.
-        raw = self._rpc(
-            "export_responses_by_token",
-            [self.session_key, sid, "json", token, None, "all", "code", "short"],
-        )
+        try:
+            raw = self._rpc(
+                "export_responses_by_token",
+                [self.session_key, sid, "json", token, None, "all", "code", "short"],
+            )
+        except LimeSurveyError as exc:
+            if "No Data" in str(exc):  # same data-condition rule as above
+                return {"responses": []}
+            raise
         return json.loads(base64.b64decode(str(raw)).decode("utf-8"))
 
     def add_response(self, sid: int, response_data: dict) -> object:
@@ -237,18 +256,11 @@ def extract_responses_partitioned(
             client.close()
 
     raw = pages_df.mapInPandas(fetch, "index STRING, payload STRING")
-    from pyspark.sql import functions as F
+    # one flatten contract for both extract paths — a schema change
+    # updated in flatten_source_df must not leave a stale copy here
+    from lime_etl_spark.io.limesurvey_source import flatten_source_df
 
-    from lime_etl_spark import schemas
-
-    parsed = raw.select(
-        "index",
-        F.from_json("payload", "MAP<STRING, STRING>").alias("fields"),
-    )
-    names = [f.name for f in schemas.SURVEY_RESPONSE.fields if f.name != "index"]
-    return parsed.select(
-        "index", *[F.col("fields").getItem(n).alias(n) for n in names]
-    )
+    return flatten_source_df(raw)
 
 
 def write_back_responses(
@@ -261,11 +273,17 @@ def write_back_responses(
 
     Replaces the reference's 1-row-per-RPC + ``sleep(1)`` loop
     (/root/reference/limesurvey.py:142-149, :164) with per-partition
-    clients and a token-bucket pace shared per partition.
+    clients. ``rows_per_second`` is the AGGREGATE rate against the
+    server: partitions write concurrently, so the per-row sleep inside
+    each partition is ``n_partitions / rows_per_second`` — without that
+    division a 64-partition frame would hit the server at 64× the
+    configured rate (an upper bound: slow partitions only make the
+    aggregate rate lower).
     """
     import time
 
-    interval = 1.0 / rows_per_second if rows_per_second > 0 else 0.0
+    n_parts = max(1, df.rdd.getNumPartitions())
+    interval = n_parts / rows_per_second if rows_per_second > 0 else 0.0
 
     def send(rows) -> None:
         client = make_client()

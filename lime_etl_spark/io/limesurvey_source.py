@@ -113,9 +113,11 @@ class LimeSurveyStreamReader(SimpleDataSourceStreamReader):
     the committed offset, so the survey becomes an append stream with
     exactly-once offsets from the checkpoint.
 
-    Offset = {"last_id": n}. Each read() exports the next
+    Offset = {"last_id": n}. Each read() emits up to
     ``stream_page_size`` responses above last_id (server-side id-range
-    export in live mode; the canned payload in replay mode) and
+    export in live mode, escalating the window exponentially so an id
+    GAP wider than one page — deletions; LimeSurvey never reuses ids —
+    cannot stall the offset; the canned payload in replay mode) and
     advances the offset to the max id it emitted. An empty pull
     returns the same offset — that quiesces availableNow /
     processAllAvailable instead of spinning.
@@ -148,14 +150,30 @@ class LimeSurveyStreamReader(SimpleDataSourceStreamReader):
                 password=self.options["password"],
             )
             try:
-                payload = client.export_responses(
-                    int(self.options["sid"]),
-                    from_response_id=last_id + 1,
-                    to_response_id=last_id + self.page,
-                )
+                # Response ids are auto-increment and deletions leave
+                # gaps that are NEVER reused, so a fixed window
+                # [last+1, last+page] stalls the offset forever when a
+                # gap outgrows it (the export returns nothing, the
+                # offset never advances, new data beyond the gap is
+                # never emitted). Escalate the window exponentially
+                # within this read — a gap of any size is crossed in
+                # O(log gap) exports, and a truly idle survey still
+                # returns the same offset (immediate availableNow
+                # quiesce) at the cost of a few cheap empty exports.
+                width = max(1, self.page)
+                cap = max(1, self.page) << 20
+                while True:
+                    payload = client.export_responses(
+                        int(self.options["sid"]),
+                        from_response_id=last_id + 1,
+                        to_response_id=last_id + width,
+                    )
+                    entries = payload.get("responses", [])
+                    if entries or width >= cap:
+                        break
+                    width <<= 1
             finally:
                 client.close()
-            entries = payload.get("responses", [])
         for entry in entries:
             for resp_id, fields in entry.items():
                 rid = int(resp_id)

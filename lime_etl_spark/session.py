@@ -95,4 +95,35 @@ def get_spark(
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # On reuse of a pre-existing session, getOrCreate re-applies the
+    # builder's RUNTIME SQL confs ("only runtime SQL configurations
+    # will take effect") — which covers every correctness-critical conf
+    # above — but static/core confs (master, driver memory) stay as the
+    # first creator set them. VERIFY rather than assume: if any
+    # correctness conf did not take effect (a future static conf, a
+    # locked conf), warn with the exact mismatches instead of silently
+    # handing back e.g. local-time timestamps that break every oracle
+    # comparison.
+    critical = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
+    }
+    mismatched = {}
+    for k, want in critical.items():
+        got = spark.conf.get(k, None)
+        if got != want:
+            mismatched[k] = (want, got)
+    if mismatched:
+        import warnings
+
+        warnings.warn(
+            "get_spark reused an existing SparkSession whose confs "
+            f"differ from the engine's correctness-critical settings: "
+            f"{mismatched} — results may diverge from the oracles; "
+            "stop the other session (spark.stop()) or set these confs "
+            "there before importing this engine.",
+            stacklevel=2,
+        )
+    return spark

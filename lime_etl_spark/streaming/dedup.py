@@ -85,9 +85,28 @@ def process_batch(
     spark = batch.sparkSession
     if prefilter is not None:
         batch = prefilter(batch)
-    new_docs = batch.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    new_bands = dedup.minhash_bands(new_docs)
+    # cached for the duration of the batch: the three write actions
+    # below (decisions, bands, docs) would otherwise each re-run the
+    # prefilter and the MinHash banding (tokenize + shingle + 16
+    # permutations, the ~ms/row dominant stage) — ~3 full recomputes
+    # per micro-batch; unpersisted in the finally
+    new_docs = batch.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).cache()
+    new_bands = dedup.minhash_bands(new_docs).cache()
 
+    try:
+        _process_batch_inner(
+            spark, new_docs, new_bands, batch_id, state_dir, threshold
+        )
+    finally:
+        new_bands.unpersist()
+        new_docs.unpersist()
+
+
+def _process_batch_inner(
+    spark, new_docs, new_bands, batch_id, state_dir, threshold
+) -> None:
     state_bands = _read_or_empty(
         spark, os.path.join(state_dir, BANDS_SUBDIR), _BANDS_SCHEMA
     ).drop("ingest_batch")

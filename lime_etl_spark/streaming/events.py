@@ -243,10 +243,20 @@ def click_purchase_interval_join(
 
 def run_click_purchase_join_batchlike(spark: SparkSession, sf_dir: str) -> DataFrame:
     """registry.streaming_click_purchase_join body: stream the fixture
-    twice (self-join of one source), availableNow, append mode."""
+    twice (self-join of one source), availableNow, append mode.
+
+    max_files_per_trigger=None is load-bearing (same reason as
+    run_scd2_batchlike): a multi-part-file fixture is NOT time-ordered
+    across files, and a stream-stream join is append-mode only — once
+    batch 1 advances the watermark, batch 2's older clicks/purchases
+    are evicted from join state and the join silently loses rows vs
+    the batch interval-join oracle. One batch = no mid-drain watermark
+    eviction."""
     src = stage_events_dir(sf_dir)
-    clicks = read_events_stream(spark, src).filter(F.col("event_type") == "click")
-    purchases = read_events_stream(spark, src).filter(
+    clicks = read_events_stream(spark, src, max_files_per_trigger=None).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_events_stream(spark, src, max_files_per_trigger=None).filter(
         F.col("event_type") == "purchase"
     )
     joined = click_purchase_interval_join(clicks, purchases)
@@ -283,16 +293,23 @@ def stage_events_dir(sf_dir: str) -> str:
     zero copies."""
     import shutil
 
+    import hashlib
+
     src = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(src):
         return src
-    dest_dir = os.path.join(
-        tempfile.gettempdir(), f"lime_events_{os.path.basename(os.path.normpath(sf_dir))}"
-    )
+    # key the cache by a hash of the ABSOLUTE path (two fixture roots
+    # with the same basename must not collide and serve each other's
+    # events), and refresh on any mtime difference, not only newer
+    # (a regenerated fixture unpacked with preserved older timestamps
+    # must not be served stale)
+    key = hashlib.sha256(os.path.abspath(src).encode()).hexdigest()[:16]
+    dest_dir = os.path.join(tempfile.gettempdir(), f"lime_events_{key}")
     os.makedirs(dest_dir, exist_ok=True)
     dest = os.path.join(dest_dir, "events.parquet")
-    if not os.path.exists(dest) or os.path.getmtime(dest) < os.path.getmtime(src):
+    if not os.path.exists(dest) or os.path.getmtime(dest) != os.path.getmtime(src):
         shutil.copyfile(src, dest)
+        os.utime(dest, ns=(os.stat(src).st_atime_ns, os.stat(src).st_mtime_ns))
     return dest_dir
 
 

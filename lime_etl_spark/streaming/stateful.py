@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id BIGINT, n_events BIGINT, total_value DOUBLE, last_event_id BIGINT"
-STATE_SCHEMA = "n BIGINT, total DOUBLE, last_id BIGINT"
+# last_ts_ns rides the state so "last" is decided by (ts, event_id),
+# not by arrival order: Arrow hands a big group to the update fn as
+# MULTIPLE chunks in unspecified order, and a late micro-batch of older
+# events must not regress the profile — both orderings are invisible
+# without the champion timestamp persisted alongside the id
+STATE_SCHEMA = "n BIGINT, total DOUBLE, last_id BIGINT, last_ts_ns BIGINT"
 
 
 def track_user_activity(
@@ -53,13 +58,23 @@ def track_user_activity(
         if state.hasTimedOut:
             state.remove()
             return
-        n, total, last_id = state.get if state.exists else (0, 0.0, -1)
+        n, total, last_id, last_ts_ns = (
+            state.get if state.exists else (0, 0.0, -1, -1)
+        )
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             n += len(pdf)
             total += float(pdf["value"].sum())
-            idx = pdf["ts"].idxmax()
-            last_id = int(pdf.loc[idx, "event_id"])
-        state.update((n, round(total, 2), last_id))
+            # chunk champion: max (ts, event_id) — compared against the
+            # running champion so neither chunk order within a batch
+            # nor an out-of-order later batch can regress the profile
+            mx = pdf["ts"].max()
+            cand_id = int(pdf.loc[pdf["ts"] == mx, "event_id"].max())
+            cand_ns = int(pd.Timestamp(mx).value)
+            if (cand_ns, cand_id) > (last_ts_ns, last_id):
+                last_ts_ns, last_id = cand_ns, cand_id
+        state.update((n, round(total, 2), last_id, last_ts_ns))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(
@@ -121,6 +136,9 @@ def _user_activity_processor(state_ttl_ms: int | None):
             StructField("n", LongType()),
             StructField("total", DoubleType()),
             StructField("last_id", LongType()),
+            # champion ts (ns) persisted for the same chunk/batch-order
+            # reasons as track_user_activity's STATE_SCHEMA
+            StructField("last_ts_ns", LongType()),
         ]
     )
 
@@ -133,18 +151,20 @@ def _user_activity_processor(state_ttl_ms: int | None):
         def handleInputRows(self, key, rows, timerValues):
             (user_id,) = key
             if self._profile.exists():
-                n, total, last_id = self._profile.get()
+                n, total, last_id, last_ts_ns = self._profile.get()
             else:
-                n, total, last_id = 0, 0.0, -1
-            last_ts = None
+                n, total, last_id, last_ts_ns = 0, 0.0, -1, -1
             for pdf in rows:
+                if len(pdf) == 0:
+                    continue
                 n += len(pdf)
                 total += float(pdf["value"].sum())
-                idx = pdf["ts"].idxmax()
-                if last_ts is None or pdf.loc[idx, "ts"] >= last_ts:
-                    last_ts = pdf.loc[idx, "ts"]
-                    last_id = int(pdf.loc[idx, "event_id"])
-            self._profile.update((n, round(total, 2), last_id))
+                mx = pdf["ts"].max()
+                cand_id = int(pdf.loc[pdf["ts"] == mx, "event_id"].max())
+                cand_ns = int(pd.Timestamp(mx).value)
+                if (cand_ns, cand_id) > (last_ts_ns, last_id):
+                    last_ts_ns, last_id = cand_ns, cand_id
+            self._profile.update((n, round(total, 2), last_id, last_ts_ns))
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],

@@ -73,6 +73,91 @@ def test_server_error_raises(client):
         client._rpc("boom", [])
 
 
+def test_status_ok_ack_is_success_not_error():
+    """LimeSurvey returns {'status': 'OK'} as the SUCCESS ack for admin
+    mutations (delete_survey et al.) — the same single-key shape it
+    uses for errors. The client must not report a successful delete as
+    a failure."""
+    def transport(url, body):
+        if body["method"] == "get_session_key":
+            return {"result": "SESSKEY"}
+        if body["method"] == "delete_survey":
+            return {"result": {"status": "OK"}}
+        raise AssertionError(body["method"])
+
+    c = LimeSurveyClient("http://fake", "u", "p", transport=transport)
+    assert c.delete_survey(123) == {"status": "OK"}
+
+
+def test_export_no_data_yields_empty_page_not_error():
+    """An id range with zero responses comes back as a
+    {'status': 'No Data, ...'} payload — a data condition: the extract
+    must yield an empty page, not crash the job on one sparse range."""
+    def transport(url, body):
+        if body["method"] == "get_session_key":
+            return {"result": "SESSKEY"}
+        if body["method"] == "export_responses":
+            return {"result": {"status": "No Data, could not get max id."}}
+        if body["method"] == "export_responses_by_token":
+            return {"result": {"status": "No Data"}}
+        raise AssertionError(body["method"])
+
+    c = LimeSurveyClient("http://fake", "u", "p", transport=transport)
+    assert c.export_responses(123, from_response_id=6, to_response_id=1005) == {
+        "responses": []
+    }
+    assert c.export_responses_by_token(123, "tok") == {"responses": []}
+
+
+def test_stream_reader_crosses_response_id_gaps(monkeypatch):
+    """Response ids are auto-increment and deletions leave gaps that
+    are never reused: a fixed [last+1, last+page] window stalled the
+    offset forever when a gap outgrew it. The reader must escalate the
+    window and emit the post-gap rows (responses 1-5 exist, 6-4999
+    were deleted, 5000-5002 are new; page=1000)."""
+    import base64
+    import json as _json
+
+    from lime_etl_spark.io import limesurvey_source
+
+    def transport(url, body):
+        if body["method"] == "get_session_key":
+            return {"result": "SESSKEY"}
+        if body["method"] == "release_session_key":
+            return {"result": "OK"}
+        if body["method"] == "export_responses":
+            lo, hi = body["params"][7], body["params"][8]
+            hits = [
+                {str(i): {"q01": "v"}} for i in (5000, 5001, 5002) if lo <= i <= hi
+            ]
+            if not hits:
+                return {"result": {"status": "No Data, could not get max id."}}
+            payload = _json.dumps({"responses": hits}).encode()
+            return {"result": base64.b64encode(payload).decode()}
+        raise AssertionError(body["method"])
+
+    from lime_etl_spark.io import limesurvey as ls_mod
+
+    real_client = ls_mod.LimeSurveyClient  # captured before patching
+
+    class FakeClientFactory:
+        def __call__(self, url, username, password):
+            return real_client(url, username, password, transport=transport)
+
+    monkeypatch.setattr(ls_mod, "LimeSurveyClient", FakeClientFactory())
+    reader = limesurvey_source.LimeSurveyStreamReader(
+        {"url": "http://fake", "username": "u", "password": "p",
+         "sid": "123", "stream_page_size": "1000"}
+    )
+    rows = reader._fetch_above(5)
+    assert [r[0] for r in rows] == [5000, 5001, 5002]
+    it, off = reader.read({"last_id": 5})
+    assert off == {"last_id": 5002} and len(list(it)) == 3
+    # truly idle (nothing beyond 5002): offset unchanged -> quiesce
+    it2, off2 = reader.read({"last_id": 5002})
+    assert off2 == {"last_id": 5002} and list(it2) == []
+
+
 def test_transport_failure_propagates():
     def broken(url, body):
         raise ConnectionError("refused")

@@ -252,6 +252,185 @@ def test_kafka_gated_and_rate_source_fallback(spark, tmp_path):
         q.stop()
 
 
+def test_stage_events_dir_keyed_by_full_path(spark, sf_dir, tmp_path):
+    """Two fixture roots with the SAME basename must not share a staged
+    copy (the cache used to key on basename(sf_dir): whichever src was
+    newer won, and the other caller streamed the wrong corpus), and a
+    replaced fixture with an OLDER mtime must still refresh the copy."""
+    import os
+    import shutil
+
+    from lime_etl_spark.streaming.events import stage_events_dir
+
+    a = tmp_path / "run_a" / "sfX"
+    b = tmp_path / "run_b" / "sfX"  # same basename, different contents
+    a.mkdir(parents=True)
+    b.mkdir(parents=True)
+    shutil.copyfile(f"{sf_dir}/events.parquet", str(a / "events.parquet"))
+    with open(b / "events.parquet", "wb") as fh:
+        fh.write(b"PAR1-not-really")  # distinct bytes are all that matters
+    da, db = stage_events_dir(str(a)), stage_events_dir(str(b))
+    assert da != db
+    assert (
+        open(os.path.join(da, "events.parquet"), "rb").read(4)
+        != open(os.path.join(db, "events.parquet"), "rb").read(4)
+        or os.path.getsize(os.path.join(da, "events.parquet"))
+        != os.path.getsize(os.path.join(db, "events.parquet"))
+    )
+    # regenerated fixture with an OLDER mtime (archive-preserved
+    # timestamps) must refresh the staged copy
+    with open(a / "events.parquet", "wb") as fh:
+        fh.write(b"regenerated")
+    os.utime(a / "events.parquet", (1, 1))
+    da2 = stage_events_dir(str(a))
+    assert open(os.path.join(da2, "events.parquet"), "rb").read() == b"regenerated"
+
+
+def test_click_purchase_join_drains_multifile_fixture_in_one_batch(spark, tmp_path):
+    """A multi-part-file events dir is NOT time-ordered across files;
+    the stream-stream join is append-mode only, so a multi-batch drain
+    lets batch 1 advance the watermark and EVICT batch 2's older
+    clicks/purchases from join state — silently losing pairs vs the
+    batch oracle. The drain must take the whole directory in one batch
+    (this fixture has 9 newer files processed first by mtime, then one
+    file holding an older click->purchase pair that a split drain
+    would lose)."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from lime_etl_spark.streaming import events as sevents
+
+    sfdir = tmp_path / "sf"
+    evdir = sfdir / "events.parquet"
+    evdir.mkdir(parents=True)
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+
+    def one_file(rows, name, mtime):
+        scratch = tmp_path / f"s_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(scratch))
+        (part,) = glob.glob(str(scratch / "part-*.parquet"))
+        dest = evdir / f"{name}.parquet"
+        shutil.copyfile(part, str(dest))
+        os.utime(str(dest), (mtime, mtime))
+
+    t_new = dt.datetime(2024, 1, 1, 12, 0)
+    for i in range(9):  # > the old 8-files-per-trigger default
+        one_file(
+            [(100 + i, t_new + dt.timedelta(minutes=i), 9, "click", 0.0, "{}")],
+            f"n{i}",
+            1_000 + i,
+        )
+    t_old = dt.datetime(2024, 1, 1, 9, 0)
+    one_file(
+        [
+            (1, t_old, 1, "click", 0.0, "{}"),
+            (2, t_old + dt.timedelta(minutes=10), 1, "purchase", 5.0, "{}"),
+        ],
+        "z_old",
+        2_000,  # latest mtime: processed last in a split drain
+    )
+    got = sevents.run_click_purchase_join_batchlike(spark, str(sfdir)).collect()
+    pairs = {(r.click_id, r.purchase_id) for r in got}
+    assert (1, 2) in pairs, pairs
+
+
+def test_get_spark_heals_reused_session_confs(spark):
+    """getOrCreate on a pre-existing session re-applies the factory's
+    RUNTIME SQL confs (Spark: 'only runtime SQL configurations will
+    take effect') — a host session with a drifted timezone must come
+    back UTC, silently healed, and the factory's verify-don't-assume
+    belt must stay quiet when everything took effect."""
+    import warnings
+
+    from lime_etl_spark.session import get_spark
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # healed reuse: no warning
+            reused = get_spark("heal_probe")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert reused is spark
+    assert reused.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_stateful_tracker_chunk_and_batch_order(spark, tmp_path):
+    """last_event_id must be the event id of the MAX (ts, event_id) —
+    regardless of Arrow chunk order within a micro-batch (forced here
+    with a 2-row maxRecordsPerBatch, so every group arrives as multiple
+    chunks) and of micro-batch order across files (the NEWER events are
+    staged in the alphabetically-first file, so the second batch is
+    all-older and must not regress the profile)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.streaming import events as sevents
+    from lime_etl_spark.streaming.stateful import track_user_activity
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "event_id bigint, user_id bigint, ts timestamp, value double"
+
+    def write_file(rows, name):
+        # the file source ignores non-partition subdirectories: write
+        # to a scratch dir, then place the single part file FLAT in src
+        import glob
+        import shutil
+
+        scratch = tmp_path / f"scratch_{name}"
+        spark.createDataFrame(
+            [(e, u, t, v) for e, u, t, v in rows], schema
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(scratch))
+        (part,) = glob.glob(str(scratch / "part-*.parquet"))
+        shutil.copyfile(part, str(src / f"{name}.parquet"))
+
+    # file a_newer (listed/processed FIRST): the champion event 99 at
+    # 12:00 plus filler rows so the 2-row Arrow chunks split the group
+    import datetime as dt
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    write_file(
+        [(99, 1, t(12, 0), 1.0), (3, 1, t(10, 3), 1.0), (4, 1, t(10, 4), 1.0),
+         (5, 1, t(10, 5), 1.0), (6, 1, t(10, 6), 1.0)],
+        "a_newer",
+    )
+    # file b_older (processed second): strictly older events — a
+    # naive "last chunk wins" would overwrite last_event_id with 8
+    write_file([(7, 1, t(9, 0), 1.0), (8, 1, t(9, 30), 1.0)], "b_older")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    old_chunk = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        got = sevents.run_to_memory(
+            track_user_activity(stream),
+            checkpoint_dir=str(tmp_path / f"ck_{uuid.uuid4().hex[:8]}"),
+            output_mode="update",
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_chunk)
+    # final profile = the emission with the max n_events (monotone)
+    final = max(got, key=lambda r: r.n_events)
+    assert final.n_events == 7
+    assert final.last_event_id == 99, got
+
+
 def test_transform_with_state_user_tracker(spark, sf_dir, tmp_path):
     """Spark 4 transformWithStateInPandas twin of the
     applyInPandasWithState tracker. The API needs grpcio (absent in
