@@ -97,6 +97,10 @@ def extract_features_histogram(df: DataFrame) -> DataFrame:
         for pdf in batches:
             counts, feats = [], []
             for payload in pdf["payload"]:
+                # NULL payload (e.g. encode(NULL text)) => zero histogram,
+                # same defense as resize_media — a None here would raise
+                # TypeError and abort the job after 4 task retries
+                payload = payload or b""
                 hist = [0] * FEATURE_DIM
                 for byte in payload:
                     hist[byte % FEATURE_DIM] += 1

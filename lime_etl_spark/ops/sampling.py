@@ -20,12 +20,33 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _bucket(col: Column, buckets: int = 100) -> Column:
-    """Portable hash bucket in [0, buckets): first 15 md5 hex digits as
-    int64 (non-negative), mod buckets. Matches DuckDB
-    ('0x'||substr(md5(x),1,15))::BIGINT % buckets."""
-    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("bigint")
-    return h % F.lit(buckets)
+def _key_hash(key_col: str, salt: str = "") -> Column:
+    """Portable 60-bit content hash of (key, salt): first 15 md5 hex
+    digits as int64 (non-negative). The ONE construction every
+    deterministic-membership operator in this module derives from —
+    editing the expression here is the only way to change it, so the
+    split/sample/pack family can never silently disagree on what
+    "hash of the key" means (they did share it only by copy-paste
+    before a round-6 review).
+
+    NULL keys hash as '' — assigned deterministically like any other
+    value, never silently dropped (the old concat(NULL, salt) made the
+    whole hash NULL, so with_split piled every NULL-key row into
+    'eval' while deterministic_sample dropped the same rows entirely).
+    A NULL key therefore collides with the empty-string key; callers
+    that must distinguish them should filter or repair NULLs upstream.
+    Matches DuckDB ('0x'||substr(md5(coalesce(k::VARCHAR,'')||salt),
+    1,15))::BIGINT.
+    """
+    keyed = F.concat(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("")), F.lit(salt)
+    )
+    return F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("bigint")
+
+
+def _bucket(key_col: str, salt: str = "", buckets: int = 100) -> Column:
+    """Hash bucket in [0, buckets) over _key_hash."""
+    return _key_hash(key_col, salt) % F.lit(buckets)
 
 
 def with_split(
@@ -39,8 +60,10 @@ def with_split(
 
     ``salt`` derives independent splits from the same keys (e.g. one
     per experiment) — concatenated into the hashed value, not a second
-    column, so the oracle twin stays a single expression."""
-    b = _bucket(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    column, so the oracle twin stays a single expression. NULL keys
+    are assigned like the empty-string key (see _key_hash), not routed
+    wholesale into one split."""
+    b = _bucket(key_col, salt)
     return df.withColumn(
         out, F.when(b < train_pct, F.lit("train")).otherwise(F.lit("eval"))
     )
@@ -55,9 +78,10 @@ def deterministic_sample(
     """Deterministic ~pct% sample: hash(key + salt) bucket < pct. The
     hash is uniform, so any stratum (label, language, source) thins by
     the same factor without per-stratum state — stratification for
-    free, reproducible across runs and engines."""
-    b = _bucket(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
-    return df.filter(b < pct)
+    free, reproducible across runs and engines. NULL keys participate
+    (hashed as '', see _key_hash) instead of being silently dropped by
+    a NULL comparison."""
+    return df.filter(_bucket(key_col, salt) < pct)
 
 
 def stratified_sample_exact(
@@ -79,13 +103,7 @@ def stratified_sample_exact(
     """
     from pyspark.sql import Window
 
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    h = _key_hash(key_col, salt)
     w = Window.partitionBy(strata_col).orderBy("__h", key_col)
     return (
         df.withColumn("__h", h)
@@ -118,7 +136,7 @@ def weighted_resample(
     rides inline as a literal CASE chain (sorted for determinism), not
     a join — rebalancing maps are dozens of entries, never data-sized.
     """
-    b = _bucket(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    b = _bucket(key_col, salt)
     rate: Column = F.lit(default_pct)
     for value, pct in sorted(rates.items(), key=lambda kv: str(kv[0])):
         rate = F.when(F.col(strata_col) == F.lit(value), F.lit(pct)).otherwise(rate)
@@ -159,7 +177,16 @@ def global_shuffle_rank(
     position; the checkpoint is the in-session stand-in and costs what
     that shuffle-write would.
     """
-    h = F.md5(F.concat_ws("-", F.col(key_col).cast("string"), F.lit(seed)))
+    # coalesce, not concat_ws NULL-skipping: concat_ws made every
+    # NULL-key row hash to md5(seed) with a NULL tiebreak — equal sort
+    # keys, so their ranks were nondeterministic (and diverged from the
+    # oracle's NULL-propagating ||). NULL hashes as '' like _key_hash.
+    h = F.md5(
+        F.concat(
+            F.coalesce(F.col(key_col).cast("string"), F.lit("")),
+            F.lit(f"-{seed}"),
+        )
+    )
     return _two_phase_rank(
         df.withColumn("__h", h), ["__h", key_col], out, partitions
     ).drop("__h")
@@ -249,19 +276,21 @@ def pack_sequences(
     standard streaming approximation; exact first-fit is sequential).
     Oversized docs therefore inflate their bin: chunk them first
     (text chunking) when a hard cap matters.
+
+    Rows with a NULL ``length_col`` are EXCLUDED from packing: an
+    unknown token count can neither advance the running total nor be
+    budgeted, and the old behavior (NULL cumsum diff ⇒ NULL bin)
+    silently funneled every such doc corpus-wide into one meaningless
+    NULL bin that pack_materialize then shipped to the trainer as a
+    single unbounded training row. Count NULL lengths upstream
+    (quality.not_null) if they must be zero.
     """
     from pyspark.sql import Window
 
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    df = df.filter(F.col(length_col).isNotNull())
     w = Window.partitionBy("pack_bucket").orderBy("__h", key_col)
     out = (
-        df.withColumn("__h", h)
+        df.withColumn("__h", _key_hash(key_col, salt))
         .withColumn("pack_bucket", (F.col("__h") % F.lit(n_buckets)).cast("bigint"))
         .withColumn("__cum", F.sum(length_col).over(w))
         .withColumn(
@@ -302,13 +331,7 @@ def pack_materialize(
     docs), so reassembly memory is capped by construction — unlike
     per-doc grouping, bins cannot be pathologically large.
     """
-    order_h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    order_h = _key_hash(key_col, salt)
     member = F.struct(
         order_h.alias("h"),
         F.col(key_col).alias("k"),

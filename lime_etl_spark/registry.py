@@ -3579,7 +3579,7 @@ def text_vocabulary(spark, sf_dir):
     "split_assignments",
     oracle="""
     SELECT doc_id,
-           CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || 'r2'), 1, 15))::BIGINT % 100 < 90
+           CASE WHEN ('0x' || substr(md5(coalesce(doc_id::VARCHAR, '') || 'r2'), 1, 15))::BIGINT % 100 < 90
                 THEN 'train' ELSE 'eval' END AS split
     FROM documents
     """,
@@ -3602,7 +3602,7 @@ def split_assignments(spark, sf_dir):
     oracle="""
     SELECT doc_id
     FROM documents
-    WHERE ('0x' || substr(md5(doc_id::VARCHAR || 's1'), 1, 15))::BIGINT % 100 < 10
+    WHERE ('0x' || substr(md5(coalesce(doc_id::VARCHAR, '') || 's1'), 1, 15))::BIGINT % 100 < 10
     """,
 )
 def sample_10pct_docs(spark, sf_dir):
@@ -3620,7 +3620,7 @@ def sample_10pct_docs(spark, sf_dir):
     "sample_global_shuffle",
     oracle="""
     SELECT doc_id,
-           CAST(row_number() OVER (ORDER BY md5(doc_id::VARCHAR || '-42'), doc_id)
+           CAST(row_number() OVER (ORDER BY md5(coalesce(doc_id::VARCHAR, '') || '-42'), doc_id)
                 AS BIGINT) AS shuffle_rank
     FROM documents
     """,
@@ -3697,11 +3697,11 @@ def corpus_snapshot_diff(spark, sf_dir):
     oracle="""
     WITH kept AS (
       SELECT doc_id, source FROM documents
-      WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'mix1'), 1, 15))::BIGINT % 100
+      WHERE ('0x' || substr(md5(coalesce(doc_id::VARCHAR, '') || 'mix1'), 1, 15))::BIGINT % 100
             < CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 30
                           WHEN 'src2' THEN 10 ELSE 50 END)
     SELECT doc_id, source,
-           CAST(row_number() OVER (ORDER BY md5(doc_id::VARCHAR || '-epoch1'),
+           CAST(row_number() OVER (ORDER BY md5(coalesce(doc_id::VARCHAR, '') || '-epoch1'),
                                    doc_id) AS BIGINT) AS shuffle_rank
     FROM kept
     """,
@@ -3954,9 +3954,10 @@ def streaming_click_purchase_join(spark, sf_dir):
     WITH t AS (
       SELECT doc_id,
              len({_TOKS_CTE}) AS n_tokens,
-             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+             ('0x' || substr(md5(coalesce(doc_id::VARCHAR, '')), 1, 15))::BIGINT AS h
       FROM documents),
-    b AS (SELECT doc_id, n_tokens, h, h % 8 AS pack_bucket FROM t),
+    b AS (SELECT doc_id, n_tokens, h, h % 8 AS pack_bucket FROM t
+          WHERE n_tokens IS NOT NULL),
     c AS (
       SELECT doc_id, n_tokens, pack_bucket,
              CAST(sum(n_tokens) OVER (PARTITION BY pack_bucket
@@ -4130,7 +4131,7 @@ def text_length_histogram(spark, sf_dir):
     oracle="""
     WITH flagged AS (
       SELECT label, vec_id,
-             ('0x' || substr(md5(vec_id::VARCHAR || 'w1'), 1, 15))::BIGINT % 100
+             ('0x' || substr(md5(coalesce(vec_id::VARCHAR, '') || 'w1'), 1, 15))::BIGINT % 100
                < CASE label WHEN 0 THEN 100 WHEN 1 THEN 50 WHEN 2 THEN 25
                             WHEN 3 THEN 10 ELSE 5 END AS kept
       FROM embeddings)
@@ -4382,9 +4383,10 @@ def dedup_simhash_near_pairs(spark, sf_dir):
     WITH t AS (
       SELECT doc_id, text,
              len({_TOKS_CTE}) AS n_tokens,
-             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+             ('0x' || substr(md5(coalesce(doc_id::VARCHAR, '')), 1, 15))::BIGINT AS h
       FROM documents),
-    b AS (SELECT doc_id, text, n_tokens, h, h % 8 AS pack_bucket FROM t),
+    b AS (SELECT doc_id, text, n_tokens, h, h % 8 AS pack_bucket FROM t
+          WHERE n_tokens IS NOT NULL),
     c AS (
       SELECT doc_id, text, n_tokens, h, pack_bucket,
              CAST(sum(n_tokens) OVER (PARTITION BY pack_bucket
@@ -4426,7 +4428,7 @@ def pack_materialized_docs(spark, sf_dir):
       SELECT label, vec_id,
              row_number() OVER (
                PARTITION BY label
-               ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || 'e1'), 1, 15))::BIGINT,
+               ORDER BY ('0x' || substr(md5(coalesce(vec_id::VARCHAR, '') || 'e1'), 1, 15))::BIGINT,
                         vec_id) AS rn
       FROM embeddings)
     SELECT label, vec_id FROM r WHERE rn <= 20

@@ -94,6 +94,20 @@ def test_attach_binary_and_features(spark):
     assert sum(out[2].bin_counts) == 0
 
 
+def test_histogram_null_payload(spark):
+    """NULL payloads (encode(NULL text) is NULL) yield a zero histogram
+    rather than crashing the Arrow batch with a None iteration — the
+    same defense resize_media already had; the registry oracle filters
+    n_bytes > 0, so a zero histogram keeps parity (zero rows emitted)."""
+    df = spark.createDataFrame(
+        [(1, None, None), (2, b"ab", 2)],
+        "media_id BIGINT, payload BINARY, byte_len BIGINT",
+    )
+    out = {r.media_id: r for r in multimodal.extract_features_histogram(df).collect()}
+    assert sum(out[1].bin_counts) == 0
+    assert sum(out[2].bin_counts) == 2
+
+
 def test_frame_sampling(spark):
     df = spark.createDataFrame([(1, "0123456789abcdef")], "doc_id BIGINT, text STRING")
     media = multimodal.attach_binary_payload(df, "doc_id", "text")

@@ -238,6 +238,62 @@ def test_split_deterministic_and_proportional(spark, sf_dir):
     assert samp <= {d for d, _ in s1}
 
 
+def test_sampling_null_keys_unified_and_never_dropped(spark):
+    """NULL keys hash as '' (one shared _key_hash): with_split assigns
+    them a real split by the same bucket rule as everything else (the
+    old concat(NULL, salt) NULLed the hash and dumped every NULL-key
+    row into 'eval'), deterministic_sample keeps/drops them by the
+    same rule instead of silently deleting them, and the two operators
+    AGREE — a NULL-key row is sampled iff its bucket passes, exactly
+    like the empty-string key it collides with."""
+    from lime_etl_spark.ops import sampling
+
+    df = spark.createDataFrame(
+        [(None, "a"), ("", "b"), ("k1", "c"), ("k2", "d")],
+        "key STRING, payload STRING",
+    )
+    split = {r.payload: r.split for r in sampling.with_split(df, "key").collect()}
+    # NULL and '' collide by design => identical assignment
+    assert split["a"] == split["b"]
+    # membership matches with_split's bucket rule for every pct
+    for pct in (0, 50, 100):
+        kept = {
+            r.payload
+            for r in sampling.deterministic_sample(df, "key", pct=pct).collect()
+        }
+        expected = {
+            p
+            for p, s in {
+                r.payload: r.split
+                for r in sampling.with_split(df, "key", train_pct=pct).collect()
+            }.items()
+            if s == "train"
+        }
+        assert kept == expected, pct
+    assert "a" in {  # NULL-key rows are never silently dropped
+        r.payload for r in sampling.deterministic_sample(df, "key", pct=100).collect()
+    }
+
+
+def test_pack_sequences_null_length_excluded(spark):
+    """Docs with NULL length are excluded from packing (an unknown
+    token count can't be budgeted); they used to collapse corpus-wide
+    into one NULL pack_bin that pack_materialize shipped as a single
+    unbounded training row."""
+    from lime_etl_spark.ops.sampling import pack_materialize, pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "aa", 2), (2, None, None), (3, "bbb", 3), (4, None, None)],
+        "doc_id BIGINT, text STRING, n_tokens BIGINT",
+    )
+    packed = pack_sequences(docs, budget=100, n_buckets=2)
+    assert {r.doc_id for r in packed.collect()} == {1, 3}
+    assert all(r.pack_bin is not None for r in packed.collect())
+    mat = pack_materialize(packed).collect()
+    assert sum(r.n_docs for r in mat) == 2
+    assert all(r.total_tokens is not None for r in mat)
+
+
 def test_connected_components_chain_and_islands(spark):
     """Min-label propagation: a 4-node chain (diameter 3 — needs
     multiple rounds), a separate 2-node island, and a triangle that
