@@ -241,7 +241,10 @@ def drift_report(
     Returns one row per occupied bin: (bin BIGINT, n_ref BIGINT,
     n_cur BIGINT, tvd DOUBLE — the same total repeated per row so a
     single-row consumer can filter bin = -1 … or read any row).
-    Bin -1 = underflow, n_bins = overflow (vs the ref range).
+    Bin -1 = underflow, n_bins = overflow (vs the ref range). If the
+    reference snapshot is EMPTY there is no bin grid at all: current
+    rows bin to NULL (and tvd is NULL) — explicit "nothing to compare
+    against", never a histogram that pretends the mass sits in a bin.
     """
     stats = ref.agg(
         F.min(column).alias("__lo"),
@@ -257,7 +260,13 @@ def drift_report(
             F.floor((F.col(column) - F.col("__lo")) / width)
         )
         b = (
-            F.when(F.col(column) < F.col("__lo"), F.lit(-1))
+            # an EMPTY reference defines no bin grid: current-side rows
+            # bin to NULL ("no grid"), not to n_bins-1 — least() skips
+            # NULL args, so the raw NULL used to collapse ALL current
+            # mass into the top bin, a silently wrong histogram even
+            # though tvd was already correctly NULL
+            F.when(F.col("__lo").isNull(), F.lit(None).cast("bigint"))
+            .when(F.col(column) < F.col("__lo"), F.lit(-1))
             .when(F.col(column) > F.col("__hi"), F.lit(n_bins))
             .otherwise(F.least(raw, F.lit(n_bins - 1)))
         )

@@ -25,7 +25,7 @@ def gap_fill(
     ts_col: str = "ts",
     value_col: str = "value",
     bucket: str = "30 minutes",
-    bucket_interval: str = "INTERVAL 30 MINUTES",
+    bucket_interval: str | None = None,
 ) -> DataFrame:
     """Per-entity dense time grid: one row for EVERY bucket between the
     entity's first and last event — zero-filled counts/sums, a gap
@@ -33,11 +33,21 @@ def gap_fill(
     silent buckets (the 'last known reading' semantics dashboards and
     feature pipelines need).
 
+    The grid step is DERIVED from ``bucket`` ("30 minutes" ⇒
+    "INTERVAL 30 minutes"); ``bucket_interval`` stays overridable for
+    interval forms Spark can't parse from the window string, but the
+    two used to be independent required-matching parameters — a caller
+    passing bucket="1 hour" with the old 30-minute interval default
+    got a mis-phased grid where real buckets never joined, every other
+    row read as a gap, and no error fired.
+
     Plan: one aggregation to buckets, a per-entity min/max, a
     sequence-explode onto the grid (bounded by the entity's own active
     span — not a corpus-wide calendar), a left join back, and one
     forward-fill window. Every wide step is keyed on the entity.
     """
+    if bucket_interval is None:
+        bucket_interval = f"INTERVAL {bucket}"
     w = F.window(ts_col, bucket)
     actual = (
         df.groupBy(F.col(user_col), w.alias("__w"))
@@ -88,7 +98,11 @@ def zscore_anomalies(
     (current row excluded — the score never sees the value it judges).
 
     Events with fewer than 2 prior observations get a NULL score and
-    are never flagged.
+    are never flagged. A ZERO trailing std (constant history) also
+    yields a NULL score — no finite z exists — but IS flagged whenever
+    the value deviates from that constant: the flat-line-then-spike
+    pattern is an anomaly at any threshold, not a division-by-zero
+    blind spot.
 
     Exactness: avg()/stddev() over a SLIDING frame accumulate
     differently across engines (running add/remove vs segment trees),
@@ -117,6 +131,13 @@ def zscore_anomalies(
         n >= 2, F.sqrt(F.greatest(var100, F.lit(0.0))) / F.lit(100.0)
     )
     z = (F.col(value_col) - mean) / F.nullif(std, F.lit(0.0))
+    # zero trailing std = a perfectly constant history; any deviation
+    # from it is the most extreme anomaly possible (z is mathematically
+    # infinite), but z computes as NULL — so the flag checks that case
+    # explicitly instead of silently never firing on the textbook
+    # flat-line-then-spike pattern. zscore itself stays NULL (there is
+    # no finite score to report).
+    flat_line_break = (std == F.lit(0.0)) & (F.col(value_col) != mean)
     return df.select(
         order_tiebreak,
         user_col,
@@ -125,5 +146,7 @@ def zscore_anomalies(
         mean.alias("trail_mean"),
         std.alias("trail_std"),
         z.alias("zscore"),
-        F.coalesce(F.abs(z) >= z_threshold, F.lit(False)).alias("is_anomaly"),
+        F.coalesce(
+            F.abs(z) >= z_threshold, flat_line_break, F.lit(False)
+        ).alias("is_anomaly"),
     )

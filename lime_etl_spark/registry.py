@@ -4648,6 +4648,7 @@ def events_gap_filled(spark, sf_dir):
     SELECT event_id, user_id, ts, value, trail_mean, trail_std,
            (value - trail_mean) / nullif(trail_std, 0) AS zscore,
            coalesce(abs((value - trail_mean) / nullif(trail_std, 0)) >= 3.0,
+                    trail_std = 0 AND value <> trail_mean,
                     false) AS is_anomaly
     FROM z
     """,
@@ -5333,14 +5334,16 @@ def streaming_funnel(spark, sf_dir):
       WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL),
     st AS (SELECT min(v) AS lo, max(v) AS hi FROM refv),
     rb AS (
-      SELECT CASE WHEN v < lo THEN -1 WHEN v > hi THEN 10
+      SELECT CASE WHEN lo IS NULL THEN NULL
+                  WHEN v < lo THEN -1 WHEN v > hi THEN 10
                   ELSE least(CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
                                   ELSE CAST(floor((v - lo) / ((hi - lo) / 10.0))
                                             AS BIGINT) END,
                              CAST(9 AS BIGINT)) END AS bin
       FROM refv, st),
     cb AS (
-      SELECT CASE WHEN v < lo THEN -1 WHEN v > hi THEN 10
+      SELECT CASE WHEN lo IS NULL THEN NULL
+                  WHEN v < lo THEN -1 WHEN v > hi THEN 10
                   ELSE least(CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
                                   ELSE CAST(floor((v - lo) / ((hi - lo) / 10.0))
                                             AS BIGINT) END,

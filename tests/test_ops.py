@@ -165,6 +165,47 @@ def test_zscore_flags_spike_not_baseline(spark):
     assert out[0]["zscore"] is None  # no priors -> unscored, never flagged
 
 
+def test_zscore_flags_flat_line_then_spike(spark):
+    """Zero trailing std (constant history) makes z NULL — the break
+    from a flat line must still be FLAGGED (it is the most extreme
+    anomaly possible), while continuations of the flat line are not."""
+    from datetime import datetime, timedelta
+
+    from lime_etl_spark.ops import timeseries
+
+    base = datetime(2024, 1, 1)
+    rows = [(i, 1, base + timedelta(minutes=i), 5.0) for i in range(10)]
+    rows.append((99, 1, base + timedelta(minutes=99), 1000.0))  # the break
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, value double"
+    )
+    out = {r["event_id"]: r for r in timeseries.zscore_anomalies(df).collect()}
+    assert out[99]["is_anomaly"] and out[99]["zscore"] is None
+    assert out[99]["trail_std"] == 0.0
+    # flat-line continuations: std 0 but value == mean -> not anomalous
+    assert not any(out[i]["is_anomaly"] for i in range(10))
+
+
+def test_gap_fill_interval_derived_from_bucket(spark):
+    """The grid step derives from the bucket width — bucket='1 hour'
+    must produce an HOURLY grid (the old independent 30-minute interval
+    default mis-phased the grid: real buckets never joined and every
+    other row read as a phantom gap)."""
+    from datetime import datetime
+
+    from lime_etl_spark.ops import timeseries
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 10), 10.0),
+        (1, datetime(2024, 1, 1, 3, 40), 40.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    out = timeseries.gap_fill(df, bucket="1 hour").orderBy("bucket_start").collect()
+    assert len(out) == 4  # 00:00 01:00 02:00 03:00 — hourly, not 30-min
+    assert [r["n_events"] for r in out] == [1, 0, 0, 1]
+    assert [r["is_gap"] for r in out] == [False, True, True, False]
+
+
 def test_table_diff_semantics_and_null_sentinel(spark):
     """added/removed/changed classification; unchanged rows dropped;
     ("a", NULL) must NOT collide with ("a", "") (chr(1) sentinel)."""

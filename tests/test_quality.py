@@ -141,3 +141,17 @@ def test_drift_empty_snapshot_yields_null_not_nan(spark):
     empty = spark.createDataFrame([], "v double")
     rows = Q.drift_report(ref, empty, "v", n_bins=4).collect()
     assert rows and all(r["tvd"] is None for r in rows)
+
+
+def test_drift_empty_reference_bins_null_not_top_bin(spark):
+    """An empty REFERENCE defines no bin grid: current rows bin to NULL
+    ("nothing to compare against"), not to n_bins-1 — least() skips
+    NULL args, so the NULL raw bin used to collapse ALL current mass
+    into the top bin, a silently wrong histogram even with tvd NULL."""
+    empty = spark.createDataFrame([], "v double")
+    cur = spark.createDataFrame([(1.0,), (50.0,), (99.0,)], "v double")
+    rows = Q.drift_report(empty, cur, "v", n_bins=10).collect()
+    assert len(rows) == 1
+    assert rows[0]["bin"] is None
+    assert rows[0]["n_cur"] == 3 and rows[0]["n_ref"] == 0
+    assert rows[0]["tvd"] is None
