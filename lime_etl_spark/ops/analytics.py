@@ -97,6 +97,7 @@ def salted_join(
     key: str,
     salt: int = 8,
     how: str = "inner",
+    spread_col: str | None = None,
 ) -> DataFrame:
     """Skew-mitigating equi-join: the (large, skewed) left side gets a
     deterministic salt derived from its full row hash; the (smaller)
@@ -107,11 +108,30 @@ def salted_join(
     AQE's skew-join handles most cases at runtime; explicit salting
     remains for aggregation-under-join pipelines AQE can't split and for
     deterministic plan shape. Deterministic salt (hash of row, not
-    rand()): retries and re-runs place rows identically.
+    rand()): retries and re-runs place rows identically, with no
+    indeterminate-stage rollback on fetch failure.
+
+    SHARP EDGE of any deterministic salt: rows that are byte-identical
+    ACROSS ALL COLUMNS are indistinguishable, so they necessarily land
+    in one bucket — a raw at-least-once event log whose hot-key rows
+    are exact duplicates re-concentrates in a single reducer. No
+    deterministic function can spread them; run dedup_exact (or a
+    pre-aggregation) first if that shape is possible in the input.
+    Pass ``spread_col`` (a unique or near-unique column: event id,
+    offset) to salt on hash(key, spread_col) instead of the whole row
+    — same determinism, one hash input instead of every column of a
+    wide row. The join RESULT is identical under any salt choice (the
+    right side is replicated across every bucket); only the physical
+    row placement changes.
     """
     if how not in {"inner", "left"}:
         raise ValueError("salted_join supports inner/left joins")
-    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    salt_inputs = (
+        [F.col(key), F.col(spread_col)]
+        if spread_col is not None
+        else [F.col(c) for c in left.columns]
+    )
+    lsalt = F.pmod(F.xxhash64(*salt_inputs), F.lit(salt))
     l = left.withColumn("__salt", lsalt)
     r = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

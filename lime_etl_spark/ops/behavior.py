@@ -306,6 +306,14 @@ def funnel_latencies(
     consumers derive averages/rates from (sum, n). Same single
     user-key exchange as funnel() — the latency columns are one more
     projection over the already-computed step timestamps.
+
+    ONE aggregation pass for all transitions: every leg's six stats
+    are conditional aggregates in a single .agg() emitting one struct
+    per transition, exploded into rows. The previous shape unioned
+    len(steps)-1 independent global aggregations, so the per-user
+    window chain and user-level groupBy re-ran over the full fact
+    table once per transition — a 5-step funnel paid the expensive
+    subtree four times.
     """
     if len(steps) < 2:
         raise ValueError("funnel_latencies needs at least two steps")
@@ -318,17 +326,22 @@ def funnel_latencies(
         gap = F.expr(
             f"(unix_micros(__t{i}) - unix_micros(__t{i - 1})) div 1000000"
         )
+        converted = F.col(step_cols[i]).isNotNull()
+        gap_if_converted = F.when(converted, gap)
         legs.append(
-            per_user.filter(F.col(step_cols[i]).isNotNull()).agg(
+            F.struct(
                 F.lit(f"{steps[i - 1]}->{steps[i]}").alias("transition"),
                 F.lit(i).cast("bigint").alias("step_idx"),
-                F.count(F.lit(1)).cast("bigint").alias("n_converted"),
-                F.min(gap).alias("min_seconds"),
-                F.max(gap).alias("max_seconds"),
-                F.sum(gap).cast("bigint").alias("sum_seconds"),
+                F.count(F.when(converted, F.lit(1)))
+                .cast("bigint")
+                .alias("n_converted"),
+                F.min(gap_if_converted).alias("min_seconds"),
+                F.max(gap_if_converted).alias("max_seconds"),
+                F.sum(gap_if_converted).cast("bigint").alias("sum_seconds"),
             )
         )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out
+    return (
+        per_user.agg(F.array(*legs).alias("__legs"))
+        .select(F.explode("__legs").alias("__leg"))
+        .select("__leg.*")
+    )

@@ -83,7 +83,9 @@ def stopword_count(col: Column | str, stopwords: list[str] | None = None) -> Col
     return F.size(F.filter(tokens(col), lambda t: t.isin(sw)))
 
 
-def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_text_stats(
+    df: DataFrame, text_col: str = "text", toks_col: str | None = None
+) -> DataFrame:
     """Per-document stats: tokens, chars, punctuation/digit counts,
     average token length, stopword ratio. All ratios rounded to pin the
     oracle comparison.
@@ -92,15 +94,20 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     stat derives from it — inlining `tokens()` into each stat makes
     Catalyst re-split the text per expression (no common-subexpression
     elimination across projection items), measured 5x slower.
+    ``toks_col`` lets a composing caller (filter_decisions) hand in an
+    already-materialized token column so the split isn't re-done per
+    consumer; the column is left in place for the caller to drop.
     """
-    toks = F.col("__toks")
+    reuse = toks_col is not None
+    toks = F.col(toks_col or "__toks")
     n_tok = F.size(toks)
     total_tok_len = F.aggregate(
         F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
     )
     sw = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS_EN)))
-    return (
-        df.withColumn("__toks", tokens(text_col))
+    base = df if reuse else df.withColumn("__toks", tokens(text_col))
+    out = (
+        base
         .withColumns(
             {
                 "n_tokens": n_tok,
@@ -115,16 +122,19 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                 ),
             }
         )
-        .drop("__toks")
     )
+    return out if reuse else out.drop("__toks")
 
 
-def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_quality_score(
+    df: DataFrame, text_col: str = "text", toks_col: str | None = None
+) -> DataFrame:
     """Heuristic quality score in [0,1] (Gopher-style length/ratio
     gates, simplified): penalize too-short docs, punctuation-free walls
     of text, and stopword-free token soup. Deterministic + oracle-exact.
+    ``toks_col``: see with_text_stats.
     """
-    stats = with_text_stats(df, text_col)
+    stats = with_text_stats(df, text_col, toks_col=toks_col)
     # NOTE: no final round() — the three components are already derived
     # from pinned (rounded) stats, and a trailing round at a .xxxx5
     # boundary is engine-dependent (Spark HALF_UP on decimal expansion
@@ -146,12 +156,15 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return stats.withColumn("quality_score", score)
 
 
-def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_lang_id(
+    df: DataFrame, text_col: str = "text", toks_col: str | None = None
+) -> DataFrame:
     """Marker-word language ID.
 
     Counts marker hits per language over the token array and takes the
     argmax with a fixed priority tie order (LANG_PRIORITY). At 100 TB
     this stays a narrow projection — no shuffle, no UDF.
+    ``toks_col``: see with_text_stats.
     """
     def _hits(words: list[str]):
         # closure factory: a default-arg lambda would have TWO params,
@@ -159,16 +172,27 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         return lambda t: t.isin(words)
 
     # token array materialized once (see with_text_stats docstring)
+    reuse = toks_col is not None
+    tcol = toks_col or "__toks"
     hit_cols = {
-        f"__hits_{lang}": F.size(F.filter(F.col("__toks"), _hits(words)))
+        f"__hits_{lang}": F.size(F.filter(F.col(tcol), _hits(words)))
         for lang, words in LANG_MARKERS.items()
     }
-    out = df.withColumn("__toks", tokens(text_col)).withColumns(hit_cols)
+    base = df if reuse else df.withColumn("__toks", tokens(text_col))
+    out = base.withColumns(hit_cols)
     best = F.greatest(*[F.col(c) for c in hit_cols])
     pred = F.when(best <= 0, F.lit("und"))
     for lang in LANG_PRIORITY:
         pred = pred.when(F.col(f"__hits_{lang}") == best, F.lit(lang))
-    return out.withColumn("lang_pred", pred).drop("__toks", *hit_cols.keys())
+    out = out.withColumn("lang_pred", pred).drop(*hit_cols.keys())
+    return out if reuse else out.drop("__toks")
+
+
+def _fingerprint_of(toks: Column) -> Column:
+    """md5 of the canonical token stream — the ONE fingerprint
+    definition (with_fingerprint and filter_decisions both derive from
+    it, so the dedup key they share can never silently fork)."""
+    return F.md5(F.concat_ws(" ", toks))
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
@@ -178,9 +202,7 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerpr
     whitespace/case-only differences — the useful notion of "same
     document" for dedup at scale.
     """
-    return df.withColumn(
-        out, F.md5(F.concat_ws(" ", tokens(text_col)))
-    )
+    return df.withColumn(out, _fingerprint_of(tokens(text_col)))
 
 
 def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
@@ -377,12 +399,22 @@ def filter_decisions(
     and least() (which skips NULL args) manufactures a nonzero quality
     score — a null-text doc would sail through the filter. As empty
     text it dedups/fails-short like any other empty doc.
+
+    The token array is split ONCE and shared by all three consumers
+    (stats, lang ID, fingerprint) via their ``toks_col`` hooks — the
+    module's materialize-tokens-once rule; inlining tokens() per
+    consumer re-split the text three times per row.
     """
     df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
-    scored = with_lang_id(with_quality_score(df, text_col), text_col)
+    df = df.withColumn("__toks", tokens(text_col))
+    scored = with_lang_id(
+        with_quality_score(df, text_col, toks_col="__toks"),
+        text_col,
+        toks_col="__toks",
+    )
     w = Window.partitionBy("__fp")
     out = scored.withColumn(
-        "__fp", F.md5(F.concat_ws(" ", tokens(text_col)))
+        "__fp", _fingerprint_of(F.col("__toks"))
     ).withColumn("__canon", F.min(id_col).over(w))
     is_dup = F.col(id_col) != F.col("__canon")
     reason = (

@@ -276,6 +276,32 @@ def test_funnel_latencies_exact_seconds(spark):
     )
 
 
+def test_funnel_latencies_single_pass_all_transitions(spark):
+    """All transitions come from ONE aggregation over the per-user step
+    times (conditional aggregates per leg, exploded): the plan contains
+    no Union — the old shape unioned one full window-chain+groupBy
+    subtree per transition. A 3-step funnel with an unconverted middle
+    user pins the conditional-count semantics leg by leg."""
+    ev = _events(
+        spark,
+        [
+            (1, "a", _ts(1, 0)), (1, "b", _ts(1, 1)), (1, "c", _ts(1, 3)),
+            (2, "a", _ts(1, 0)), (2, "b", _ts(1, 2)),   # never reaches c
+            (3, "a", _ts(1, 0)),                        # never reaches b
+        ],
+    )
+    out = behavior.funnel_latencies(ev, ["a", "b", "c"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    rows = {r["transition"]: r for r in out.collect()}
+    assert rows["a->b"]["n_converted"] == 2
+    assert rows["a->b"]["min_seconds"] == 3600
+    assert rows["a->b"]["max_seconds"] == 7200
+    assert rows["b->c"]["n_converted"] == 1
+    assert rows["b->c"]["sum_seconds"] == 7200
+    assert rows["a->b"]["step_idx"] == 1 and rows["b->c"]["step_idx"] == 2
+
+
 def test_scd2_single_key_exchange(spark, sf_dir):
     """Both window passes (transition lag + resolve lead/row_number)
     share ONE hash exchange on the key."""

@@ -36,6 +36,34 @@ def test_salted_join_splits_hot_key(spark):
     assert out.count() == analytics.salted_join(left, right, key="k", salt=8).count()
 
 
+def test_salted_join_spread_col_result_equal_and_spreads(spark):
+    """spread_col salts on hash(key, spread_col) — one narrow hash
+    input instead of every column of a wide row — while the join
+    RESULT stays identical to the full-row-salt default (the right
+    side is replicated across every bucket, so salt choice can only
+    move rows, never change them). The spread itself actually happens:
+    a single hot key's 10k unique event ids cover all 8 buckets."""
+    n = 10_000
+    left = spark.range(n).select(
+        F.lit(0).alias("k"),
+        F.lit("payload").alias("payload"),
+        F.col("id").alias("event_id"),
+    )
+    right = spark.createDataFrame([(0, "hot")], "k BIGINT, tag STRING")
+    a = analytics.salted_join(left, right, key="k", salt=8).collect()
+    b = analytics.salted_join(
+        left, right, key="k", salt=8, spread_col="event_id"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == n
+    spread_salts = (
+        left.select(F.pmod(F.xxhash64("k", "event_id"), F.lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert spread_salts == 8
+
+
 def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
