@@ -123,7 +123,11 @@ def main() -> None:
                 # execute eagerly at plan construction, so their
                 # exec-only entry IS their fresh-plan warm time
                 "eager_plan_queries": [n for n, q in headline if q.eager_plan],
-                "runs_per_query": {"standard": 5, "eager_plan": 3},
+                # total executions per query: standard = 1 cold + 2
+                # warm + 1 plan-compile + 2 exec-only; eager_plan =
+                # 1 cold + 2 warm (the built-plan re-run is skipped —
+                # it would time only the final projection)
+                "runs_per_query": {"standard": 6, "eager_plan": 3},
                 "steady_state": "min of 2 warm runs",
             }
         )

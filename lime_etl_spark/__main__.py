@@ -41,7 +41,15 @@ def _build_parser() -> argparse.ArgumentParser:
     pipe.add_argument("name", choices=["nps", "returns", "orders_shipped"])
     pipe.add_argument("--export", required=True, help="LimeSurvey JSON export file")
     pipe.add_argument("--out", required=True, help="output directory (CSV)")
-    pipe.add_argument("--run-ts", default="1970-01-01 00:00:00")
+    pipe.add_argument(
+        "--run-ts",
+        default=None,
+        help="audit timestamp stamped into updated_ts (format "
+        "'YYYY-MM-DD HH:MM:SS'); defaults to the current UTC time — "
+        "the old epoch default silently stamped 1970-01-01 into every "
+        "row, which a lexicographic idempotency window then treats as "
+        "older than every prior load",
+    )
 
     prep = sub.add_parser(
         "prepare-corpus",
@@ -142,7 +150,13 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark(f"cli-pipeline-{args.name}")
         flat = read_survey_export_json(spark, args.export)
-        out = getattr(surveys, args.name)(flat, args.run_ts)
+        run_ts = args.run_ts
+        if run_ts is None:
+            from datetime import datetime, timezone
+
+            run_ts = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+            print(f"--run-ts not given; stamping current UTC time {run_ts}")
+        out = getattr(surveys, args.name)(flat, run_ts)
         write_csv(out, args.out)
         print(f"wrote {args.out}")
         return 0
@@ -210,13 +224,17 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("cli-skew")
         keys = args.keys.split(",")
         df = spark.read.parquet(args.path)
-        st = SK.skew_stats(df, keys)
+        # one key aggregate feeds both halves (skew_report) — the old
+        # skew_stats + key_histogram pair scanned the table twice
+        st, top = SK.skew_report(df, keys, top_k=args.top)
         print(
             f"rows={st.n_rows} keys={st.n_keys} max_key_rows={st.max_key_rows} "
             f"skew_factor={st.skew_factor:.2f} "
             f"recommended_salt={st.recommended_salt()}"
         )
-        SK.key_histogram(df, keys, top_k=args.top).show(args.top, truncate=False)
+        for r in top:
+            key_part = " ".join(f"{k}={r[k]}" for k in keys)
+            print(f"{key_part} n_rows={r['n_rows']} share={r['share']}")
         return 0
 
     if args.cmd == "compact":

@@ -73,17 +73,23 @@ def pagerank(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    # scalar graph size: single-row broadcast (shape-asserted pattern,
-    # see io/sinks.py zorder stats)
+    contrib_src = e.join(outdeg, "src")
+    if materialize_inputs:
+        contrib_src = contrib_src.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
+    # scalar graph size + initial ranks derive from the (possibly
+    # checkpointed) node set — they used to be built from the
+    # pre-checkpoint lineage, so the n_nodes broadcast crossJoined into
+    # EVERY iteration re-scanned the edge input per round, defeating
+    # the knob's whole purpose (memory-pressure regimes where evicted
+    # shuffle data forces fact-table rescans)
+    # single-row broadcast (shape-asserted pattern, see io/sinks.py
+    # zorder stats)
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     pr = (
         nodes.crossJoin(F.broadcast(n_nodes))
         .select("node", F.expr(f"CAST({SCALE} AS BIGINT) DIV n_nodes").alias("pr"))
     )
-    contrib_src = e.join(outdeg, "src")
-    if materialize_inputs:
-        contrib_src = contrib_src.localCheckpoint(eager=True)
-        nodes = nodes.localCheckpoint(eager=True)
     for i in range(n_iter):
         contribs = (
             contrib_src.join(pr.withColumnRenamed("node", "src"), "src")

@@ -5,6 +5,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+_BYTE_SUFFIXES = {
+    "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def parse_byte_conf(value: object, default: int = 134217728) -> int:
+    """Spark byte-conf parser (subset): ``134217728``, ``134217728b``,
+    ``128m``, ``128MB``, ``1g`` … all valid human-set forms.
+    Unparseable input falls back to ``default`` — this helper only
+    tunes repartition heuristics, so a bad conf string must not crash
+    a query OR silently flip the heuristic the wrong way (the old
+    ensure_parallelism ``int(...rstrip('b'))`` raised on '128MB' and
+    its blanket except then FULL-REPARTITIONED arbitrarily large
+    tables). THE single definition — registry._parse_byte_conf
+    aliases it (the two had drifted into separate copies).
+    """
+    s = str(value).strip().lower()
+    num = s.rstrip("bkmgt")
+    suffix = s[len(num):]
+    if suffix and suffix not in _BYTE_SUFFIXES:
+        # '128mk', '1bg', ... — unknown suffix is garbage, not bytes
+        return default
+    try:
+        return int(num) * _BYTE_SUFFIXES.get(suffix, 1)
+    except ValueError:
+        return default
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition IF the plan is under-parallelized.
 
@@ -18,7 +47,14 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     At 100 TB this is a NO-OP by construction: a large scan already has
     ≥ parallelism splits, and blindly repartitioning would shuffle the
     whole table — the condition makes the helper safe to leave in
-    operator code paths.
+    operator code paths. Inputs on REMOTE storage (s3a://, hdfs://)
+    can't be sized from the driver's local filesystem, and their local
+    size used to read as 0 — i.e. "tiny" — so every remote scan was
+    unconditionally repartitioned, the exact catastrophic outcome the
+    size check exists to prevent. Remote inputs are now a NO-OP: at
+    lake scale the scan already has splits, and the worst case of
+    skipping the spread is a few under-parallelized tasks on a small
+    remote table, never a full-table shuffle of a large one.
     """
     import os
     from urllib.parse import urlparse
@@ -29,18 +65,21 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     # RDD just to count partitions costs ~0.7 s of driver time per call.
     try:
         files = df.inputFiles()
-        total = sum(
-            os.path.getsize(urlparse(f).path) for f in files if f.startswith("file:")
-        )
-        max_bytes = int(
-            str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")).rstrip(
-                "b"
-            )
-        )
-        if files and total >= max_bytes * target:
-            return df  # big enough to split naturally
     except Exception:
-        pass  # non-file sources: fall through to the conservative spread
+        files = []
+    if files:
+        if any(not f.startswith("file:") for f in files):
+            return df  # remote storage: never inject a blind shuffle
+        max_bytes = parse_byte_conf(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        try:
+            total = sum(os.path.getsize(urlparse(f).path) for f in files)
+        except OSError:
+            return df  # files moved underneath us: stay conservative
+        if total >= max_bytes * target:
+            return df  # big enough to split naturally
+    # in-memory relations and small local scans: cheap to spread
     return df.repartition(target)
 
 

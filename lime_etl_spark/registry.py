@@ -67,30 +67,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
-_BYTE_SUFFIXES = {
-    "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
-    "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
-}
-
-
-def _parse_byte_conf(value, default: int = 134217728) -> int:
-    """Spark byte-conf parser (subset): ``134217728``, ``134217728b``,
-    ``128m``, ``1g`` … all valid human-set forms. Unparseable input
-    falls back to ``default`` — this helper only tunes a repartition
-    heuristic, so a bad conf string must not crash the query
-    (round-3 review: the old ``rstrip("b")`` threw on ``"128m"``)."""
-    s = str(value).strip().lower()
-    num = s.rstrip("bkmgt")
-    suffix = s[len(num):]
-    if suffix and suffix not in _BYTE_SUFFIXES:
-        # '128mk', '1bg', ... — unknown suffix is garbage, not bytes
-        # (review finding: a multiplier-1 fallback returned 128 BYTES
-        # for '128mk' and made _tp massively over-repartition)
-        return default
-    try:
-        return int(num) * _BYTE_SUFFIXES.get(suffix, 1)
-    except ValueError:
-        return default
+# single definition in ops/util.py (round-6 review: ensure_parallelism
+# had grown its own broken copy of this parser); keep the old private
+# name for the call sites and tests
+from lime_etl_spark.ops.util import parse_byte_conf as _parse_byte_conf  # noqa: E402
 
 
 def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -300,9 +280,11 @@ def q4_order_priority(spark, sf_dir):
 def q5_region_revenue(spark, sf_dir):
     """TPC-H Q5 shape: 6-table star join.
 
-    nation/region/supplier are broadcast (schemas.BROADCAST_TABLES);
-    only customer⋈orders⋈lineitem shuffle. Catalyst folds the
-    region filter into the broadcast build side.
+    nation/region are broadcast (schemas.BROADCAST_TABLES — fixed-size
+    at any SF); supplier broadcasts here via AQE's size estimate at
+    fixture SFs but GROWS with SF, so it is deliberately not hinted.
+    Only customer⋈orders⋈lineitem shuffle. Catalyst folds the region
+    filter into the broadcast build side.
     """
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(

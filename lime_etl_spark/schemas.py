@@ -190,5 +190,11 @@ TESTDATA_TABLES = {
     "embeddings": EMBEDDINGS,
 }
 
-# Dimensions small enough to always broadcast in joins at any SF.
-BROADCAST_TABLES = {"region", "nation", "supplier"}
+# Dimensions small enough to always broadcast in joins at any SF:
+# region and nation are FIXED-SIZE (5 / 25 rows at every SF).
+# supplier is NOT in this set — it grows linearly with SF (10k rows
+# per SF unit, ~1e9 rows at a 100 TB-scale SF), so treating it as
+# always-broadcastable would OOM executors; let AQE decide per run.
+# Advisory for query authors (checked in doc reviews, not consumed
+# programmatically).
+BROADCAST_TABLES = {"region", "nation"}

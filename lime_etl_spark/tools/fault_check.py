@@ -170,11 +170,23 @@ def phase_retry(
     from lime_etl_spark.session import DEFAULT_SHUFFLE_PARTITIONS, get_spark
     from lime_etl_spark.tools.spill_check import content_checksum
 
-    names = queries or RETRY_QUERIES
-    if names == ["@primary"]:
-        names = list(PRIMARY_QUERIES)
-    elif names == ["@all"]:
-        names = list(REGISTRY)
+    # expand sentinels wherever they appear (they used to expand only
+    # as the whole list, so mixing @primary with one extra name — or a
+    # typo — died with a raw KeyError inside the spawned phase) and
+    # reject unknown names with the list that would have matched
+    names = []
+    for n in (queries or RETRY_QUERIES):
+        if n == "@primary":
+            names.extend(PRIMARY_QUERIES)
+        elif n == "@all":
+            names.extend(REGISTRY)
+        elif n in REGISTRY:
+            names.append(n)
+        else:
+            raise SystemExit(
+                f"unknown query {n!r} — use a registry name, @primary, or @all"
+            )
+    names = list(dict.fromkeys(names))  # de-dupe, preserve order
     spark = get_spark(
         "fault-check-retry",
         master=f"local[{DEFAULT_SHUFFLE_PARTITIONS},4]",

@@ -25,6 +25,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import time
 
 
@@ -33,6 +34,34 @@ def _sf_dir(sf: float, workdir: str) -> str:
     label = f"sf{sf:g}"
     fixture = f"/root/testdata/{label}"
     return fixture if os.path.isdir(fixture) else os.path.join(workdir, label)
+
+
+def _ensure_generated(spark, sf: float, workdir: str) -> str:
+    """Resolve (and if needed, generate) the dataset dir for ``sf``.
+
+    Driver-shipped fixtures are used as-is. GENERATED dirs carry a
+    completion marker, not a bare isdir probe: a generation killed
+    mid-write leaves a partial directory that a rerun would silently
+    time queries against (missing tables crash; a mid-table kill
+    corrupts the published ratios with no signal). No marker ⇒ the
+    directory is wiped and regenerated.
+    """
+    from lime_etl_spark.tools import datagen
+
+    sdir = _sf_dir(sf, workdir)
+    if sdir.startswith("/root/testdata"):
+        return sdir
+    marker = os.path.join(sdir, "_GENERATED")
+    if not os.path.exists(marker):
+        if os.path.isdir(sdir):
+            print(f"# sf{sf:g} at {sdir} has no completion marker "
+                  f"(partial generation?) — regenerating")
+            shutil.rmtree(sdir)
+        print(f"# generating sf{sf:g} under {sdir}")
+        datagen.generate(spark, sf, sdir)
+        with open(marker, "w") as fh:
+            fh.write("complete\n")
+    return sdir
 
 
 def assert_scale_plans(spark, sdir: str) -> dict:
@@ -197,10 +226,7 @@ def run(
     names = queries or [n for n, q in REGISTRY.items() if q.headline]
     out: dict = {"master": spark.sparkContext.master, "sfs": {}, "ratios": {}}
     for sf in sorted(sfs):
-        sdir = _sf_dir(sf, workdir)
-        if not os.path.isdir(sdir):
-            print(f"# generating sf{sf:g} under {sdir}")
-            datagen.generate(spark, sf, sdir)
+        sdir = _ensure_generated(spark, sf, workdir)
         timings: dict[str, list[float]] = {}
         for name in names:
             q = REGISTRY[name]

@@ -58,6 +58,10 @@ class SkewStats:
 def skew_stats(df: DataFrame, keys: Sequence[str]) -> SkewStats:
     """Scalar skew summary — one groupBy + one 4-value reduce."""
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    return _stats_of(counts)
+
+
+def _stats_of(counts: DataFrame) -> SkewStats:
     row = counts.agg(
         F.sum("n").alias("rows"),
         F.count(F.lit(1)).alias("keys"),
@@ -74,3 +78,34 @@ def skew_stats(df: DataFrame, keys: Sequence[str]) -> SkewStats:
         mean_key_rows=mean,
         skew_factor=(mx / mean) if mean else 0.0,
     )
+
+
+def skew_report(
+    df: DataFrame, keys: Sequence[str], top_k: int = 20
+) -> tuple[SkewStats, list]:
+    """Stats + top-k histogram from ONE key aggregate — the API the
+    module docstring promises (it used to reference a function that
+    didn't exist, and the CLI paid two full fact-table scans, one per
+    half of the answer). The counts table (one row per key) is
+    persisted across the two small reduces and released before
+    returning; the histogram comes back as collected Rows (≤ top_k of
+    them) with ``share`` derived from the stats total — no second
+    scan, no crossJoin.
+    """
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    counts = counts.persist()
+    try:
+        stats = _stats_of(counts)
+        top = (
+            counts.orderBy(F.col("n").desc(), *keys)
+            .limit(top_k)
+            .withColumnRenamed("n", "n_rows")
+            .withColumn(
+                "share",
+                F.round(F.col("n_rows") / F.lit(max(stats.n_rows, 1)), 6),
+            )
+            .collect()
+        )
+    finally:
+        counts.unpersist()
+    return stats, top

@@ -92,3 +92,48 @@ def test_open_vocab_documents_deterministic_and_planted(spark):
     # planted exact duplicates exist (hash%125==7 ids copy an earlier doc)
     dup_texts = a.groupBy("text").count().filter("count > 1").count()
     assert dup_texts > 0
+
+
+def test_generated_events_value_matches_fixture_distribution(spark, sf_dir):
+    """Generated event values must be distribution-matched to the
+    fixture (exponential, mean ~50): the old pow(u,2)*600 had mean
+    ~200, so generated-vs-fixture scale comparisons on any
+    value-aggregating query mixed incomparable distributions."""
+    from pyspark.sql import functions as F
+
+    gen = datagen.gen_events(spark, 0.1)
+    g = gen.agg(
+        F.avg("value").alias("mean"),
+        F.expr("percentile(value, 0.5)").alias("q50"),
+        F.expr("percentile(value, 0.9)").alias("q90"),
+    ).collect()[0]
+    # Exp(50): mean 50, q50 34.66, q90 115.1 (fixture: 49.9/34.8/114.3)
+    assert abs(g["mean"] - 50) < 3, g
+    assert abs(g["q50"] - 34.7) < 3, g
+    assert abs(g["q90"] - 115) < 8, g
+
+
+def test_scale_rehearsal_regenerates_partial_dirs(spark, tmp_path):
+    """A generation killed mid-write leaves a directory without the
+    _GENERATED marker: the rehearsal must wipe and regenerate it, not
+    silently time queries against partial data; a COMPLETE dir (marker
+    present) is reused untouched."""
+    import os
+
+    from lime_etl_spark.tools.scale_rehearsal import _ensure_generated
+
+    wd = str(tmp_path)
+    # simulate a crashed generation: directory exists, no marker
+    partial = os.path.join(wd, "sf1e-05")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "orders.parquet"), "w") as fh:
+        fh.write("torn")
+    sdir = _ensure_generated(spark, 0.00001, wd)
+    assert sdir == partial
+    assert os.path.exists(os.path.join(sdir, "_GENERATED"))
+    assert spark.read.parquet(os.path.join(sdir, "orders.parquet")).count() > 0
+    # complete dir: reused, not regenerated (marker mtime unchanged)
+    marker = os.path.join(sdir, "_GENERATED")
+    before = os.path.getmtime(marker)
+    assert _ensure_generated(spark, 0.00001, wd) == sdir
+    assert os.path.getmtime(marker) == before

@@ -49,6 +49,27 @@ def test_pagerank_checkpoint_path_matches(spark):
     assert plain == chk
 
 
+def test_pagerank_materialized_inputs_cut_source_lineage(spark):
+    """materialize_inputs must sever EVERY per-iteration input from the
+    source lineage — n_nodes and the initial ranks used to be built
+    from the pre-checkpoint node set, so the broadcast crossJoined into
+    each iteration re-scanned the edge input per round, defeating the
+    knob. With the knob on, the final plan contains no scan of the
+    original (LocalTableScan) edges; values equal the lazy path."""
+    pairs = [(1, 2), (2, 3), (3, 1), (1, 3)]
+    lazy = {
+        r["node"]: r["pr_scaled"]
+        for r in graph.pagerank(_edges(spark, pairs), n_iter=3).collect()
+    }
+    mat_df = graph.pagerank(
+        _edges(spark, pairs), n_iter=3, materialize_inputs=True
+    )
+    plan = mat_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalTableScan" not in plan and "LocalRelation" not in plan
+    mat = {r["node"]: r["pr_scaled"] for r in mat_df.collect()}
+    assert mat == lazy
+
+
 def test_copurchase_edges_symmetric_distinct(spark):
     li = spark.createDataFrame(
         [(1, 10), (1, 20), (1, 20), (2, 10), (2, 30)],

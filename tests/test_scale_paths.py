@@ -401,6 +401,32 @@ def test_skew_report_and_stats(spark):
     # plan: one hash aggregate on the key, top-k via TakeOrdered
     plan = skew.key_histogram(df, ["k"])._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+    # skew_report: both halves from ONE key aggregate, same answers as
+    # the separate calls (the CLI used to scan the table twice)
+    st2, top2 = skew.skew_report(df, ["k"], top_k=2)
+    assert st2 == st
+    assert [(r["k"], r["n_rows"], r["share"]) for r in top2] == [
+        (1, 80, 0.8), (2, 15, 0.15)
+    ]
+
+
+def test_ensure_parallelism_remote_inputs_never_repartitioned(spark, sf_dir):
+    """Inputs on remote storage can't be sized from the driver's local
+    filesystem; they used to read as size 0 = 'tiny' and get a blind
+    full-table repartition — the exact catastrophic outcome the size
+    check exists to prevent. Any non-file: URI now makes the helper a
+    NO-OP."""
+    from lime_etl_spark.io.sources import read_table
+    from lime_etl_spark.ops.util import ensure_parallelism
+
+    df = read_table(spark, sf_dir, "orders")
+    df.inputFiles = lambda: ["s3a://bucket/warehouse/orders/part-0.parquet"]
+    assert ensure_parallelism(df) is df
+    # local small scan still spreads
+    small = read_table(spark, sf_dir, "region")
+    out = ensure_parallelism(small, min_partitions=4)
+    assert out is not small
+    assert out.rdd.getNumPartitions() == 4
 
 
 def test_compact_parquet_works_on_uri_paths(spark, tmp_path):

@@ -117,3 +117,16 @@ def test_bench_exec_metric_honest_for_eager_plans():
     # metric selection: eager -> fresh warm; lazy -> built-plan re-run
     assert bench.exec_metric(True, 3.4, 0.044) == 3.4
     assert bench.exec_metric(False, 3.4, 0.044) == 0.044
+
+
+def test_fault_check_sentinels_mix_and_unknown_names():
+    """@primary/@all expand wherever they appear in the query list, and
+    an unknown name dies with a friendly SystemExit BEFORE any Spark
+    session spins up — it used to KeyError deep inside the spawned
+    phase only when the sentinel wasn't the entire list."""
+    import pytest
+
+    from lime_etl_spark.tools.fault_check import phase_retry
+
+    with pytest.raises(SystemExit, match="unknown query 'nope'"):
+        phase_retry("/nonexistent", "/tmp/out.json", queries=["@primary", "nope"])
