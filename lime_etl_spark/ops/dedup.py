@@ -90,8 +90,6 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     One shuffle on the fingerprint (window min), survivors keep all
     original columns.
     """
-    from pyspark.sql import Window
-
     w = Window.partitionBy("__fp")
     return (
         df.withColumn("__fp", F.md5(F.concat_ws(" ", tokens(text_col))))
@@ -185,8 +183,25 @@ def ngram_jaccard_pairs(
     # measured 3x SLOWER than recomputing it — persist blocks codegen
     # fusion and exchange reuse and pays block-store serialization; the
     # index is a narrow pipeline off the scan, cheap to evaluate twice.
+    src = df.select(F.col(id_col).alias("id"), text_col)
+    if pairs is not None:
+        # Verification mode: restrict to candidate docs BEFORE the
+        # tokenize+shingle projection — Catalyst pushes a later semi-
+        # join below the Generate but NOT below the projection, so
+        # joining the exploded index (the old shape) still tokenized
+        # EVERY corpus row first; the round-6 review confirmed the
+        # Project sat under the LeftSemi in the optimized plan. In the
+        # streaming gate the corpus is the whole accumulated doc store,
+        # so this was O(all docs) CPU per micro-batch instead of
+        # O(candidate docs).
+        cand_docs = (
+            pairs.select(F.col("id_a").alias("id"))
+            .union(pairs.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        src = src.join(cand_docs, "id", "left_semi")
     base = (
-        ensure_parallelism(df.select(F.col(id_col).alias("id"), text_col))
+        ensure_parallelism(src)
         .withColumn("__toks", tokens(text_col))
         .withColumn("__sh", F.array_distinct(hashed_shingles_from_tokens(F.col("__toks"), n)))
     )
@@ -201,8 +216,6 @@ def ngram_jaccard_pairs(
     # and near-dup verification silently found nothing). So the cap is
     # skipped whenever ``pairs`` drives the computation.
     if max_docs_per_shingle is not None and pairs is None:
-        from pyspark.sql import Window
-
         wsh = Window.partitionBy("sh")
         idx = (
             idx.withColumn("__df", F.count(F.lit(1)).over(wsh))
@@ -211,14 +224,8 @@ def ngram_jaccard_pairs(
         )
     if pairs is not None:
         # verification mode: count common shingles only for candidate
-        # pairs. Semi-join first shrinks the index to docs that appear
-        # in any candidate (at 100 TB candidates cover a small slice).
-        cand_docs = (
-            pairs.select(F.col("id_a").alias("id"))
-            .union(pairs.select(F.col("id_b").alias("id")))
-            .distinct()
-        )
-        idx = idx.join(cand_docs, "id", "left_semi")
+        # pairs (the index is already restricted to candidate docs —
+        # the semi-join moved below the shingle projection above).
         ia = idx.select(F.col("id").alias("id_a"), "sh")
         ib = idx.select(F.col("id").alias("id_b"), "sh")
         common = (
@@ -256,10 +263,10 @@ def ngram_jaccard_pairs(
     # document, which scales with the corpus — at 1e9 docs a forced
     # broadcast is a ~16 GB OOM. AQE picks broadcast when the table is
     # actually small and a shuffle join otherwise.
-    sizes_src = base if pairs is None else base.join(cand_docs, "id", "left_semi")
+    # (base is already candidate-restricted in verification mode)
     # cast: size() is INT; the published n_a/n_b columns are BIGINT
     # (schema-compared against the oracle by the driver)
-    sizes = sizes_src.select(
+    sizes = base.select(
         "id", F.size("__sh").cast("bigint").alias("n_shingles")
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
@@ -660,11 +667,27 @@ def ngram_overlap(
     broadcast hash join), and the only wide exchange is the per-doc
     groupBy that was needed for set sizes anyway.
     """
-    tr = shingle_index(train_df, id_col, text_col, n)
+    from lime_etl_spark.ops.text import shingles_from_tokens
+    from lime_etl_spark.ops.util import ensure_parallelism
+
+    # sizes come off the PRE-explode array as a narrow size() — the old
+    # tr.groupBy('id').count() re-ran tokenize+explode end to end as a
+    # second full Generate stage plus a wide exchange (the same
+    # duplicated-Generate defect ngram_jaccard_pairs fixed in round 4;
+    # decontam_prefilter pays this per ingest micro-batch). Docs with
+    # zero shingles are filtered as before (they had no exploded rows).
+    base = (
+        ensure_parallelism(train_df.select(F.col(id_col).alias("id"), text_col))
+        .withColumn(
+            "__sh", F.array_distinct(shingles_from_tokens(tokens(text_col), n))
+        )
+        .filter(F.size("__sh") > 0)
+    )
+    tr = base.select("id", F.explode("__sh").alias("shingle"))
     ev = F.broadcast(
         shingle_index(eval_df, id_col, text_col, n).select("shingle").distinct()
     )
-    sizes = tr.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sizes = base.select("id", F.size("__sh").cast("bigint").alias("n_shingles"))
     hits = (
         tr.join(ev, "shingle", "left_semi")
         .groupBy("id")
@@ -861,13 +884,24 @@ def simhash_arrow(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
             out_ids, out_sim = [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
                 toks = set(_re.findall(r"[a-z0-9]+", (t or "").lower()))
+                if not toks:
+                    # parity with the JVM path: a token-less doc explodes
+                    # to ZERO rows there and never reaches the output —
+                    # emitting (id, 0) here made every pair of empty docs
+                    # a hamming-0 "near-duplicate" on this twin only
+                    continue
                 acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
                 for tok in toks:
                     h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
                     acc += np.where((h >> bit_idx) & 1 == 1, 1, -1)
                 out_ids.append(i)
                 out_sim.append(int(((acc > 0).astype(np.int64) << bit_idx).sum()))
-            yield pd.DataFrame({"id": out_ids, "simhash": out_sim})
+            yield pd.DataFrame(
+                {
+                    "id": np.asarray(out_ids, dtype=np.int64),
+                    "simhash": np.asarray(out_sim, dtype=np.int64),
+                }
+            )
 
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         compute, "id bigint, simhash bigint"

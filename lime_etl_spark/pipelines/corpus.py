@@ -91,7 +91,7 @@ def _stage_semantic(
     survivors: DataFrame,
     threshold: float,
     dim: int,
-) -> DataFrame:
+) -> "tuple[DataFrame, DataFrame]":
     """Optional stage 2.5: semantic dedup (SemDeDup) over the
     ``embeddings`` rows of the text-dedup survivors — surface-form
     dedup (stage 2) cannot see a paraphrased duplicate; this stage
@@ -216,16 +216,21 @@ def prepare_training_corpus(
         "n_after_near_dedup": n_deduped,
     }
     sem_cand = None
-    if semantic_threshold is not None:
-        survivors, sem_cand = _stage_semantic(
-            spark, sf_dir, survivors, semantic_threshold, embedding_dim
-        )
-        counts["n_after_semantic"] = survivors.count()
-    clean = _stage_clean(survivors)
-    final = _finalize(spark, clean, out_dir, budget, train_pct, salt)
-    if sem_cand is not None:
-        # every action that reads the semantic stage has run
-        sem_cand.unpersist()
+    try:
+        if semantic_threshold is not None:
+            survivors, sem_cand = _stage_semantic(
+                spark, sf_dir, survivors, semantic_threshold, embedding_dim
+            )
+            counts["n_after_semantic"] = survivors.count()
+        clean = _stage_clean(survivors)
+        final = _finalize(spark, clean, out_dir, budget, train_pct, salt)
+    finally:
+        if sem_cand is not None:
+            # every action that reads the semantic stage has run (or
+            # failed) — unpersist in a finally so an exception in the
+            # clean/finalize stages cannot pin the cached
+            # survivors-join-embeddings frame for the session lifetime
+            sem_cand.unpersist()
     return {**counts, **final}
 
 
@@ -421,11 +426,14 @@ def prepare_training_corpus_resumable(
             sem_out, sem_cand = _stage_semantic(
                 spark, sf_dir, survivors, semantic_threshold, embedding_dim
             )
-            survivors, m = _materialize_stage(
-                sem_out, sfs, d_semantic, fp_semantic,
-            )
-            # the stage output is parquet-backed now — cache done
-            sem_cand.unpersist()
+            try:
+                survivors, m = _materialize_stage(
+                    sem_out, sfs, d_semantic, fp_semantic,
+                )
+            finally:
+                # the stage output is parquet-backed (or the write
+                # failed) — either way the cache is done
+                sem_cand.unpersist()
             computed.append("semantic")
         else:
             survivors, m = loaded

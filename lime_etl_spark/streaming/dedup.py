@@ -90,9 +90,26 @@ def process_batch(
     # prefilter and the MinHash banding (tokenize + shingle + 16
     # permutations, the ~ms/row dominant stage) — ~3 full recomputes
     # per micro-batch; unpersisted in the finally
-    new_docs = batch.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    ).cache()
+    #
+    # INTRA-batch duplicate ids are collapsed first (deterministic
+    # winner: lexicographically smallest md5 of the text, so replays
+    # agree) — an at-least-once source can deliver the same doc_id
+    # twice in one micro-batch, and the anti-join below only guards
+    # batch-vs-STATE collisions: unguarded, the duplicated (id,
+    # shingle) index rows double n_common (Jaccard > 1 possible), and
+    # the doc lands in the docs/bands state twice, poisoning every
+    # future batch's denominators. The batch pipeline refuses dup ids
+    # at stage 0; this is the streaming equivalent.
+    new_docs = (
+        batch.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .groupBy("doc_id")
+        .agg(
+            F.min_by("text", F.md5(F.coalesce(F.col("text"), F.lit("")))).alias(
+                "text"
+            )
+        )
+        .cache()
+    )
     new_bands = dedup.minhash_bands(new_docs).cache()
 
     try:

@@ -8,18 +8,23 @@ the pieces every maintainer needs identically.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 
 def read_state_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """State read that tolerates the first-ever batch (no state yet).
 
-    Local-FS existence check; on a cluster the state dirs are created
-    once at pipeline setup and this branch never fires (and for object
-    stores os.path.isdir is wrong anyway — create the dirs up front).
+    Existence goes through the Hadoop FileSystem API, so any scheme
+    the cluster can read (file://, hdfs://, s3a://) answers correctly.
+    The old os.path.isdir probe was False for EVERY URI-scheme path —
+    on exactly the object-store deployments the streaming maintainers
+    target, every micro-batch silently read empty state and cross-batch
+    dedup/scd2/funnel/quality state was thrown away (the docstring's
+    'create the dirs up front' mitigation could not help: the probe
+    ignored whether the directory existed).
     """
-    if os.path.isdir(path):
+    from lime_etl_spark.io.fsutil import HadoopFS
+
+    if HadoopFS(spark, path).exists(path):
         return spark.read.schema(schema).parquet(path)
     return spark.createDataFrame([], schema)

@@ -622,6 +622,55 @@ def test_incremental_dedup_on_ingest(spark, tmp_path):
     assert bands_ids == {1, 2, 12}
 
 
+def test_incremental_dedup_intra_batch_duplicate_ids_collapsed(spark, tmp_path):
+    """An at-least-once source can deliver the same doc_id twice IN ONE
+    micro-batch; unguarded, the duplicated index rows doubled n_common
+    (Jaccard > 1 possible) and the doc landed in the docs/bands state
+    twice, poisoning every future batch's denominators. The gate
+    collapses them deterministically (smallest md5(text) wins)."""
+    from lime_etl_spark.streaming import dedup as sdedup
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, text), (1, text), (2, text + " lambda mu nu xi omicron pi rho")],
+        "doc_id bigint, text string",
+    )
+    state = str(tmp_path / "state")
+    sdedup.process_batch(docs, 0, state)
+    stored = spark.read.parquet(f"{state}/docs").collect()
+    assert sorted(r["doc_id"] for r in stored) == [1, 2]  # once each
+    decisions = spark.read.parquet(f"{state}/decisions").collect()
+    assert len(decisions) == 2
+    # Jaccard sanity on the next batch: a near-copy of doc 1 verifies
+    # against SINGLE-counted shingle sets (jaccard <= 1)
+    nxt = spark.createDataFrame(
+        [(10, text.replace("kappa", "sigma"))], "doc_id bigint, text string"
+    )
+    sdedup.process_batch(nxt, 1, state)
+    d = {r["doc_id"]: r for r in spark.read.parquet(f"{state}/decisions").collect()}
+    assert d[10]["is_dup"] and d[10]["dup_of"] == 1
+    assert d[10]["best_jaccard"] <= 1.0
+
+
+def test_read_state_or_empty_uri_scheme_paths(spark, tmp_path):
+    """State existence goes through the Hadoop FS API: a file:// URI
+    (stand-in for hdfs://s3a://) must read the EXISTING state — the old
+    os.path.isdir probe was False for every URI-scheme path, so on
+    object-store deployments each micro-batch silently read empty state
+    and cross-batch dedup was disabled."""
+    from lime_etl_spark.streaming.state import read_state_or_empty
+
+    p = str(tmp_path / "st")
+    spark.createDataFrame([(1,)], "doc_id bigint").write.parquet(p)
+    uri = "file://" + p
+    got = read_state_or_empty(spark, uri, "doc_id bigint")
+    assert got.count() == 1
+    missing = read_state_or_empty(
+        spark, "file://" + str(tmp_path / "nope"), "doc_id bigint"
+    )
+    assert missing.count() == 0
+
+
 def test_incremental_dedup_batch_replay_idempotent(spark, tmp_path):
     """Replaying a processed batch (same df, same batch id) rewrites its
     own partitions instead of double-appending — the exactly-once

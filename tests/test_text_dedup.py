@@ -471,6 +471,58 @@ def test_simhash_arrow_matches_jvm(spark, sf_dir):
     assert jvm == arrow and len(jvm) == 100
 
 
+def test_simhash_arrow_drops_tokenless_docs_like_jvm(spark):
+    """Token-less docs (no alnum runs, empty, NULL) explode to ZERO
+    rows on the JVM path and never reach the output; the Arrow twin
+    used to emit (id, 0) for them — making every pair of empty docs a
+    hamming-0 'near-duplicate' on one implementation only."""
+    df = spark.createDataFrame(
+        [(1, "?!?"), (2, "hello world foo"), (3, ""), (4, None)],
+        "doc_id bigint, text string",
+    )
+    jvm = {r["id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    arrow = {r["id"]: r["simhash"] for r in dedup.simhash_arrow(df).collect()}
+    assert set(jvm) == set(arrow) == {2}
+    assert jvm == arrow
+
+
+def test_ngram_candidate_mode_tokenizes_only_candidates(spark, sf_dir):
+    """In pairs= (verification) mode the candidate semi-join must sit
+    BELOW the tokenize+shingle projection — Catalyst pushes a later
+    semi-join under the Generate but not under the projection, so the
+    old shape tokenized EVERY corpus row before discarding
+    non-candidates (O(all accepted docs) CPU per streaming batch)."""
+    from lime_etl_spark.io.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    out = dedup.ngram_jaccard_pairs(docs, pairs=pairs, threshold=0.0)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.index("LeftSemi") > plan.index("array_distinct")
+
+
+def test_ngram_overlap_single_generate(spark):
+    """Set sizes come off the pre-explode array (narrow size()), not a
+    second aggregation of the exploded index — the old shape re-ran
+    tokenize+explode end to end per ingest micro-batch. Exactly two
+    Generates remain (train hits side + eval side), and zero-shingle
+    docs stay excluded as before."""
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "xy"), (3, None)],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame(
+        [(9, "alpha beta gamma zeta")], "doc_id bigint, text string"
+    )
+    out = dedup.ngram_overlap(train, ev, threshold=0.2)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Generate ") == 2, plan.count("Generate ")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1}  # docs 2 (too short) and 3 (NULL) excluded
+    assert rows[1]["n_shingles"] == 3 and rows[1]["n_hit"] == 1
+    assert rows[1]["overlap_frac"] == 0.333333 and rows[1]["contaminated"]
+
+
 @settings(max_examples=20, deadline=None)
 @given(
     st.lists(
