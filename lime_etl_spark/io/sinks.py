@@ -185,6 +185,25 @@ def idempotent_reload(
     )
 
 
+def _partition_dir_columns(hfs, path: str) -> "list[str]":
+    """Hive-style partition columns of a parquet directory, read off
+    the ``col=value`` subdirectory chain (one representative branch —
+    Spark writes a uniform chain). Empty list for unpartitioned dirs."""
+    cols: list[str] = []
+    cur = path
+    while True:
+        nxt = None
+        for st in hfs.fs.listStatus(hfs._path_cls(cur)):
+            name = st.getPath().getName()
+            if st.isDirectory() and "=" in name and not name.startswith(("_", ".")):
+                nxt = (name.split("=", 1)[0], st.getPath().toString())
+                break
+        if nxt is None:
+            return cols
+        cols.append(nxt[0])
+        cur = nxt[1]
+
+
 def compact_parquet(
     spark,
     path: str,
@@ -227,10 +246,31 @@ def compact_parquet(
         if st.getPath().getName().endswith(".parquet"):
             total += st.getLen()
     n_files = max(1, math.ceil(total / target_bytes))
+    # Preserve Hive-style partition layout: the naive read+rewrite
+    # materializes partition values as data columns and writes them
+    # into ROOT-level files, silently flattening the directory scheme —
+    # after which a replayed micro-batch's dynamic partition overwrite
+    # (idempotent_reload deletes only path/col=N dirs) leaves the old
+    # rows alive in the root files: duplicated state. Partition columns
+    # are detected from the col=value directory chain and re-applied.
+    part_cols = _partition_dir_columns(hfs, path)
+    if part_cols and cluster_by:
+        raise ValueError(
+            f"compact_parquet: {path} is partitioned by {part_cols}; "
+            "cluster_by within partition dirs is not supported — "
+            "compact without cluster_by, or compact each partition dir"
+        )
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compacting"
     if cluster_by:
         write_parquet_clustered(df, tmp, cluster_by, n_files=n_files)
+    elif part_cols:
+        (
+            df.repartition(n_files, *part_cols)
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(tmp)
+        )
     else:
         df.repartition(n_files).write.mode("overwrite").parquet(tmp)
     # Hadoop FileSystem reports most delete/rename failures through the

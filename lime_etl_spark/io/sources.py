@@ -106,16 +106,28 @@ def read_csv(
     schema=None,
     header: bool = True,
     sep: str = ",",
+    keep_corrupt: bool = False,
 ) -> DataFrame:
     """CSV scan (K2's inverse). Always pass a schema in production —
-    inference is a full extra pass; PERMISSIVE keeps malformed rows
-    visible via _corrupt_record instead of failing a 100 TB load."""
+    inference is a full extra pass. PERMISSIVE never fails a 100 TB
+    load, but with a plain schema malformed fields are silently
+    NULLED; pass ``keep_corrupt=True`` (requires a string schema) to
+    append a ``_corrupt_record`` column that carries each malformed
+    line verbatim, the same quarantine pattern as
+    read_documents_jsonl — the old docstring promised that visibility
+    without the schema column that makes Spark provide it."""
     reader = (
         spark.read.option("header", str(header).lower())
         .option("sep", sep)
         .option("mode", "PERMISSIVE")
     )
-    if schema is not None:
+    if keep_corrupt:
+        if not isinstance(schema, str):
+            raise ValueError("keep_corrupt=True needs a string DDL schema")
+        reader = reader.schema(schema + ", _corrupt_record STRING").option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        )
+    elif schema is not None:
         reader = reader.schema(schema)
     else:
         reader = reader.option("inferSchema", "true")
@@ -302,4 +314,8 @@ def read_tsv_header_line2(spark: SparkSession, path: str) -> DataFrame:
         F.split("value", "\t").alias("parts")
     )
     cols = [F.col("parts").getItem(i).alias(name) for i, name in enumerate(header)]
+    # the empty-id injection OVERWRITES a real 'id' header column too —
+    # deliberate parity with the reference's r['id'] = "" dict
+    # assignment after the zip (limesurvey.py:161), which clobbers any
+    # zipped 'id' the same way
     return data.select(*cols).withColumn("id", F.lit(""))

@@ -174,7 +174,14 @@ def session_windows(
         .groupBy("user_id", F.session_window("ts", gap).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # decimal accumulation, not float: the oracle and the batch
+            # twin both sum value::DECIMAL(12,2) — float order varies
+            # with partitioning and a session landing on a half-cent
+            # boundary rounds differently (tumbling_counts already
+            # carried this fix; this path was left on float)
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             "user_id",

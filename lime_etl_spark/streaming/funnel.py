@@ -49,6 +49,11 @@ QUARANTINE_SUBDIR = "quarantine"
 
 
 def _state_schema(steps) -> str:
+    if not steps:
+        # the batch funnel raises the same way at attach time; without
+        # this the empty join produced malformed DDL ('user_id bigint,
+        # , __hwm ...') that died in the schema parser mid-stream
+        raise ValueError("funnel needs at least one step")
     cols = ", ".join(f"__t{i} timestamp" for i in range(len(steps)))
     return f"user_id bigint, {cols}, __hwm timestamp, ingest_batch bigint"
 
@@ -141,9 +146,9 @@ def process_batch(
         batch_hwm.join(bound, "user_id", "left")
         .select(
             "user_id",
-            F.greatest(
-                F.col("__bhwm"), F.coalesce("__hwm", F.col("__bhwm"))
-            ).alias("__hwm"),
+            # greatest() skips NULLs (the same property scd2.py's
+            # hwm bound relies on) — no coalesce needed
+            F.greatest(F.col("__bhwm"), F.col("__hwm")).alias("__hwm"),
         )
     )
     out = per_user.join(hwm, "user_id").select(

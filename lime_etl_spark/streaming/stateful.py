@@ -68,13 +68,22 @@ def track_user_activity(
             total += float(pdf["value"].sum())
             # chunk champion: max (ts, event_id) — compared against the
             # running champion so neither chunk order within a batch
-            # nor an out-of-order later batch can regress the profile
+            # nor an out-of-order later batch can regress the profile.
+            # All-null ts chunk => NaT max: skip the champion update
+            # (int(NaN) raised and killed the whole query on one dirty
+            # row); the rows still count toward n/total
             mx = pdf["ts"].max()
+            if pd.isna(mx):
+                continue
             cand_id = int(pdf.loc[pdf["ts"] == mx, "event_id"].max())
             cand_ns = int(pd.Timestamp(mx).value)
             if (cand_ns, cand_id) > (last_ts_ns, last_id):
                 last_ts_ns, last_id = cand_ns, cand_id
-        state.update((n, round(total, 2), last_id, last_ts_ns))
+        # state carries the RAW running total — rounding on store
+        # re-rounded per micro-batch and accumulated drift vs the batch
+        # twin (3 batches of 0.004 summed to 0.0 instead of 0.01);
+        # round only on emit
+        state.update((n, total, last_id, last_ts_ns))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(
@@ -160,11 +169,14 @@ def _user_activity_processor(state_ttl_ms: int | None):
                 n += len(pdf)
                 total += float(pdf["value"].sum())
                 mx = pdf["ts"].max()
+                if pd.isna(mx):  # all-null ts chunk (see batch twin)
+                    continue
                 cand_id = int(pdf.loc[pdf["ts"] == mx, "event_id"].max())
                 cand_ns = int(pd.Timestamp(mx).value)
                 if (cand_ns, cand_id) > (last_ts_ns, last_id):
                     last_ts_ns, last_id = cand_ns, cand_id
-            self._profile.update((n, round(total, 2), last_id, last_ts_ns))
+            # raw total in state; round only on emit (see batch twin)
+            self._profile.update((n, total, last_id, last_ts_ns))
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
@@ -193,9 +205,13 @@ def track_user_activity_tws(
             "environment lacks; use track_user_activity "
             "(applyInPandasWithState) instead"
         )
+    # TTL requires a clock: ValueState with ttlDurationMs under
+    # TimeMode.None raises STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_
+    # ASSIGN_TTL at query start — the advertised production TTL knob
+    # could never actually be used until this was keyed on the mode
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_user_activity_processor(state_ttl_ms),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        timeMode="processingTime" if state_ttl_ms is not None else "None",
     )

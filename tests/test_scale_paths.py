@@ -170,6 +170,46 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     assert back.agg(F.sum("id")).collect()[0][0] == 40_000 * 39_999 // 2
 
 
+def test_compact_parquet_preserves_partition_layout(spark, tmp_path):
+    """Compacting a Hive-partitioned dir (the idempotent_reload state
+    layout) must KEEP the col=value directory scheme: the naive rewrite
+    flattened partition values into root-level files, after which a
+    replayed batch's dynamic partition overwrite (which deletes only
+    its own col=N dir) left the stale rows alive — duplicated state."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.io.sinks import compact_parquet, idempotent_reload
+
+    path = str(tmp_path / "state")
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(100)], "doc_id bigint, ingest_batch bigint"
+    )
+    idempotent_reload(df.repartition(8), path, "ingest_batch")
+    compact_parquet(spark, path, target_bytes=1 << 30)
+    # partition dirs survived, no root-level data files
+    assert os.path.isdir(f"{path}/ingest_batch=0")
+    assert os.path.isdir(f"{path}/ingest_batch=1")
+    assert glob.glob(f"{path}/part-*.parquet") == []
+    assert spark.read.parquet(path).count() == 100
+    # the replay contract still holds after compaction: overwriting
+    # batch 0 with fewer rows leaves no stale duplicates behind
+    replay = spark.createDataFrame(
+        [(1000, 0)], "doc_id bigint, ingest_batch bigint"
+    )
+    idempotent_reload(replay, path, "ingest_batch")
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("ingest_batch") == 0).count() == 1
+    assert back.count() == 51
+    # partitioned + cluster_by is refused loudly, never silently flattened
+    import pytest
+
+    with pytest.raises(ValueError, match="partitioned"):
+        compact_parquet(spark, path, cluster_by=["doc_id"])
+
+
 def test_orc_round_trip_with_pushdown(spark, tmp_path):
     from pyspark.sql import functions as F
 

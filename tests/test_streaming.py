@@ -184,6 +184,60 @@ def test_stateful_user_tracker(spark, sf_dir, tmp_path):
         assert abs(gv[uid] - bv[uid]) < 0.05  # python float sum vs decimal path
 
 
+def test_stateful_tracker_no_per_batch_rounding_drift(spark, tmp_path):
+    """State carries the RAW running total; rounding on store re-rounded
+    per micro-batch (three batches of 0.004 summed to 0.0 instead of
+    0.01). Also: an all-NULL-ts chunk must not kill the query (int(NaN)
+    raised inside the foreachBatch worker) — the rows still count."""
+    import os
+    import shutil
+
+    from datetime import datetime
+
+    from lime_etl_spark.streaming import events as sevents
+    from lime_etl_spark.streaming.stateful import track_user_activity
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def stage(name, rows):
+        tmp = tmp_path / ("st_" + name)
+        spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, ts timestamp, value double"
+        ).coalesce(1).write.parquet(str(tmp))
+        part = [p for p in os.listdir(tmp) if p.endswith(".parquet")][0]
+        shutil.copyfile(tmp / part, src / f"{name}.parquet")
+
+    t = datetime(2024, 1, 1)
+    for i in range(3):
+        stage(f"b{i}", [(i * 10, 1, t.replace(hour=i + 1), 0.004)])
+    # dirty file: all-null ts for user 2 — query must survive, rows count
+    stage("b3", [(99, 2, None, 1.0), (100, 2, None, 2.0)])
+    # one query, maxFilesPerTrigger=1 => each staged file is its own
+    # micro-batch, so the state round-trips through the store per file
+    # (the memory sink cannot RESUME from a checkpoint, so sequential
+    # separate runs can't exercise this)
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = sevents.run_to_memory(
+        track_user_activity(stream),
+        checkpoint_dir=str(tmp_path / "ck"),
+        output_mode="update",
+    )
+    rows = got.collect()
+    final1 = max((r for r in rows if r.user_id == 1), key=lambda r: r.n_events)
+    assert final1.n_events == 3
+    assert final1.total_value == 0.01  # raw accumulation, not 0.0
+    final2 = max((r for r in rows if r.user_id == 2), key=lambda r: r.n_events)
+    assert final2.n_events == 2 and final2.total_value == 3.0
+    assert final2.last_event_id == -1  # no timestamped champion
+
+
 def test_session_windows_on_rocksdb_state_store(spark, sf_dir, tmp_path):
     """Same session-window results under the RocksDB state store — the
     production provider for large keyspaces (off-heap state)."""
