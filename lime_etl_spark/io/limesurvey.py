@@ -35,13 +35,23 @@ Transport = Callable[[str, dict], dict]
 """(url, json_rpc_request_body) -> decoded json response dict."""
 
 
+_REQUESTS_SESSION = None
+
+
 def _requests_transport(url: str, body: dict) -> dict:
     import requests  # gated: not needed for offline tests
 
-    resp = requests.post(
+    # a shared Session actually reuses the TCP/TLS connection —
+    # requests.post() without one opens a fresh handshake per RPC, so
+    # a thousand-page export paid a thousand TLS setups while sending
+    # a dead-weight Keep-Alive header
+    global _REQUESTS_SESSION
+    if _REQUESTS_SESSION is None:
+        _REQUESTS_SESSION = requests.Session()
+    resp = _REQUESTS_SESSION.post(
         url,
         json=body,
-        headers={"content-type": "application/json", "connection": "Keep-Alive"},
+        headers={"content-type": "application/json"},
         timeout=60,
     )
     resp.raise_for_status()
@@ -62,9 +72,12 @@ class LimeSurveyClient:
 
     url: str
     username: str
-    password: str
+    # repr=False: the dataclass-generated __repr__ otherwise prints the
+    # password and live session key into logs, pytest diffs, and
+    # executor tracebacks
+    password: str = field(repr=False)
     transport: Transport = field(default=_requests_transport)
-    _session_key: str | None = None
+    _session_key: str | None = field(default=None, repr=False)
     _next_id: int = 1
 
     # -- plumbing -----------------------------------------------------------
@@ -77,7 +90,20 @@ class LimeSurveyClient:
         except Exception as exc:  # propagate with context, never swallow
             raise LimeSurveyError(f"RPC {method} transport failure: {exc}") from exc
         if not isinstance(payload, dict) or "result" not in payload:
+            # strict-2.0 error replies omit 'result' entirely; surface
+            # the server's message instead of a bare 'malformed'
+            if isinstance(payload, dict) and payload.get("error") is not None:
+                raise LimeSurveyError(
+                    f"RPC {method} server error: {payload['error']!r}"
+                )
             raise LimeSurveyError(f"RPC {method} malformed response: {payload!r}")
+        if payload.get("error") is not None:
+            # Yii/JSON-RPC-1.x style: 'result': null WITH an 'error'
+            # member. Ignoring it returned None as success-with-empty-
+            # data — list_surveys() masked it to [] and session_key
+            # cached the literal string 'None': the reference's
+            # swallowed-error bug, re-created
+            raise LimeSurveyError(f"RPC {method} server error: {payload['error']!r}")
         result = payload["result"]
         if isinstance(result, dict) and "status" in result and len(result) == 1:
             # {'status': X} is LimeSurvey's shape for BOTH errors and
@@ -279,6 +305,16 @@ def write_back_responses(
     division a 64-partition frame would hit the server at 64× the
     configured rate (an upper bound: slow partitions only make the
     aggregate rate lower).
+
+    AT-LEAST-ONCE delivery, not exactly-once: foreachPartition side
+    effects re-run FROM ROW ZERO on task retry
+    (spark.task.maxFailures, default 4) and speculative execution
+    duplicates whole partitions — and add_response carries no
+    idempotency key the server could dedupe on. For a write-back where
+    duplicates matter, run with spark.task.maxFailures=1 and
+    speculation off (accepting job failure over duplication), or
+    include a client-generated unique response field and dedupe
+    server-side afterwards.
     """
     import time
 

@@ -87,10 +87,12 @@ def clean_numeric(df: DataFrame, column: str, strip_pattern: str, out: str | Non
     can't kill a 100 TB job.
     X2 is the same with pattern "A" (lime_survey_returns.py:72).
     """
+    from lime_etl_spark.functions import strip_and_cast_double
+
+    # ONE definition of the X1/X2 expression (functions.py) — this body
+    # used to re-implement it verbatim, a silent-drift pair
     out = out or column
-    return df.withColumn(
-        out, F.regexp_replace(F.col(column), strip_pattern, "").try_cast("double")
-    )
+    return df.withColumn(out, strip_and_cast_double(column, strip_pattern))
 
 
 def with_audit_ts(df: DataFrame, run_ts: str, column: str = "updated_ts") -> DataFrame:
@@ -135,10 +137,15 @@ def dedup_latest(
     w = Window.partitionBy(*keys).orderBy(
         *[F.col(c).desc() for c in orders], *[F.col(c).desc() for c in ties]
     )
+    # collision-proof working column: a caller's own '__rn' used to be
+    # silently overwritten and then dropped from the output
+    rn = "__rn"
+    while rn in df.columns:
+        rn = "_" + rn
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) == 1)
+        .drop(rn)
     )
 
 
@@ -150,6 +157,13 @@ def sort_rows(df: DataFrame, by: list[str], ascending: list[bool] | None = None)
     (dedup_latest does NOT need it — see its docstring).
     """
     ascending = ascending or [True] * len(by)
+    if len(ascending) != len(by):
+        # zip() would silently TRUNCATE to the shorter list, dropping
+        # sort keys and producing a wrong order with no error
+        raise ValueError(
+            f"sort_rows: {len(by)} sort columns but {len(ascending)} "
+            "ascending flags"
+        )
     cols: list[Column] = [
         F.col(c).asc() if asc else F.col(c).desc() for c, asc in zip(by, ascending)
     ]
@@ -162,14 +176,8 @@ def to_stringly(df: DataFrame) -> DataFrame:
     (/root/reference/lime_survey_nps.py:120-132). Doubles format with
     their decimal point (3.0), matching pandas' CSV of float columns.
     """
-    return df.select(
-        *[
-            F.when(F.col(c).isNull(), None)
-            .otherwise(F.col(c).cast("string"))
-            .alias(c)
-            for c in df.columns
-        ]
-    )
+    # cast(NULL as string) is already NULL — no CaseWhen guard needed
+    return df.select(*[F.col(c).cast("string").alias(c) for c in df.columns])
 
 
 # ---------------------------------------------------------------------------

@@ -89,10 +89,25 @@ def get_spark(
     )
     if master:
         builder = builder.master(master)
-    elif not os.environ.get("SPARK_MASTER"):
-        builder = builder.master(f"local[{DEFAULT_SHUFFLE_PARTITIONS}]").config(
-            "spark.driver.memory", DEFAULT_LOCAL_DRIVER_MEM
+    else:
+        # Default to local[N] ONLY when no master is configured
+        # anywhere. spark-submit passes --master as the spark.master
+        # system property / SparkConf entry, NOT a SPARK_MASTER env var
+        # — the old env-var guard missed it, so get_spark() under
+        # `spark-submit --master yarn` force-overrode the cluster
+        # master with local[N] and the "cluster" job ran single-node
+        # on the edge node.
+        from pyspark import SparkConf
+
+        submitted = (
+            SparkConf().contains("spark.master")
+            or os.environ.get("SPARK_MASTER")
+            or os.environ.get("MASTER")
         )
+        if not submitted:
+            builder = builder.master(
+                f"local[{DEFAULT_SHUFFLE_PARTITIONS}]"
+            ).config("spark.driver.memory", DEFAULT_LOCAL_DRIVER_MEM)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
@@ -109,6 +124,13 @@ def get_spark(
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
+        # the two below were missing from the check (round-6 review):
+        # NTZ inference flips parquet micros to TIMESTAMP_NTZ (instant
+        # functions reject them), and the excluded optimizer rule is a
+        # measured 2x on the dedup queries
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+        "spark.sql.optimizer.excludedRules":
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     }
     mismatched = {}
     for k, want in critical.items():

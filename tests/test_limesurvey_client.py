@@ -317,3 +317,42 @@ def test_python_datasource_stream_incremental(spark, tmp_path):
     assert len(rows) == 52 and len(set(rows)) == 52  # all pages, no dups
     assert "1000" in rows and "1050" in rows
     assert rounds_with_data >= 3  # paged (20/20/12), not one gulp
+
+
+def test_jsonrpc_error_member_raises_not_none(client):
+    """A reply carrying 'result': null WITH an 'error' member (the
+    Yii/JSON-RPC-1.x style LimeSurvey servers emit) must raise with the
+    server's message — returning None re-created the reference's
+    swallowed-error bug: list_surveys() masked it to [] and session_key
+    cached the literal string 'None'."""
+    c = LimeSurveyClient(
+        url="http://x",
+        username="admin",
+        password="secret",
+        transport=lambda url, body: {
+            "id": body["id"], "result": None, "error": "Method not found",
+        },
+    )
+    with pytest.raises(LimeSurveyError, match="Method not found"):
+        c._rpc("whatever", [])
+    # strict-2.0 style: no 'result' key at all, error object present
+    c2 = LimeSurveyClient(
+        url="http://x",
+        username="admin",
+        password="secret",
+        transport=lambda url, body: {
+            "id": body["id"], "error": {"code": -32601, "message": "nope"},
+        },
+    )
+    with pytest.raises(LimeSurveyError, match="nope"):
+        c2._rpc("whatever", [])
+
+
+def test_client_repr_never_leaks_credentials(client):
+    """The dataclass __repr__ lands in logs, pytest diffs, and executor
+    tracebacks — it must not carry the password or a live session key."""
+    c = LimeSurveyClient(url="http://x", username="admin", password="secret")
+    c._session_key = "LIVEKEY"
+    shown = repr(c)
+    assert "secret" not in shown and "LIVEKEY" not in shown
+    assert "admin" in shown  # identity stays debuggable

@@ -315,3 +315,29 @@ def test_interval_overlap_join_matches_bruteforce_property(spark):
         assert got == want
 
     run()
+
+
+def test_sort_rows_rejects_flag_length_mismatch(spark):
+    """zip() silently truncated to the shorter list, dropping sort keys
+    and producing a wrong order with no error."""
+    import pytest
+
+    from lime_etl_spark.ops import core
+
+    df = spark.createDataFrame([(1, 2, 3)], "a bigint, b bigint, c bigint")
+    with pytest.raises(ValueError, match="3 sort columns but 2"):
+        core.sort_rows(df, ["a", "b", "c"], ascending=[True, False])
+
+
+def test_dedup_latest_preserves_callers_rn_column(spark):
+    """A caller's own '__rn' column used to be overwritten by the
+    window working column and then dropped from the output."""
+    from lime_etl_spark.ops import core
+
+    df = spark.createDataFrame(
+        [(1, 10, 7), (1, 20, 8)], "k bigint, ts bigint, __rn bigint"
+    )
+    out = core.dedup_latest(df, "k", "ts")
+    assert "__rn" in out.columns
+    row = out.collect()[0]
+    assert row["ts"] == 20 and row["__rn"] == 8
