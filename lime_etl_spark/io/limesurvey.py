@@ -35,27 +35,43 @@ Transport = Callable[[str, dict], dict]
 """(url, json_rpc_request_body) -> decoded json response dict."""
 
 
-_REQUESTS_SESSION = None
+class _RequestsTransport:
+    """Default HTTP transport: one ``requests.Session`` PER TRANSPORT
+    INSTANCE (and therefore per client — each LimeSurveyClient gets its
+    own via ``default_factory``).
 
+    A Session reuses the TCP/TLS connection — bare requests.post()
+    opens a fresh handshake per RPC, so a thousand-page export paid a
+    thousand TLS setups. The session must NOT be a module global: the
+    server sets auth cookies (PHPSESSID) on it, so a process-wide
+    session replays one user's cookies on a different client's
+    requests against the same host, it can never be closed safely, and
+    requests.Session is not documented thread-safe for concurrent
+    drivers. Per-client scoping fixes all three; the client's
+    ``close()`` / ``__exit__`` tears it down.
+    """
 
-def _requests_transport(url: str, body: dict) -> dict:
-    import requests  # gated: not needed for offline tests
+    def __init__(self) -> None:
+        self._session = None  # lazy: requests may be absent offline
 
-    # a shared Session actually reuses the TCP/TLS connection —
-    # requests.post() without one opens a fresh handshake per RPC, so
-    # a thousand-page export paid a thousand TLS setups while sending
-    # a dead-weight Keep-Alive header
-    global _REQUESTS_SESSION
-    if _REQUESTS_SESSION is None:
-        _REQUESTS_SESSION = requests.Session()
-    resp = _REQUESTS_SESSION.post(
-        url,
-        json=body,
-        headers={"content-type": "application/json"},
-        timeout=60,
-    )
-    resp.raise_for_status()
-    return resp.json()
+    def __call__(self, url: str, body: dict) -> dict:
+        import requests  # gated: not needed for offline tests
+
+        if self._session is None:
+            self._session = requests.Session()
+        resp = self._session.post(
+            url,
+            json=body,
+            headers={"content-type": "application/json"},
+            timeout=60,
+        )
+        resp.raise_for_status()
+        return resp.json()
+
+    def close(self) -> None:
+        if self._session is not None:
+            self._session.close()
+            self._session = None
 
 
 class LimeSurveyError(RuntimeError):
@@ -76,7 +92,7 @@ class LimeSurveyClient:
     # password and live session key into logs, pytest diffs, and
     # executor tracebacks
     password: str = field(repr=False)
-    transport: Transport = field(default=_requests_transport)
+    transport: Transport = field(default_factory=_RequestsTransport)
     _session_key: str | None = field(default=None, repr=False)
     _next_id: int = 1
 
@@ -127,6 +143,16 @@ class LimeSurveyClient:
             # reference's release payload is malformed (limesurvey.py:109); fixed
             self._rpc("release_session_key", [self._session_key])
             self._session_key = None
+        # tear down the per-client HTTP session (cookies, pooled sockets)
+        release = getattr(self.transport, "close", None)
+        if callable(release):
+            release()
+
+    def __enter__(self) -> "LimeSurveyClient":
+        return self
+
+    def __exit__(self, *exc_info) -> None:
+        self.close()
 
     # -- catalog / metadata (S6) -------------------------------------------
 

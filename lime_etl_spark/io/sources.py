@@ -124,6 +124,16 @@ def read_csv(
     if keep_corrupt:
         if not isinstance(schema, str):
             raise ValueError("keep_corrupt=True needs a string DDL schema")
+        # Appending the quarantine column to a schema that already
+        # declares it would surface as a duplicate-column
+        # AnalysisException deep inside the reader, far from this call
+        # site — name the conflict here instead.
+        if "_corrupt_record" in schema:
+            raise ValueError(
+                "keep_corrupt=True appends a _corrupt_record column, but "
+                "the supplied schema already declares one — drop it from "
+                "the schema (the reader adds it) or pass keep_corrupt=False"
+            )
         reader = reader.schema(schema + ", _corrupt_record STRING").option(
             "columnNameOfCorruptRecord", "_corrupt_record"
         )

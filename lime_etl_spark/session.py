@@ -32,6 +32,35 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 DEFAULT_LOCAL_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
 
 
+def _was_submitted() -> bool:
+    """True when this process was launched by spark-submit (or a master
+    is otherwise configured), i.e. the local[N] fallback must NOT apply.
+
+    The SparkConf probe ALONE is insufficient pre-gateway: at the first
+    get_spark() call in a fresh ``spark-submit --master yarn`` run no
+    py4j gateway is attached yet (SparkContext._jvm is None), so
+    SparkConf() is an empty dict-backed conf and
+    contains('spark.master') is False even though --master was passed —
+    builder.master('local[N]') would then override the cluster master,
+    the exact bug this guard exists to prevent. spark-submit's
+    PythonRunner exports PYSPARK_GATEWAY_PORT (and _SECRET) into the
+    user process's environment BEFORE user code runs (and pyspark's own
+    launch_gateway only READS it, never sets it for self-launched
+    JVMs — verified against pyspark 4.1 java_gateway.py), so its
+    presence is the reliable submitted signal with or without a live
+    JVM. The SparkConf probe stays for post-gateway callers and
+    embedding hosts that set spark.master programmatically.
+    """
+    from pyspark import SparkConf
+
+    return bool(
+        "PYSPARK_GATEWAY_PORT" in os.environ
+        or SparkConf().contains("spark.master")
+        or os.environ.get("SPARK_MASTER")
+        or os.environ.get("MASTER")
+    )
+
+
 def get_spark(
     app_name: str = "lime_etl_spark",
     master: str | None = None,
@@ -97,14 +126,7 @@ def get_spark(
         # `spark-submit --master yarn` force-overrode the cluster
         # master with local[N] and the "cluster" job ran single-node
         # on the edge node.
-        from pyspark import SparkConf
-
-        submitted = (
-            SparkConf().contains("spark.master")
-            or os.environ.get("SPARK_MASTER")
-            or os.environ.get("MASTER")
-        )
-        if not submitted:
+        if not _was_submitted():
             builder = builder.master(
                 f"local[{DEFAULT_SHUFFLE_PARTITIONS}]"
             ).config("spark.driver.memory", DEFAULT_LOCAL_DRIVER_MEM)

@@ -54,8 +54,41 @@ def _ensure_generated(spark, sf: float, workdir: str) -> str:
     marker = os.path.join(sdir, "_GENERATED")
     if not os.path.exists(marker):
         if os.path.isdir(sdir):
-            print(f"# sf{sf:g} at {sdir} has no completion marker "
-                  f"(partial generation?) — regenerating")
+            # Never rmtree a directory we can't positively identify as
+            # this tool's output: a pre-marker-era dataset, or a user
+            # directory that merely shares the sfN name, must not be
+            # destroyed on a bare isdir probe. Identify-then-act:
+            #   - all entries look like datagen output (<table>.parquet
+            #     dirs from the known table list, plus marker/underscore
+            #     files) — otherwise refuse with an explicit error;
+            #   - if every expected table is present and complete-ish,
+            #     adopt it: write the marker instead of regenerating
+            #     (legacy dirs from prior tool versions keep working);
+            #   - recognizable-but-partial output → safe to wipe.
+            expected = {f"{t}.parquet" for t in datagen.GENERATORS}
+            entries = set(os.listdir(sdir))
+            foreign = {
+                e for e in entries
+                if e not in expected and not e.startswith("_")
+            }
+            if foreign:
+                raise RuntimeError(
+                    f"refusing to wipe {sdir}: it contains entries this "
+                    f"tool never writes ({sorted(foreign)[:5]}…); move or "
+                    "delete it manually, or point --workdir elsewhere"
+                )
+            have_all = all(
+                os.path.exists(os.path.join(sdir, t, "_SUCCESS"))
+                for t in expected
+            )
+            if have_all:
+                print(f"# sf{sf:g} at {sdir} is complete legacy output "
+                      f"(all tables + _SUCCESS) — adopting, not wiping")
+                with open(marker, "w") as fh:
+                    fh.write("complete\n")
+                return sdir
+            print(f"# sf{sf:g} at {sdir} is recognizable partial datagen "
+                  f"output (no completion marker) — regenerating")
             shutil.rmtree(sdir)
         print(f"# generating sf{sf:g} under {sdir}")
         datagen.generate(spark, sf, sdir)

@@ -356,3 +356,75 @@ def test_client_repr_never_leaks_credentials(client):
     shown = repr(c)
     assert "secret" not in shown and "LIVEKEY" not in shown
     assert "admin" in shown  # identity stays debuggable
+
+
+def test_default_transport_is_per_client_not_process_global():
+    """Each client must own its HTTP transport: a process-global
+    requests.Session replays one user's auth cookies (PHPSESSID) on a
+    different client's requests against the same host, can never be
+    closed safely, and is not thread-safe across concurrent drivers.
+    (round-6 advice: io/limesurvey.py _REQUESTS_SESSION global)"""
+    from lime_etl_spark.io.limesurvey import _RequestsTransport
+
+    a = LimeSurveyClient(url="http://x", username="u1", password="p1")
+    b = LimeSurveyClient(url="http://x", username="u2", password="p2")
+    assert isinstance(a.transport, _RequestsTransport)
+    assert a.transport is not b.transport
+
+
+def test_close_tears_down_transport_and_context_manager():
+    closed = []
+
+    class FakeTransport:
+        def __call__(self, url, body):
+            m = body["method"]
+            if m == "get_session_key":
+                return {"result": "K"}
+            if m == "release_session_key":
+                return {"result": "OK"}
+            raise AssertionError(m)
+
+        def close(self):
+            closed.append(True)
+
+    with LimeSurveyClient(
+        url="http://x", username="u", password="p", transport=FakeTransport()
+    ) as c:
+        assert c.session_key == "K"
+    assert closed == [True]
+    assert c._session_key is None
+
+
+def test_concurrent_driver_threads_isolated_sessions():
+    """Two driver threads with distinct credentials against the same
+    host must never observe each other's session key — the failure mode
+    of the old shared-Session global."""
+    import threading
+
+    def make_transport(key):
+        def transport(url, body):
+            if body["method"] == "get_session_key":
+                return {"result": key}
+            if body["method"] == "list_surveys":
+                # echo the session key the server saw
+                return {"result": [{"sid": 1, "seen_key": body["params"][0]}]}
+            return {"result": "OK"}
+        return transport
+
+    results = {}
+
+    def run(name, key):
+        c = LimeSurveyClient(
+            url="http://x", username=name, password="p",
+            transport=make_transport(key),
+        )
+        out = []
+        for _ in range(50):
+            out.append(c.list_surveys()[0]["seen_key"])
+        results[name] = out
+
+    t1 = threading.Thread(target=run, args=("alice", "KEY_A"))
+    t2 = threading.Thread(target=run, args=("bob", "KEY_B"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert set(results["alice"]) == {"KEY_A"}
+    assert set(results["bob"]) == {"KEY_B"}

@@ -481,3 +481,51 @@ def test_compact_parquet_works_on_uri_paths(spark, tmp_path):
     n = compact_parquet(spark, "file://" + path, target_bytes=1 << 30)
     assert n == 1
     assert spark.read.parquet(path).count() == 10000
+
+
+def test_read_csv_keep_corrupt_rejects_schema_conflict(spark):
+    """keep_corrupt=True appends _corrupt_record itself; a schema that
+    already declares it must fail HERE with a named conflict, not as a
+    duplicate-column AnalysisException deep inside the reader
+    (round-6 advice: io/sources.py:132)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        read_csv(
+            spark, "/tmp/nonexistent.csv",
+            schema="id BIGINT, _corrupt_record STRING",
+            keep_corrupt=True,
+        )
+
+
+def test_scale_rehearsal_never_wipes_foreign_dirs(spark, tmp_path):
+    """_ensure_generated must not rmtree a directory it cannot positively
+    identify as datagen output (round-6 advice: tools/scale_rehearsal.py:59):
+    foreign content → refusal; complete legacy output → adopted via marker."""
+    import os
+
+    import pytest
+
+    from lime_etl_spark.tools import datagen
+    from lime_etl_spark.tools.scale_rehearsal import _ensure_generated
+
+    # foreign content → hard refusal, nothing deleted
+    foreign = tmp_path / "sf7"
+    foreign.mkdir()
+    (foreign / "my_thesis.docx").write_text("precious")
+    with pytest.raises(RuntimeError, match="refusing to wipe"):
+        _ensure_generated(spark, 7.0, str(tmp_path))
+    assert (foreign / "my_thesis.docx").read_text() == "precious"
+
+    # complete legacy output (all tables + _SUCCESS, no marker) → adopted
+    legacy = tmp_path / "sf8"
+    for t in datagen.GENERATORS:
+        d = legacy / f"{t}.parquet"
+        d.mkdir(parents=True)
+        (d / "_SUCCESS").write_text("")
+        (d / "part-00000.parquet").write_text("stub")
+    out = _ensure_generated(spark, 8.0, str(tmp_path))
+    assert out == str(legacy)
+    assert os.path.exists(legacy / "_GENERATED")
+    # the stub data survived — adoption, not regeneration
+    assert (legacy / "lineitem.parquet" / "part-00000.parquet").read_text() == "stub"

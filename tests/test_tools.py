@@ -130,3 +130,33 @@ def test_fault_check_sentinels_mix_and_unknown_names():
 
     with pytest.raises(SystemExit, match="unknown query 'nope'"):
         phase_retry("/nonexistent", "/tmp/out.json", queries=["@primary", "nope"])
+
+
+def test_was_submitted_detects_pre_gateway_spark_submit(monkeypatch):
+    """PYSPARK_GATEWAY_PORT (exported by spark-submit's PythonRunner
+    before user code runs) must count as 'submitted' even when no py4j
+    gateway is attached yet and SparkConf() is empty — otherwise the
+    local[N] fallback overrides `spark-submit --master yarn`
+    (round-6 advice: session.py:103)."""
+    from lime_etl_spark.session import _was_submitted
+
+    for var in ("PYSPARK_GATEWAY_PORT", "SPARK_MASTER", "MASTER"):
+        monkeypatch.delenv(var, raising=False)
+    # Simulate the pre-gateway state: SparkConf must not see a JVM-side
+    # spark.master. In this pytest process a JVM may already exist with
+    # spark.master set, so stub the conf probe to the empty pre-gateway
+    # behavior rather than fighting the live session.
+    import lime_etl_spark.session as sess_mod
+    import pyspark
+
+    class EmptyConf:
+        def __init__(self, *a, **k):
+            pass
+
+        def contains(self, key):
+            return False
+
+    monkeypatch.setattr(pyspark, "SparkConf", EmptyConf)
+    assert not _was_submitted()
+    monkeypatch.setenv("PYSPARK_GATEWAY_PORT", "43123")
+    assert _was_submitted()
