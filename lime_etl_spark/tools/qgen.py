@@ -289,6 +289,7 @@ class QGen:
         self._alias = 0
         self._derived = 0
         self._aggn = 0
+        self._branch = 0
 
     # -- helpers ------------------------------------------------------------
 
@@ -819,17 +820,23 @@ class QGen:
         qa, qb = self._q(), self._q()
         a_df, b_df = rel.df.filter(F.expr(p1)), rel.df.filter(F.expr(p2))
         if kind == "union_all":
-            # branch tag keeps the unique-tuple invariant when filters overlap
-            a_df = a_df.withColumn("branch", F.lit("a"))
-            b_df = b_df.withColumn("branch", F.lit("b"))
+            # branch tag keeps the unique-tuple invariant when filters
+            # overlap; the name must be pipeline-unique — a second
+            # union over a relation already carrying a tag would
+            # duplicate the column in SQL while Spark's withColumn
+            # silently REPLACES it (seeds 423/827/1890)
+            self._branch += 1
+            tag = f"branch{self._branch}"
+            a_df = a_df.withColumn(tag, F.lit("a"))
+            b_df = b_df.withColumn(tag, F.lit("b"))
             df = analytics.union_all(a_df, b_df)
             sql = (
-                f"SELECT *, 'a' AS branch FROM ({rel.sql}) {qa} WHERE {p1} "
+                f"SELECT *, 'a' AS {tag} FROM ({rel.sql}) {qa} WHERE {p1} "
                 f"UNION ALL "
-                f"SELECT *, 'b' AS branch FROM ({rel.sql}) {qb} WHERE {p2}"
+                f"SELECT *, 'b' AS {tag} FROM ({rel.sql}) {qb} WHERE {p2}"
             )
-            cols = rel.cols + [Col("branch", "str")]
-            unique = rel.unique + ["branch"] if rel.unique is not None else None
+            cols = rel.cols + [Col(tag, "str")]
+            unique = rel.unique + [tag] if rel.unique is not None else None
             return replace(
                 rel, df=df, sql=sql, cols=cols, unique=unique,
                 ops=rel.ops + [kind],

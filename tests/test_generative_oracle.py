@@ -22,7 +22,9 @@ from lime_etl_spark.tools.qgen import generate_query
 #  - 39/70/93: aggregate alias collision when an agg feeds another agg
 #  - 100/139: total order assumed (l_orderkey, l_linenumber) unique;
 #    the fixture's lineitem has no unique key -> all-columns tiebreak
-REGRESSION_SEEDS = [16, 29, 39, 70, 93, 100, 136, 139]
+#  - 342/423/827/1890: second union_all reused the 'branch' tag name —
+#    duplicate column in SQL, silently REPLACED by Spark's withColumn
+REGRESSION_SEEDS = [16, 29, 39, 70, 93, 100, 136, 139, 342, 423, 827, 1890]
 
 SWEEP = list(range(120))
 

@@ -932,3 +932,70 @@ def test_semantic_dedup_pretrained_centroids_match_training(spark, sf_dir):
         emb, dim=64, centroids=idx.cents, threshold=0.3
     )
     assert sorted(map(tuple, arrow.collect())) == trained
+
+
+def test_lsh_index_save_load_roundtrip(spark, sf_dir, tmp_path):
+    """save -> load -> search must equal lsh_bucketed_topk with the
+    same knobs (r6 verdict next-round #3: persist the LSH assignment —
+    the plane matrix is seed-deterministic, the bucketed corpus is the
+    expensive half at 1e9 vectors and must load without recompute)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 16)
+    fresh = sorted(map(tuple, similarity.lsh_bucketed_topk(
+        q, emb, dim=64, k=5, n_planes=5, multi_probe=1
+    ).collect()))
+    index = similarity.lsh_index(emb, dim=64, n_planes=5)
+    mem = sorted(map(tuple, similarity.lsh_search(
+        q, index, k=5, multi_probe=1
+    ).collect()))
+    assert mem == fresh
+    fp = similarity.lsh_corpus_fingerprint(emb)
+    d = str(tmp_path / "lshidx")
+    index.save(d, corpus_fingerprint=fp)
+    loaded = similarity.lsh_index_load(spark, d, expected_fingerprint=fp)
+    assert (loaded.dim, loaded.n_planes) == (64, 5)
+    got = sorted(map(tuple, similarity.lsh_search(
+        q, loaded, k=5, multi_probe=1
+    ).collect()))
+    assert got == fresh
+    assert len(got) > 0
+
+
+def test_lsh_index_load_refusals(spark, sf_dir, tmp_path):
+    """Missing manifest (save died mid-write) and stale corpus
+    fingerprint both refuse loudly, mirroring ivf_index_load."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    d = str(tmp_path / "lshidx")
+    with pytest.raises(ValueError, match="missing manifest"):
+        similarity.lsh_index_load(spark, d)
+    index = similarity.lsh_index(emb, dim=64, n_planes=5)
+    fp = similarity.lsh_corpus_fingerprint(emb)
+    index.save(d, corpus_fingerprint=fp)
+    grown = emb.unionByName(
+        emb.limit(1).withColumn("vec_id", F.lit(999_999))
+    )
+    fp_grown = similarity.lsh_corpus_fingerprint(grown)
+    with pytest.raises(ValueError, match="stale LSH index"):
+        similarity.lsh_index_load(spark, d, expected_fingerprint=fp_grown)
+    # fingerprint=None skips the staleness check by contract
+    assert similarity.lsh_index_load(spark, d).n_planes == 5
+
+
+def test_lsh_index_resave_crash_window_unpublishes_first(spark, sf_dir, tmp_path):
+    """A RE-save dying mid-rewrite must not leave the previous manifest
+    published over torn parquet — manifest deleted first (same
+    write-then-publish protocol as IVFIndex)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    index = similarity.lsh_index(emb, dim=64, n_planes=5)
+    fp = similarity.lsh_corpus_fingerprint(emb)
+    d = str(tmp_path / "lshidx")
+    index.save(d, corpus_fingerprint=fp)
+    assert similarity.lsh_index_load(spark, d, expected_fingerprint=fp)
+    bad_bucketed = spark.range(3).select(
+        F.col("id").alias("neighbor_id"),
+        F.expr("cast('' as double)").alias("boom"),
+    )
+    with pytest.raises(Exception):
+        similarity.LSHIndex(64, 5, bad_bucketed).save(d, corpus_fingerprint=fp)
+    with pytest.raises(ValueError, match="missing manifest"):
+        similarity.lsh_index_load(spark, d)
