@@ -3116,6 +3116,29 @@ def dedup_semantic(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_semantic_dedup",
+    # same oracle as dedup_semantic: a single-batch drain over empty
+    # state reduces to the batch upper-triangular rule (survivors ==
+    # semantic_dedup row-for-row), so the streaming operator inherits
+    # the full value oracle — the streaming_incremental_dedup trick
+    oracle=_semantic_dedup_oracle(),
+    eager_plan=True,
+)
+def streaming_semantic_dedup(spark, sf_dir):
+    """Incremental SemDeDup on ingest (streaming/semantic.py, round 7):
+    centroids fixed at attach time (a saved IVFIndex path or matrix —
+    train once, gate ingest for weeks), per micro-batch the new vectors
+    are cell-assigned and pruned against accepted members + higher-
+    priority batch-mates, decisions and member appends idempotent per
+    batch. The sixth dedup modality's streaming twin, closing the
+    r6 asymmetry (LSH dedup had an ingest gate; semantic was
+    batch-only)."""
+    from lime_etl_spark.streaming import semantic as ssem
+
+    return ssem.run_ingest_batchlike(spark, sf_dir)
+
+
 # ===========================================================================
 # Additional TPC-H shapes (post-window extras: breadth beyond the 50
 # scored slots; locally oracle-gated like everything else)

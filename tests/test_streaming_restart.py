@@ -67,7 +67,28 @@ def slow(df):
 
 
 ck = os.path.join(work, "ck")
-if which == "dedup":
+if which == "semantic":
+    import numpy as np
+
+    from lime_etl_spark.streaming.semantic import semantic_dedup_on_ingest
+
+    # deterministic training over the SAME source files in every run:
+    # clean and restarted runs derive identical centroids
+    emb_all = spark.read.schema(
+        "vec_id bigint, embedding array<float>, label int"
+    ).parquet(src)
+    from lime_etl_spark.ops.similarity import kmeans_centroids_embeddings
+
+    cents = kmeans_centroids_embeddings(emb_all, dim=64, k=8, n_iter=3)
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = semantic_dedup_on_ingest(
+        slow(stream), os.path.join(work, "state"), ck, cents, threshold=0.3
+    )
+elif which == "dedup":
     from lime_etl_spark.streaming.dedup import dedup_on_ingest
 
     stream = (
@@ -181,10 +202,13 @@ def split_sources(spark, sf_dir, tmp_path_factory):
     root = tmp_path_factory.mktemp("restart_src")
     docs = str(root / "docs")
     events = str(root / "events")
+    emb = str(root / "emb")
     read_table(spark, sf_dir, "documents").repartition(12).write.parquet(docs)
     read_table(spark, sf_dir, "events").repartition(12).write.parquet(events)
+    read_table(spark, sf_dir, "embeddings").repartition(12).write.parquet(emb)
     return {
         "dedup": docs,
+        "semantic": emb,
         "quality": events,
         "sessions": events,
         "sessions:rocksdb": events,
@@ -192,7 +216,7 @@ def split_sources(spark, sf_dir, tmp_path_factory):
 
 
 @pytest.mark.parametrize(
-    "which", ["dedup", "quality", "sessions", "sessions:rocksdb"]
+    "which", ["dedup", "semantic", "quality", "sessions", "sessions:rocksdb"]
 )
 def test_kill_and_restart_equals_uninterrupted(
     which, spark, split_sources, tmp_path
@@ -211,6 +235,26 @@ def test_kill_and_restart_equals_uninterrupted(
         clean = _rows(spark.read.parquet(os.path.join(clean_work, "out")))
         fault = _rows(spark.read.parquet(os.path.join(fault_work, "out")))
         assert clean == fault and len(clean) > 0
+    elif which == "semantic":
+        from pyspark.sql import functions as F
+
+        from lime_etl_spark.streaming.semantic import (
+            DECISIONS_SUBDIR as SEM_DECISIONS,
+            _DECISIONS_SCHEMA as SEM_SCHEMA,
+        )
+        from lime_etl_spark.streaming.state import read_state_or_empty
+
+        def decisions(work):
+            return read_state_or_empty(
+                spark, os.path.join(work, "state", SEM_DECISIONS), SEM_SCHEMA
+            )
+
+        clean, fault = decisions(clean_work), decisions(fault_work)
+        assert _rows(clean) == _rows(fault)
+        assert (
+            fault.groupBy("vec_id").count().filter(F.col("count") > 1).count() == 0
+        )
+        assert fault.count() > 0
     elif which == "dedup":
         from pyspark.sql import functions as F
 
