@@ -45,7 +45,20 @@ def exec_metric(eager_plan: bool, fresh_warm: float, exec_min: float) -> float:
 
 
 def main() -> None:
-    spark = get_spark("lime_etl_spark-bench")
+    # Pin the collector explicitly (r6 verdict task 7): Java 17 defaults
+    # to G1 but the default heap floor (-Xms) lets the 32 GiB bench heap
+    # grow in steps, and each growth step is a full-heap resize pause
+    # that lands in whichever query is running — part of the ±4%
+    # adjudication noise. Fixing -Xms to a working-set-sized floor and
+    # stating G1 outright makes the JVM identical run-to-run; the
+    # per-query [min, max] warm spread below makes residual variance
+    # visible in the artifact instead of argued about.
+    spark = get_spark(
+        "lime_etl_spark-bench",
+        extra_conf={
+            "spark.driver.extraJavaOptions": "-XX:+UseG1GC -Xms8g",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM paths the queries share (codegen, parquet reader,
@@ -71,6 +84,8 @@ def main() -> None:
     headline = [(n, q) for n, q in REGISTRY.items() if q.headline]
     timings: dict[str, float] = {}
     exec_timings: dict[str, float] = {}
+    warm_spread: dict[str, list[float]] = {}
+    exec_spread: dict[str, list[float]] = {}
     total = 0.0
     cold_total = 0.0
     exec_total = 0.0
@@ -85,6 +100,7 @@ def main() -> None:
             warm.append(time.perf_counter() - start)
         elapsed = round(min(warm), 3)
         timings[name] = elapsed
+        warm_spread[name] = [round(min(warm), 3), round(max(warm), 3)]
         total += elapsed
         # Execution-only: re-run an ALREADY-BUILT DataFrame, so Catalyst
         # analysis/optimization/codegen (fixed per-plan overhead,
@@ -107,6 +123,8 @@ def main() -> None:
             execs = [float("inf")]
         exec_elapsed = round(exec_metric(q.eager_plan, elapsed, min(execs)), 3)
         exec_timings[name] = exec_elapsed
+        if not q.eager_plan:
+            exec_spread[name] = [round(min(execs), 3), round(max(execs), 3)]
         exec_total += exec_elapsed
     print(
         json.dumps(
@@ -129,6 +147,12 @@ def main() -> None:
                 # it would time only the final projection)
                 "runs_per_query": {"standard": 6, "eager_plan": 3},
                 "steady_state": "min of 2 warm runs",
+                # [min, max] across the warm / exec-only runs, so ±noise
+                # adjudications are mechanical (r6 verdict task 7); the
+                # JVM runs pinned G1 with a fixed -Xms floor
+                "warm_spread": warm_spread,
+                "exec_spread": exec_spread,
+                "jvm": "G1, -Xms8g floor, 32g heap",
             }
         )
     )
