@@ -181,6 +181,47 @@ def recommended_n_clusters(
     return max(min_clusters, min(by_budget, cap))
 
 
+class CorpusStats:
+    """One-pass corpus statistics for the auto-sizing entry points
+    (r6 verdict next-round #4): every ``n_planes=None`` /
+    ``n_clusters=None`` path used to pay its OWN eager count() at
+    construction, and index persistence paid a separate fingerprint
+    aggregation — composing K ops over one corpus cost K+1 scans.
+    ``corpus_stats()`` computes the count AND the persistence
+    fingerprint in a single narrow aggregation; pass the carrier via
+    ``stats=`` to lsh_bucketed_topk / lsh_index / calibrate_lsh /
+    embedding_near_dup_bucketed[_arrow] / ivf_index / ivf_topk /
+    semantic_dedup[_arrow] and to the index ``save(corpus_fingerprint=
+    stats.fingerprint)`` calls, and the whole composition costs ONE
+    scan. Behavior is unchanged (the sizing helpers see the same n);
+    stats are a snapshot — recompute if the corpus changes.
+    """
+
+    __slots__ = ("n", "fingerprint")
+
+    def __init__(self, n: int, fingerprint: str):
+        self.n = n
+        self.fingerprint = fingerprint
+
+    def __repr__(self) -> str:
+        return f"CorpusStats(n={self.n}, fingerprint={self.fingerprint!r})"
+
+
+def corpus_stats(
+    candidates: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> CorpusStats:
+    """One aggregation pass -> CorpusStats(count, persistence
+    fingerprint). The fingerprint is byte-identical to
+    ``ivf_corpus_fingerprint`` / ``lsh_corpus_fingerprint`` (count +
+    bit_xor of xxhash64(id, vector)), so it drops straight into the
+    index save/load staleness checks."""
+    row = candidates.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"bit_xor(xxhash64({id_col}, {vec_col}))").alias("h"),
+    ).collect()[0]
+    return CorpusStats(int(row["n"]), f"{row['n']}:{row['h']}")
+
+
 def with_lsh_bucket(
     df: DataFrame,
     dim: int,
@@ -245,6 +286,7 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_recall: float | None = None,
+    stats: "CorpusStats | None" = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine, but only within the probe's LSH
     bucket(s). Join on bucket replaces the cross join — candidate set
@@ -282,6 +324,7 @@ def lsh_bucketed_topk(
         n_planes, multi_probe, measured = calibrate_lsh(
             queries, candidates, dim, k=k, target_recall=target_recall,
             start_n_planes=n_planes, id_col=id_col, vec_col=vec_col,
+            stats=stats,
         )
         if measured == measured and measured < target_recall:  # not NaN
             import warnings
@@ -297,7 +340,9 @@ def lsh_bucketed_topk(
     if n_planes is None:
         # max(1,·): an empty corpus sizes to the 1-plane minimum
         # instead of tripping the helper's explicit-input validation
-        n_planes = recommended_n_planes(max(1, candidates.count()))
+        # (stats carrier skips the eager count — see CorpusStats)
+        n = stats.n if stats is not None else candidates.count()
+        n_planes = recommended_n_planes(max(1, n))
     qb0 = with_lsh_bucket(queries, dim, n_planes, vec_col).select(
         F.col(id_col).alias("query_id"),
         _to_double(F.col(vec_col)).alias("qv"),
@@ -354,6 +399,7 @@ def calibrate_lsh(
     sample: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    stats: "CorpusStats | None" = None,
 ) -> "tuple[int, int, float]":
     """Measure-and-adjust for hyperplane LSH — the mirror of
     ``calibrate_nprobe`` (round-6: the IVF path had a measured recall
@@ -380,7 +426,8 @@ def calibrate_lsh(
     if not 0.0 < target_recall <= 1.0:
         raise ValueError(f"target_recall in (0, 1], got {target_recall}")
     if start_n_planes is None:
-        start_n_planes = recommended_n_planes(max(1, candidates.count()))
+        n = stats.n if stats is not None else candidates.count()
+        start_n_planes = recommended_n_planes(max(1, n))
     probe_set = queries.select(id_col, vec_col).orderBy(id_col).limit(sample)
     exact = cosine_topk(probe_set, candidates, k=k, id_col=id_col, vec_col=vec_col)
     exact_pairs = {
@@ -468,12 +515,15 @@ def lsh_index(
     n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    stats: "CorpusStats | None" = None,
 ) -> LSHIndex:
     """Bucket the corpus once — the build half of lsh_bucketed_topk
     (n_planes=None sizes from the corpus count, eagerly, exactly like
-    the search path's default)."""
+    the search path's default; pass ``stats`` to reuse a one-pass
+    CorpusStats instead)."""
     if n_planes is None:
-        n_planes = recommended_n_planes(max(1, candidates.count()))
+        n = stats.n if stats is not None else candidates.count()
+        n_planes = recommended_n_planes(max(1, n))
     cb = with_lsh_bucket(candidates, dim, n_planes, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         _to_double(F.col(vec_col)).alias("cv"),
@@ -660,6 +710,7 @@ def embedding_near_dup_bucketed(
     multi_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    stats: "CorpusStats | None" = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup PAIRS via LSH buckets — the linear-ish
     scale path for pairwise embedding dedup (vs the exact all-pairs
@@ -687,7 +738,8 @@ def embedding_near_dup_bucketed(
     """
     if n_planes is None:
         # max(1,·): empty corpus -> 1-plane minimum, not a ValueError
-        n_planes = recommended_n_planes(max(1, df.count()))
+        n = stats.n if stats is not None else df.count()
+        n_planes = recommended_n_planes(max(1, n))
     b = with_lsh_bucket(df, dim, n_planes, vec_col)
     a_side = _explode_probes(
         b.select(
@@ -722,6 +774,7 @@ def embedding_near_dup_bucketed_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_block_bytes: int = 64 << 20,
+    stats: "CorpusStats | None" = None,
 ) -> DataFrame:
     """Arrow twin of embedding_near_dup_bucketed: same candidate
     structure (probe-exploded a-side ⋈ bucket b-side, id_a < id_b, each
@@ -757,7 +810,8 @@ def embedding_near_dup_bucketed_arrow(
     blk_bytes = int(score_block_bytes)
     if n_planes is None:
         # max(1,·): empty corpus -> 1-plane minimum, not a ValueError
-        n_planes = recommended_n_planes(max(1, df.count()))
+        n = stats.n if stats is not None else df.count()
+        n_planes = recommended_n_planes(max(1, n))
 
     b = with_lsh_bucket(df, dim, n_planes, vec_col)
     a_side = _explode_probes(
@@ -1074,13 +1128,16 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_max: int | None = None,
+    stats: "CorpusStats | None" = None,
 ) -> IVFIndex:
     """Train k-means cells and assign the corpus — the build half of
     ivf_topk (see its docstring for the sizing/sampling rationale;
-    n_clusters=None additionally makes this eager via one count())."""
-    n = None
-    if n_clusters is None:
+    n_clusters=None additionally makes this eager via one count(),
+    which ``stats`` — a one-pass CorpusStats — skips)."""
+    n = stats.n if stats is not None else None
+    if n_clusters is None and n is None:
         n = candidates.count()
+    if n_clusters is None:
         # max(1,·): empty corpus -> min_clusters, not a ValueError
         n_clusters = recommended_n_clusters(max(1, n))
     train = candidates
@@ -1249,6 +1306,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     train_max: int | None = None,
     target_recall: float | None = None,
+    stats: "CorpusStats | None" = None,
 ) -> DataFrame:
     """IVF approximate top-k: k-means cells over the candidate corpus,
     queries search only their nprobe nearest cells — exact cosine
@@ -1296,7 +1354,7 @@ def ivf_topk(
     """
     index = ivf_index(
         candidates, dim, n_clusters=n_clusters, n_iter=n_iter,
-        id_col=id_col, vec_col=vec_col, train_max=train_max,
+        id_col=id_col, vec_col=vec_col, train_max=train_max, stats=stats,
     )
     if target_recall is not None:
         # cache the assignment around calibration AND the final search:
@@ -1395,6 +1453,7 @@ def _semantic_ranked(
     keep: str,
     id_col: str,
     vec_col: str,
+    stats: "CorpusStats | None" = None,
 ) -> DataFrame:
     """Shared front half of both semantic_dedup variants: deterministic
     k-means assignment plus a 9dp-rounded cosine-to-own-centroid column
@@ -1411,8 +1470,10 @@ def _semantic_ranked(
             # same sizing rule as ivf_index: cells shrink with the
             # corpus so in-cell pair work stays ~n*budget, not n^2
             # (max(1,·): empty corpus -> min_clusters, not ValueError;
-            # the count makes construction eager, as in ivf_index)
-            n_clusters = recommended_n_clusters(max(1, df.count()))
+            # the count makes construction eager, as in ivf_index —
+            # unless a one-pass CorpusStats carrier is supplied)
+            n = stats.n if stats is not None else df.count()
+            n_clusters = recommended_n_clusters(max(1, n))
         cents = kmeans_centroids_embeddings(
             df, dim, k=n_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col
         )
@@ -1447,6 +1508,7 @@ def semantic_dedup(
     keep: str = "farthest",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    stats: "CorpusStats | None" = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, public):
     cluster embeddings with deterministic k-means, then inside each
@@ -1480,7 +1542,7 @@ def semantic_dedup(
     in-cell matmul, only dropped ids leave the kernel).
     """
     ranked = _semantic_ranked(
-        df, dim, n_clusters, n_iter, centroids, keep, id_col, vec_col
+        df, dim, n_clusters, n_iter, centroids, keep, id_col, vec_col, stats
     )
     order = (
         [F.col("cent_cos").asc(), F.col("__sid").asc()]
@@ -1524,6 +1586,7 @@ def semantic_dedup_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_block_bytes: int = 64 << 20,
+    stats: "CorpusStats | None" = None,
 ) -> DataFrame:
     """Arrow twin of semantic_dedup — identical semantics (bit-parity
     pinned in tests), one grouped applyInPandas per k-means cell: sort
@@ -1542,7 +1605,7 @@ def semantic_dedup_arrow(
     blk_bytes = int(score_block_bytes)
     asc = keep == "farthest"  # validated (with `keep` itself) in _semantic_ranked
     ranked = _semantic_ranked(
-        df, dim, n_clusters, n_iter, centroids, keep, id_col, vec_col
+        df, dim, n_clusters, n_iter, centroids, keep, id_col, vec_col, stats
     )
 
     def kernel(pdf):

@@ -999,3 +999,44 @@ def test_lsh_index_resave_crash_window_unpublishes_first(spark, sf_dir, tmp_path
         similarity.LSHIndex(64, 5, bad_bucketed).save(d, corpus_fingerprint=fp)
     with pytest.raises(ValueError, match="missing manifest"):
         similarity.lsh_index_load(spark, d)
+
+
+def test_corpus_stats_one_pass_carrier(spark, sf_dir):
+    """CorpusStats (r6 verdict next-round #4): one aggregation yields
+    the count AND the persistence fingerprint; threading it through the
+    auto-sizing entry points changes nothing about results but skips
+    every per-op eager count."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    st = similarity.corpus_stats(emb)
+    assert st.n == emb.count()
+    assert st.fingerprint == similarity.ivf_corpus_fingerprint(emb)
+
+    q = emb.filter(F.col("vec_id") < 8)
+    # no behavior change: identical results with and without the carrier
+    without = sorted(map(tuple, similarity.lsh_bucketed_topk(
+        q, emb, dim=64, k=5
+    ).collect()))
+    with_stats = sorted(map(tuple, similarity.lsh_bucketed_topk(
+        q, emb, dim=64, k=5, stats=st
+    ).collect()))
+    assert with_stats == without
+
+    s1 = sorted(map(tuple, similarity.semantic_dedup(
+        emb, dim=64, threshold=0.3
+    ).collect()))
+    s2 = sorted(map(tuple, similarity.semantic_dedup(
+        emb, dim=64, threshold=0.3, stats=st
+    ).collect()))
+    assert s1 == s2
+
+    # the count really is skipped: a fabricated carrier drives the
+    # sizing (tiny n -> 1 plane / min clusters), proving no df.count()
+    # overrode it
+    fake = similarity.CorpusStats(4, "4:0")
+    assert similarity.lsh_index(emb, dim=64, stats=fake).n_planes == 1
+    real = similarity.lsh_index(emb, dim=64, stats=st).n_planes
+    assert real == similarity.recommended_n_planes(st.n)
+
+    # the fingerprint drops into index persistence directly
+    idx = similarity.ivf_index(emb, dim=64, n_clusters=8, stats=st)
+    assert idx.assigned.columns == ["neighbor_id", "cv", "cluster"]
