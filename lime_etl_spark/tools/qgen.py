@@ -598,13 +598,28 @@ class QGen:
             # aggregate must not collide
             self._aggn += 1
             name = f"agg_{self._aggn}"
-            kinds = ["cnt", "min", "max", "sum", "cntcol"]
+            kinds = ["cnt", "min", "max", "sum", "cntcol", "cnt_filter", "bool_agg"]
             if not used_distinct:
                 kinds.append("cntd")
             kind = self.rng.choice(kinds)
             if kind == "cnt":
                 out_sql.append(f"COUNT(*) AS {name}")
                 out_cols.append(Col(name, "i64"))
+                continue
+            if kind in ("cnt_filter", "bool_agg"):
+                pred = self._simple_pred(rel)
+                if pred is None:
+                    out_sql.append(f"COUNT(*) AS {name}")
+                    out_cols.append(Col(name, "i64"))
+                    continue
+                if kind == "cnt_filter":
+                    # the SQL-standard FILTER clause — both engines
+                    out_sql.append(f"COUNT(*) FILTER (WHERE {pred}) AS {name}")
+                    out_cols.append(Col(name, "i64"))
+                else:
+                    fn = self.rng.choice(["bool_and", "bool_or"])
+                    out_sql.append(f"{fn}({pred}) AS {name}")
+                    out_cols.append(Col(name, "bool", True))
                 continue
             c = self.rng.choice(cands)
             if kind == "cntcol":
@@ -693,7 +708,8 @@ class QGen:
             return None
         part = self.rng.choice(pk_cands).name
         kinds = ["rank", "dense_rank", "part_sum",
-                 "row_number", "topk", "running", "lag"]
+                 "row_number", "topk", "running", "lag",
+                 "moving", "ntile", "first_last"]
         kind = self.rng.choice(kinds)
         q = self._q()
         tiebreak = self._tiebreak(rel)
@@ -780,6 +796,64 @@ class QGen:
             return replace(
                 rel, df=df, sql=sql, cols=rel.cols + [Col(name, t, True)],
                 ops=rel.ops + ["running"],
+            )
+        if kind == "moving":
+            # sliding row frame via the engine's moving_agg — exact
+            # decimal, deterministic under the total order
+            nums = [c for c in rel.cols if c.t in NUM_TYPES]
+            if not nums:
+                return None
+            c = self.rng.choice(nums)
+            arg = (
+                f"CAST({c.name} AS DECIMAL(18,6))" if c.t == "f64" else c.name
+            )
+            t = "dec" if c.t in ("f64", "dec") else "i64"
+            prec = self.rng.randint(1, 3)
+            folw = self.rng.randint(0, 2)
+            df = analytics.moving_agg(
+                rel.df, [part], uniq, F.sum(F.expr(arg)), name,
+                preceding=prec, following=folw,
+            )
+            expr = (
+                f"SUM({arg}) OVER (PARTITION BY {part} ORDER BY {osql} "
+                f"ROWS BETWEEN {prec} PRECEDING AND "
+                + (f"{folw} FOLLOWING" if folw else "CURRENT ROW") + ")"
+            )
+            sql = f"SELECT *, {expr} AS {name} FROM ({rel.sql}) {q}"
+            return replace(
+                rel, df=df, sql=sql, cols=rel.cols + [Col(name, t, True)],
+                ops=rel.ops + ["moving"],
+            )
+        if kind == "ntile":
+            k = self.rng.choice([2, 3, 4])
+            expr = f"ntile({k}) OVER (PARTITION BY {part} ORDER BY {osql})"
+            df = rel.df.withColumn(name, F.expr(expr))
+            sql = f"SELECT *, {expr} AS {name} FROM ({rel.sql}) {q}"
+            return replace(
+                rel, df=df, sql=sql, cols=rel.cols + [Col(name, "i32")],
+                ops=rel.ops + ["ntile"],
+            )
+        if kind == "first_last":
+            c = self.rng.choice(rel.cols)
+            fn = self.rng.choice(["first_value", "last_value"])
+            # explicit frame: last_value's default frame ends at CURRENT
+            # ROW (useless and a classic trap) — pin unbounded/current
+            # consistently in both engines
+            frame = (
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+                if fn == "last_value" or self.rng.random() < 0.5
+                else "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+            )
+            expr = (
+                f"{fn}({c.name}) OVER (PARTITION BY {part} "
+                f"ORDER BY {osql} {frame})"
+            )
+            df = rel.df.withColumn(name, F.expr(expr))
+            sql = f"SELECT *, {expr} AS {name} FROM ({rel.sql}) {q}"
+            return replace(
+                rel, df=df, sql=sql,
+                cols=rel.cols + [Col(name, c.t, c.nullable)],
+                ops=rel.ops + ["first_last"],
             )
         if kind == "lag":
             nums = [c for c in rel.cols if c.t in NUM_TYPES]

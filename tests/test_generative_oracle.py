@@ -24,6 +24,10 @@ from lime_etl_spark.tools.qgen import generate_query
 #    the fixture's lineitem has no unique key -> all-columns tiebreak
 #  - 342/423/827/1890: second union_all reused the 'branch' tag name —
 #    duplicate column in SQL, silently REPLACED by Spark's withColumn
+# NOTE: the generator's op menu has grown since these were caught, so a
+# pinned seed no longer reproduces its original pipeline byte-for-byte;
+# the fixes are structural (always-on: alias counters, all-columns
+# tiebreak, unique tags) and the seeds stay as extra sweep coverage.
 REGRESSION_SEEDS = [16, 29, 39, 70, 93, 100, 136, 139, 342, 423, 827, 1890]
 
 SWEEP = list(range(120))
@@ -71,7 +75,7 @@ def test_generator_covers_operator_vocabulary(spark, sf_dir):
 EXPECTED_FAMILIES = {
     "base", "filter", "derive", "project", "inner", "left", "left_semi",
     "left_anti", "group", "rollup", "cube", "having", "rank", "dense_rank",
-    "row_number", "topk", "running", "lag_lead", "part_sum", "union_all",
-    "union_distinct", "intersect", "except_all", "except_distinct",
-    "distinct", "sort_limit",
+    "row_number", "topk", "running", "lag_lead", "part_sum", "moving",
+    "ntile", "first_last", "union_all", "union_distinct", "intersect",
+    "except_all", "except_distinct", "distinct", "sort_limit",
 }
