@@ -566,10 +566,20 @@ class QGen:
         ddf = read_table(self.spark, self.sf_dir, dim_name).select(pk, *picked)
         # join on renamed pk -> single key column, left side's values kept
         ddf_r = ddf.withColumnRenamed(pk, fk)
-        df = analytics.join(
-            rel.df, ddf_r, on=[fk], how=how,
-            broadcast_right=self.rng.random() < 0.5,
-        )
+        salted = how == "inner" and self.rng.random() < 0.3
+        if salted:
+            # skew-mitigating variant: result must equal the plain join
+            # under ANY salt choice — the op's core contract, now
+            # exercised generatively (SQL twin stays a plain JOIN)
+            df = analytics.salted_join(
+                rel.df, ddf_r, key=fk, salt=self.rng.choice([2, 4, 8]),
+                how="inner",
+            )
+        else:
+            df = analytics.join(
+                rel.df, ddf_r, on=[fk], how=how,
+                broadcast_right=self.rng.random() < 0.5,
+            )
         jt = "JOIN" if how == "inner" else "LEFT JOIN"
         proj = ", ".join([f"{q}.{c.name}" for c in rel.cols]
                          + [f"d.{n}" for n in picked])
@@ -580,10 +590,69 @@ class QGen:
         nullable = how == "left"
         tdim = dict(dim.cols)
         new_cols = rel.cols + [Col(n, tdim[n], nullable) for n in picked]
+        tag = "salted" if salted else how
         return replace(
             rel, df=df, sql=sql, cols=new_cols,
             joined=rel.joined | {dim_name},
-            ops=rel.ops + [f"{how}:{dim_name}"],
+            ops=rel.ops + [f"{tag}:{dim_name}"],
+        )
+
+    def _op_asof(self, rel: Rel) -> Rel | None:
+        """As-of join against a filtered events stream — generative
+        coverage for analytics.as_of_join (itself a composition: range
+        join + per-left-row row_number). Requires an events-rooted rel
+        whose unique tuple is exactly the event id (one output row per
+        left row keeps the invariant)."""
+        names = set(rel.names())
+        if rel.unique != ["event_id"] or not {"user_id", "ts"} <= names:
+            return None
+        if {"r_ts", "r_eid", "r_val"} & names:  # one as-of per pipeline
+            return None
+        if rel.col("user_id").nullable or rel.col("ts").nullable:
+            return None
+        etype = self.rng.choice(
+            ["'click'", "'view'", "'purchase'", "'signup'", "'error'"]
+        )
+        direction = self.rng.choice(["backward", "forward"])
+        ev = read_table(self.spark, self.sf_dir, "events")
+        right = ev.filter(F.expr(f"event_type = {etype}")).select(
+            F.col("user_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_eid"),
+            F.col("value").alias("r_val"),
+        )
+        out = analytics.as_of_join(
+            rel.df, right, key="user_id", left_ts="ts", right_ts="r_ts",
+            left_id="event_id", right_tiebreak="r_eid", direction=direction,
+        )
+        # the join keeps BOTH user_id columns (left + right key);
+        # positional rename then drop disambiguates deterministically
+        out = out.toDF(
+            *[c.name for c in rel.cols], "__rkey", "r_ts", "r_eid", "r_val"
+        ).drop("__rkey")
+        q, q2 = self._q(), self._q()
+        if direction == "backward":
+            cmp_, order = "<=", "r.r_ts DESC NULLS LAST"
+        else:
+            cmp_, order = ">=", "r.r_ts ASC NULLS FIRST"
+        proj = ", ".join(c.name for c in rel.cols)
+        sql = (
+            f"SELECT {proj}, r_ts, r_eid, r_val FROM ("
+            f"SELECT {q}.*, r.r_ts, r.r_eid, r.r_val, "
+            f"row_number() OVER (PARTITION BY {q}.event_id "
+            f"ORDER BY {order}, r.r_eid DESC NULLS LAST) AS __rn "
+            f"FROM ({rel.sql}) {q} LEFT JOIN "
+            f"(SELECT user_id AS r_key, ts AS r_ts, event_id AS r_eid, "
+            f"value AS r_val FROM events WHERE event_type = {etype}) r "
+            f"ON {q}.user_id = r.r_key AND r.r_ts {cmp_} {q}.ts"
+            f") {q2} WHERE __rn = 1"
+        )
+        new_cols = rel.cols + [
+            Col("r_ts", "ts", True), Col("r_eid", "i64", True),
+            Col("r_val", "f64", True),
+        ]
+        return replace(
+            rel, df=out, sql=sql, cols=new_cols, ops=rel.ops + ["asof"],
         )
 
     def _agg_exprs(self, rel: Rel) -> tuple[list[str], list[Col]]:
@@ -969,7 +1038,7 @@ class QGen:
     OP_MENU = [
         ("filter", 24), ("derive", 20), ("join", 20), ("agg", 14),
         ("window", 12), ("setop", 5), ("distinct", 3), ("project", 4),
-        ("having", 4),
+        ("having", 4), ("asof", 4),
     ]
 
     def generate(self) -> Rel:
@@ -983,6 +1052,7 @@ class QGen:
             "window": self._op_window, "setop": self._op_setop,
             "distinct": self._op_distinct, "project": self._op_project,
             "having": self._op_having_filter,
+            "asof": self._op_asof,
         }
         applied = 0
         tries = 0
