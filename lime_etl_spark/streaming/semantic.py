@@ -315,6 +315,16 @@ def run_ingest_batchlike(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     cents = kmeans_centroids_embeddings(emb, dim=64, k=16, n_iter=5)
+    if getattr(cents, "shape", (0,))[0] == 0:
+        # an EMPTY corpus has no clustering to gate against — the
+        # attach-time refusal is right for a real stream (a gate that
+        # accepts everything under cluster -1 would be silent data
+        # corruption), but the batchlike wrapper's contract is "gate
+        # this corpus", and gating nothing is legitimately zero rows
+        # (matches the batch oracle's empty-input form)
+        return spark.createDataFrame(
+            [], "vec_id bigint, cluster bigint, cent_cos double"
+        )
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     work = tempfile.mkdtemp(prefix=f"lime_semingest_{uuid.uuid4().hex[:8]}_")
