@@ -290,6 +290,7 @@ class QGen:
         self._derived = 0
         self._aggn = 0
         self._branch = 0
+        self._renamed = 0
 
     # -- helpers ------------------------------------------------------------
 
@@ -493,9 +494,67 @@ class QGen:
         pred = self._pred(rel)
         if pred is None:
             return None
-        df = rel.df.filter(F.expr(pred))
+        import re as _re
+
+        m = _re.fullmatch(r"(\w+) IN \(([^()]+)\)", pred)
+        if m:
+            # the reference's F3 whitelist shape — route through the
+            # engine op instead of a raw filter
+            vals = [v.strip().strip("'") for v in m.group(2).split(",")]
+            df = core.filter_isin(rel.df, m.group(1), vals)
+        else:
+            df = rel.df.filter(F.expr(pred))
         sql = f"SELECT * FROM ({rel.sql}) {self._q()} WHERE {pred}"
         return replace(rel, df=df, sql=sql, ops=rel.ops + ["filter"])
+
+    def _op_dropna(self, rel: Rel) -> Rel | None:
+        """core.drop_null_any over injected-null columns — the
+        reference's F1/F2 dropna shape, generatively (the fixture has
+        no NULLs, so this only fires once NULLIF/CASE/left-join has
+        made some column nullable)."""
+        nullable = [c.name for c in rel.cols if c.nullable]
+        if not nullable:
+            return None
+        k = self.rng.randint(1, min(2, len(nullable)))
+        subset = sorted(self.rng.sample(nullable, k))
+        df = core.drop_null_any(rel.df, subset=subset)
+        pred = " AND ".join(f"{c} IS NOT NULL" for c in subset)
+        sql = f"SELECT * FROM ({rel.sql}) {self._q()} WHERE {pred}"
+        return replace(rel, df=df, sql=sql, ops=rel.ops + ["dropna"])
+
+    def _op_rename(self, rel: Rel) -> Rel | None:
+        """core.rename (the reference's P4 dict rename) on non-key,
+        non-FK columns — name tracking elsewhere is name-based, so
+        uniques and FK columns keep their names."""
+        keep = set(rel.unique or []) | set(FK_MAP)
+        cands = [c for c in rel.cols if c.name not in keep]
+        if not cands:
+            return None
+        k = self.rng.randint(1, min(2, len(cands)))
+        chosen = self.rng.sample(cands, k)
+        mapping = {}
+        for c in chosen:
+            self._renamed += 1
+            mapping[c.name] = f"rn{self._renamed}_{c.name}"
+        df = core.rename(rel.df, mapping)
+        proj = ", ".join(
+            f"{c.name} AS {mapping[c.name]}" if c.name in mapping else c.name
+            for c in rel.cols
+        )
+        sql = f"SELECT {proj} FROM ({rel.sql}) {self._q()}"
+        cols = [
+            replace(c, name=mapping.get(c.name, c.name)) for c in rel.cols
+        ]
+        pools = {mapping.get(k_, k_): v for k_, v in rel.pools.items()}
+        # renamed base columns keep their literal pools under the new name
+        for c in chosen:
+            base_pool = LIT_POOLS.get(c.name)
+            if base_pool and mapping[c.name] not in pools:
+                pools[mapping[c.name]] = base_pool
+        return replace(
+            rel, df=df, sql=sql, cols=cols, pools=pools,
+            ops=rel.ops + ["rename"],
+        )
 
     def _op_derive(self, rel: Rel) -> Rel | None:
         got = self._scalar(rel)
@@ -1038,7 +1097,7 @@ class QGen:
     OP_MENU = [
         ("filter", 24), ("derive", 20), ("join", 20), ("agg", 14),
         ("window", 12), ("setop", 5), ("distinct", 3), ("project", 4),
-        ("having", 4), ("asof", 4),
+        ("having", 4), ("asof", 4), ("dropna", 6), ("rename", 4),
     ]
 
     def generate(self) -> Rel:
@@ -1053,6 +1112,8 @@ class QGen:
             "distinct": self._op_distinct, "project": self._op_project,
             "having": self._op_having_filter,
             "asof": self._op_asof,
+            "dropna": self._op_dropna,
+            "rename": self._op_rename,
         }
         applied = 0
         tries = 0

@@ -62,7 +62,7 @@ def test_generator_covers_operator_vocabulary(spark, sf_dir):
     """A modest seed range must exercise every op family — guards
     against a weight/gating regression silently dropping coverage."""
     seen: set[str] = set()
-    for seed in range(400):
+    for seed in range(800):
         # plans are built but never executed — this stays cheap
         rel = generate_query(seed, spark, sf_dir)
         seen.update(op.split(":")[0] for op in rel.ops)
@@ -79,4 +79,5 @@ EXPECTED_FAMILIES = {
     "row_number", "topk", "running", "lag_lead", "part_sum", "moving",
     "ntile", "first_last", "union_all", "union_distinct", "intersect",
     "except_all", "except_distinct", "distinct", "sort_limit",
+    "dropna", "rename",
 }
