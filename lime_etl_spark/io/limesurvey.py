@@ -139,20 +139,32 @@ class LimeSurveyClient:
         return self._session_key
 
     def close(self) -> None:
-        if self._session_key is not None:
-            # reference's release payload is malformed (limesurvey.py:109); fixed
-            self._rpc("release_session_key", [self._session_key])
-            self._session_key = None
-        # tear down the per-client HTTP session (cookies, pooled sockets)
-        release = getattr(self.transport, "close", None)
-        if callable(release):
-            release()
+        try:
+            if self._session_key is not None:
+                # reference's release payload is malformed (limesurvey.py:109); fixed
+                self._rpc("release_session_key", [self._session_key])
+                self._session_key = None
+        finally:
+            # tear down the per-client HTTP session (cookies, pooled
+            # sockets) even when the release RPC itself fails — an
+            # unreachable server must not leak the Session it was
+            # talking to (round-7 review finding)
+            release = getattr(self.transport, "close", None)
+            if callable(release):
+                release()
 
     def __enter__(self) -> "LimeSurveyClient":
         return self
 
-    def __exit__(self, *exc_info) -> None:
-        self.close()
+    def __exit__(self, exc_type, exc, tb) -> None:
+        try:
+            self.close()
+        except Exception:
+            # teardown noise must not mask the body's exception — an
+            # export that died because the server went away would
+            # otherwise surface as 'release_session_key failed'
+            if exc_type is None:
+                raise
 
     # -- catalog / metadata (S6) -------------------------------------------
 

@@ -127,8 +127,18 @@ def read_csv(
         # Appending the quarantine column to a schema that already
         # declares it would surface as a duplicate-column
         # AnalysisException deep inside the reader, far from this call
-        # site — name the conflict here instead.
-        if "_corrupt_record" in schema:
+        # site — name the conflict here instead. Match parsed COLUMN
+        # NAMES, not a substring of the DDL (a column merely CONTAINING
+        # '_corrupt_record', e.g. raw_corrupt_record, is fine).
+        try:
+            from pyspark.sql.types import StructType
+
+            declared = {f.name for f in StructType.fromDDL(schema).fields}
+        except Exception:
+            # unparseable DDL fails in the reader anyway; fall back to
+            # the conservative substring probe here
+            declared = {"_corrupt_record"} if "_corrupt_record" in schema else set()
+        if "_corrupt_record" in declared:
             raise ValueError(
                 "keep_corrupt=True appends a _corrupt_record column, but "
                 "the supplied schema already declares one — drop it from "

@@ -459,6 +459,23 @@ def calibrate_lsh(
     return last
 
 
+def _write_parquet_replace(df: DataFrame, dest: str, fs) -> None:
+    """Replace ``dest`` with ``df`` WITHOUT reading-and-overwriting the
+    same directory: write to a tmp sibling, then swap. A re-save of an
+    index loaded FROM this very path would otherwise delete the
+    manifest and then die in Spark's 'cannot overwrite a path that is
+    also being read from' — destroying a previously valid index
+    (round-7 review finding). Crash anywhere in the swap leaves no
+    manifest (the caller publishes it LAST), so a half-swapped dir
+    loads as 'no index here', never as torn data."""
+    tmp = dest.rstrip("/") + "__swap"
+    fs.delete(tmp)
+    df.write.mode("overwrite").parquet(tmp)
+    fs.delete(dest)
+    if not fs._rename(tmp, dest):
+        raise IOError(f"publish rename {tmp} -> {dest} failed")
+
+
 class LSHIndex:
     """A materialized hyperplane-LSH index: the bucketed corpus
     (neighbor_id, cv, bucket) plus the (dim, n_planes) that regenerate
@@ -495,8 +512,8 @@ class LSHIndex:
         # unpublish first: the manifest must be the LAST artifact to
         # exist, or a crash mid-rewrite loads torn parquet as valid
         fs.delete(mp)
-        self.bucketed.write.mode("overwrite").parquet(
-            path.rstrip("/") + "/bucketed"
+        _write_parquet_replace(
+            self.bucketed, path.rstrip("/") + "/bucketed", fs
         )
         fs.write_json_atomic(
             mp,
@@ -530,11 +547,6 @@ def lsh_index(
         F.col("bucket"),
     )
     return LSHIndex(dim, n_planes, cb)
-
-
-# one corpus-identity helper serves both index families: the identity
-# is (row count, xor of xxhash64(id, vector)) — nothing IVF about it
-lsh_corpus_fingerprint = None  # bound below ivf_corpus_fingerprint
 
 
 def lsh_index_load(
@@ -1016,10 +1028,18 @@ class IVFIndex:
         cent_rows = [
             (int(i), [float(x) for x in row]) for i, row in enumerate(self.cents)
         ]
-        spark.createDataFrame(
-            cent_rows, "cluster int, centroid array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/centroids")
-        self.assigned.write.mode("overwrite").parquet(path.rstrip("/") + "/assigned")
+        _write_parquet_replace(
+            spark.createDataFrame(
+                cent_rows, "cluster int, centroid array<double>"
+            ).coalesce(1),
+            path.rstrip("/") + "/centroids",
+            fs,
+        )
+        # swap-write matters most here: a re-save of a LOADED index has
+        # self.assigned lazily reading path/assigned itself
+        _write_parquet_replace(
+            self.assigned, path.rstrip("/") + "/assigned", fs
+        )
         fs.write_json_atomic(
             path.rstrip("/") + "/_INDEX_MANIFEST.json",
             {
@@ -1045,11 +1065,7 @@ def ivf_corpus_fingerprint(
     silent degradation the check exists to make loud. Ids are unique by
     the corpus contract, so any changed/missing/extra row flips the
     xor."""
-    row = candidates.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr(f"bit_xor(xxhash64({id_col}, {vec_col}))").alias("h"),
-    ).collect()[0]
-    return f"{row['n']}:{row['h']}"
+    return corpus_stats(candidates, id_col, vec_col).fingerprint
 
 
 # the fingerprint is index-type-agnostic (id + vector identity); bind

@@ -161,9 +161,34 @@ def process_batch(
 
 
 def _process_batch_inner(spark, ranked, batch_id, state_dir, threshold) -> None:
+    # REPLAY idempotence is subtler than the self-pair exclusion alone:
+    # on a replayed batch the state already holds this batch's first-
+    # attempt SURVIVORS, so a replayed vector x also pairs (via
+    # vs_state) with lower-priority batch-mates that survived — pairs
+    # the upper-triangular batch rule never scores. Those pairs cannot
+    # veto x because survivors are pairwise BELOW the threshold by
+    # construction (if cos(a,b) >= t the lower-priority one was
+    # dropped), so the replayed decisions are identical — pinned by
+    # test_replayed_batch_is_idempotent.
     members = _read_or_empty(
         spark, os.path.join(state_dir, MEMBERS_SUBDIR), _MEMBERS_SCHEMA
     ).drop("ingest_batch")
+
+    # one decision per vec_id EVER: a vec_id re-delivered in a LATER
+    # batch (cross-batch at-least-once delivery) must not get a second
+    # decision row — the member-state anti-join alone protected only
+    # the members invariant, while decisions/ would carry the id under
+    # two ingest_batch partitions (round-7 review finding). Prior
+    # decisions from OTHER batches exclude the re-delivery; the current
+    # batch's own partition is about to be overwritten (replay-safe).
+    prior_ids = (
+        _read_or_empty(
+            spark, os.path.join(state_dir, DECISIONS_SUBDIR), _DECISIONS_SCHEMA
+        )
+        .filter(F.col("ingest_batch") != batch_id)
+        .select("vec_id")
+    )
+    ranked = ranked.join(prior_ids, "vec_id", "left_anti")
 
     pair_cos = F.round(
         _dot(F.col("ea"), F.col("eb")) / (_gnorm(F.col("ea")) * _gnorm(F.col("eb"))),

@@ -428,3 +428,42 @@ def test_concurrent_driver_threads_isolated_sessions():
     t1.start(); t2.start(); t1.join(); t2.join()
     assert set(results["alice"]) == {"KEY_A"}
     assert set(results["bob"]) == {"KEY_B"}
+
+
+def test_close_tears_down_transport_even_when_release_rpc_fails():
+    """An unreachable server at close() must not leak the HTTP session,
+    and inside a with-block the teardown failure must not mask the
+    body's original exception (round-7 review finding)."""
+    closed = []
+
+    class DyingTransport:
+        def __init__(self):
+            self.calls = 0
+
+        def __call__(self, url, body):
+            self.calls += 1
+            if body["method"] == "get_session_key":
+                return {"result": "K"}
+            raise ConnectionError("server went away")
+
+        def close(self):
+            closed.append(True)
+
+    c = LimeSurveyClient(
+        url="http://x", username="u", password="p", transport=DyingTransport()
+    )
+    assert c.session_key == "K"
+    with pytest.raises(LimeSurveyError):
+        c.close()
+    assert closed == [True]  # transport torn down despite the RPC failure
+
+    # with-block: the body's exception survives a failing teardown
+    closed.clear()
+    with pytest.raises(RuntimeError, match="body failure"):
+        with LimeSurveyClient(
+            url="http://x", username="u", password="p",
+            transport=DyingTransport(),
+        ) as c2:
+            assert c2.session_key == "K"
+            raise RuntimeError("body failure")
+    assert closed == [True]

@@ -529,3 +529,19 @@ def test_scale_rehearsal_never_wipes_foreign_dirs(spark, tmp_path):
     assert os.path.exists(legacy / "_GENERATED")
     # the stub data survived — adoption, not regeneration
     assert (legacy / "lineitem.parquet" / "part-00000.parquet").read_text() == "stub"
+
+
+def test_read_csv_corrupt_guard_matches_column_names_not_substrings(spark, tmp_path):
+    """A column merely CONTAINING '_corrupt_record' must pass the
+    keep_corrupt conflict guard (round-7 review finding: the raw
+    substring test falsely rejected valid schemas)."""
+    p = tmp_path / "t.csv"
+    p.write_text("id,raw_corrupt_record\n1,ok\nbad-row-with,too,many,fields\n")
+    df = read_csv(
+        spark, str(p),
+        schema="id BIGINT, raw_corrupt_record STRING",
+        keep_corrupt=True,
+    )
+    assert "_corrupt_record" in df.columns
+    rows = df.collect()
+    assert any(r["_corrupt_record"] is not None for r in rows)

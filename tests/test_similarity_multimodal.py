@@ -1040,3 +1040,31 @@ def test_corpus_stats_one_pass_carrier(spark, sf_dir):
     # the fingerprint drops into index persistence directly
     idx = similarity.ivf_index(emb, dim=64, n_clusters=8, stats=st)
     assert idx.assigned.columns == ["neighbor_id", "cv", "cluster"]
+
+
+def test_index_resave_after_load_same_path(spark, sf_dir, tmp_path):
+    """Re-saving an index LOADED from the same path must work: the
+    data dirs are swap-written (tmp sibling, then rename), never
+    read-and-overwritten — the old in-place overwrite deleted the
+    manifest and then died in Spark's cannot-overwrite-read-path check,
+    destroying a previously valid index (round-7 review finding)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    st = similarity.corpus_stats(emb)
+
+    d1 = str(tmp_path / "lsh")
+    similarity.lsh_index(emb, dim=64, n_planes=5).save(
+        d1, corpus_fingerprint=st.fingerprint
+    )
+    loaded = similarity.lsh_index_load(spark, d1, expected_fingerprint=st.fingerprint)
+    loaded.save(d1, corpus_fingerprint=st.fingerprint)  # save-after-load
+    again = similarity.lsh_index_load(spark, d1, expected_fingerprint=st.fingerprint)
+    assert again.n_planes == 5 and again.bucketed.count() == st.n
+
+    d2 = str(tmp_path / "ivf")
+    similarity.ivf_index(emb, dim=64, n_clusters=8).save(
+        d2, corpus_fingerprint=st.fingerprint
+    )
+    iv = similarity.ivf_index_load(spark, d2, expected_fingerprint=st.fingerprint)
+    iv.save(d2, corpus_fingerprint=st.fingerprint)
+    iv2 = similarity.ivf_index_load(spark, d2, expected_fingerprint=st.fingerprint)
+    assert iv2.cents.shape == (8, 64) and iv2.assigned.count() == st.n

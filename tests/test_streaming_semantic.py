@@ -143,3 +143,29 @@ def test_centroids_from_saved_ivf_index_and_refusals(
         ssem.process_batch(
             emb, 0, str(tmp_path / "s4"), np.zeros((0, 64))
         )
+
+
+def test_cross_batch_redelivery_single_decision(spark, emb, cents, tmp_path):
+    """A vec_id re-delivered in a LATER batch gets no second decision
+    row: one decision per vec_id ever (round-7 review finding — the
+    member anti-join alone let decisions/ carry the id under two
+    ingest_batch partitions)."""
+    state = str(tmp_path / "state")
+    b1 = emb.filter(F.col("vec_id") < 100)
+    ssem.process_batch(b1, 0, state, cents, threshold=0.3)
+    # batch 1 re-delivers half of batch 0 plus genuinely new vectors
+    b2 = emb.filter((F.col("vec_id") < 50) | (F.col("vec_id") >= 100))
+    ssem.process_batch(b2, 1, state, cents, threshold=0.3)
+    decisions = read_state_or_empty(
+        spark, os.path.join(state, ssem.DECISIONS_SUBDIR), ssem._DECISIONS_SCHEMA
+    )
+    assert decisions.count() == emb.count()
+    assert (
+        decisions.groupBy("vec_id").count().filter(F.col("count") > 1).count() == 0
+    )
+    members = read_state_or_empty(
+        spark, os.path.join(state, ssem.MEMBERS_SUBDIR), ssem._MEMBERS_SCHEMA
+    )
+    assert (
+        members.groupBy("vec_id").count().filter(F.col("count") > 1).count() == 0
+    )
