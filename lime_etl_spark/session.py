@@ -86,6 +86,21 @@ def get_spark(
         # than TIMESTAMP_NTZ (NTZ is rejected by instant functions like
         # unix_micros, and the two render identically under UTC).
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Spark 4.1 UNSOUNDNESS (found by this repo's generative
+        # differential sweep, seed 1869): with unionOutputPartitioning
+        # =true (the 4.1.2 DEFAULT), UnionExec advertises its children's
+        # hash partitioning, and a downstream aggregate/set-op then
+        # SKIPS its exchange — but equal keys live in DIFFERENT leg
+        # partitions (union concatenates partition lists), so byte-
+        # identical group keys land in separate hash groups. Observed:
+        # groupBy over a union of two filters of a window-bearing
+        # distinct-union produced 12 groups for 5 distinct string keys;
+        # exceptAll ignored its subtrahend entirely (620 vs 498 rows)
+        # and intersectAll returned 0 for 122 true matches, while the
+        # identical SQL text (different plan shape) was correct.
+        # Disabling the optimization restores the exchange. Regression:
+        # tests/test_plans.py::test_union_output_partitioning_unsound.
+        .config("spark.sql.unionOutputPartitioning", "false")
         # Spark 4.1's checksum checkpoint manager deadlocks stateful-op
         # state-store commits on local filesystems (async checksum write
         # never resolves); corruption detection matters on real HDFS/S3
@@ -153,6 +168,10 @@ def get_spark(
         "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
         "spark.sql.optimizer.excludedRules":
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        # unsound union partitioning propagation (see builder comment):
+        # a reused session with the 4.1 default silently splits hash
+        # groups under union-of-copartitioned-legs plans
+        "spark.sql.unionOutputPartitioning": "false",
     }
     mismatched = {}
     for k, want in critical.items():

@@ -28,7 +28,12 @@ from lime_etl_spark.tools.qgen import generate_query
 # pinned seed no longer reproduces its original pipeline byte-for-byte;
 # the fixes are structural (always-on: alias counters, all-columns
 # tiebreak, unique tags) and the seeds stay as extra sweep coverage.
-REGRESSION_SEEDS = [16, 29, 39, 70, 93, 100, 136, 139, 342, 423, 827, 1890]
+#  - 1869: Spark 4.1.2 unionOutputPartitioning unsoundness — split hash
+#    groups / exceptAll no-op (pinned off in the session factory;
+#    focused repro in test_plans.py::test_union_output_partitioning_unsound)
+REGRESSION_SEEDS = [
+    16, 29, 39, 70, 93, 100, 136, 139, 342, 423, 827, 1869, 1890,
+]
 
 SWEEP = list(range(120))
 

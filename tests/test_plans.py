@@ -283,3 +283,68 @@ def test_pack_materialize_two_exchanges(spark, sf_dir):
     re-shuffle beyond its own bin key."""
     df = REGISTRY["pack_materialized_docs"].spark_fn(spark, sf_dir)
     assert _plan(df).count("Exchange hashpartitioning") == 2
+
+
+def test_union_output_partitioning_unsound(spark, sf_dir):
+    """Spark 4.1.2 regression pin (found by the generative sweep, seed
+    1869): with spark.sql.unionOutputPartitioning=true (the upstream
+    DEFAULT), UnionExec advertises its children's hash partitioning and
+    a downstream aggregate/set-op skips its exchange — but equal keys
+    live in different LEG partitions, so byte-identical group keys
+    split into separate hash groups: 12 groups for 5 distinct strings,
+    exceptAll ignoring its subtrahend (620 vs 498), intersectAll
+    returning 0 for 122 true matches. The session factory pins the conf
+    false; this test asserts both the fix and (while the upstream
+    default stays broken) the unsoundness itself, so a Spark upgrade
+    that repairs the optimization surfaces here as a pleasant surprise
+    rather than silent behavior drift."""
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.io.sources import read_table
+
+    assert spark.conf.get("spark.sql.unionOutputPartitioning") == "false"
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        "last_value(props) OVER (PARTITION BY event_type ORDER BY event_id "
+        "ASC NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+
+    def results():
+        D = ev.withColumn("d1", F.expr(w)).withColumn(
+            "d2", F.expr("substr(props, 1, 2)")
+        )
+        u = (
+            D.filter("(event_type <= 'error') AND (user_id <> 7)")
+            .unionByName(D.filter("ts < TIMESTAMP '2024-01-22'"))
+            .distinct()
+        )
+        a = u.filter("(value <= 5.0e1) OR (event_type IN ('signup', 'view'))")
+        b = u.filter("(event_id % 5) = 4")
+        tagged = a.select("event_type", F.lit(1).alias("__v")).unionByName(
+            b.select("event_type", F.lit(-1).alias("__v"))
+        )
+        groups = tagged.groupBy("event_type").count().count()
+        expect_except = a.count() - a.filter("(event_id % 5) = 4").count()
+        expect_intersect = a.filter("(event_id % 5) = 4").count()
+        return (
+            groups,
+            a.exceptAll(b).count(), expect_except,
+            a.intersectAll(b).count(), expect_intersect,
+        )
+
+    groups, got_e, exp_e, got_i, exp_i = results()
+    assert groups == 5
+    assert got_e == exp_e and got_i == exp_i
+
+    # the unsoundness is real on this Spark build: flipping the conf
+    # back reproduces the split groups (skip the assert if upstream
+    # fixed it — the guard above is what the engine depends on)
+    spark.conf.set("spark.sql.unionOutputPartitioning", "true")
+    try:
+        bad_groups = results()[0]
+    finally:
+        spark.conf.set("spark.sql.unionOutputPartitioning", "false")
+    assert bad_groups > 5, (
+        "Spark's unionOutputPartitioning now appears sound on this "
+        "build — consider re-enabling it after a full generative sweep"
+    )
