@@ -556,6 +556,35 @@ class QGen:
             ops=rel.ops + ["rename"],
         )
 
+    def _op_keep_latest(self, rel: Rel) -> Rel | None:
+        """core.dedup_latest — the reference's only window-shaped
+        operator (O2: keep-latest per key with a deterministic
+        tiebreak), generated with the all-columns tiebreak so the
+        row_number order is total and both engines pick the same row."""
+        key_cands = [
+            c for c in rel.cols
+            if c.t in ("str", "i32") or (c.t == "i64" and not rel.pool(c.name))
+        ]
+        if not key_cands:
+            return None
+        key = self.rng.choice(key_cands).name
+        oc = self.rng.choice([c for c in rel.cols if c.name != key] or rel.cols)
+        ties = [n for n, _ in self._tiebreak(rel) if n not in (key, oc.name)]
+        df = core.dedup_latest(rel.df, key, oc.name, tiebreak=ties)
+        osql = ", ".join(
+            f"{c} DESC NULLS LAST" for c in [oc.name] + ties
+        )
+        q, q2 = self._q(), self._q()
+        proj = ", ".join(c.name for c in rel.cols)
+        sql = (
+            f"SELECT {proj} FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY {key} ORDER BY {osql}) AS __rn "
+            f"FROM ({rel.sql}) {q}) {q2} WHERE __rn = 1"
+        )
+        return replace(
+            rel, df=df, sql=sql, unique=[key], ops=rel.ops + ["keep_latest"],
+        )
+
     def _op_derive(self, rel: Rel) -> Rel | None:
         got = self._scalar(rel)
         if got is None:
@@ -1098,6 +1127,7 @@ class QGen:
         ("filter", 24), ("derive", 20), ("join", 20), ("agg", 14),
         ("window", 12), ("setop", 5), ("distinct", 3), ("project", 4),
         ("having", 4), ("asof", 4), ("dropna", 6), ("rename", 4),
+        ("keep_latest", 5),
     ]
 
     def generate(self) -> Rel:
@@ -1114,6 +1144,7 @@ class QGen:
             "asof": self._op_asof,
             "dropna": self._op_dropna,
             "rename": self._op_rename,
+            "keep_latest": self._op_keep_latest,
         }
         applied = 0
         tries = 0
