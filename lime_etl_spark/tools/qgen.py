@@ -316,6 +316,16 @@ class QGen:
             for k, asc in keys
         ]
 
+    def _partition_candidates(self, rel: Rel) -> "list[Col]":
+        """Columns usable as window/dedup partition keys: categorical
+        strings and small ints, plus un-pooled i64 keys (shared by
+        _op_window and _op_keep_latest — one definition, review
+        finding)."""
+        return [
+            c for c in rel.cols
+            if c.t in ("str", "i32") or (c.t == "i64" and not rel.pool(c.name))
+        ]
+
     def _tiebreak(self, rel: Rel, exclude: str | None = None) -> list[tuple[str, bool]]:
         """Total-order suffix for deterministic windows/limits.
 
@@ -561,19 +571,16 @@ class QGen:
         operator (O2: keep-latest per key with a deterministic
         tiebreak), generated with the all-columns tiebreak so the
         row_number order is total and both engines pick the same row."""
-        key_cands = [
-            c for c in rel.cols
-            if c.t in ("str", "i32") or (c.t == "i64" and not rel.pool(c.name))
-        ]
+        key_cands = self._partition_candidates(rel)
         if not key_cands:
             return None
         key = self.rng.choice(key_cands).name
         oc = self.rng.choice([c for c in rel.cols if c.name != key] or rel.cols)
         ties = [n for n, _ in self._tiebreak(rel) if n not in (key, oc.name)]
         df = core.dedup_latest(rel.df, key, oc.name, tiebreak=ties)
-        osql = ", ".join(
-            f"{c} DESC NULLS LAST" for c in [oc.name] + ties
-        )
+        # dedup_latest orders F.col(c).desc() == DESC NULLS LAST; render
+        # through the one helper that owns null-ordering parity
+        osql = self._order_sql([(c, False) for c in [oc.name] + ties])
         q, q2 = self._q(), self._q()
         proj = ", ".join(c.name for c in rel.cols)
         sql = (
@@ -859,8 +866,7 @@ class QGen:
         return replace(rel, df=df, sql=sql, ops=rel.ops + ["having"])
 
     def _op_window(self, rel: Rel) -> Rel | None:
-        pk_cands = [c for c in rel.cols if c.t in ("str", "i32") or (
-            c.t == "i64" and not rel.pool(c.name))]
+        pk_cands = self._partition_candidates(rel)
         if not pk_cands:
             return None
         part = self.rng.choice(pk_cands).name

@@ -309,7 +309,7 @@ def test_union_output_partitioning_unsound(spark, sf_dir):
         "ASC NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
 
-    def results():
+    def sides():
         D = ev.withColumn("d1", F.expr(w)).withColumn(
             "d2", F.expr("substr(props, 1, 2)")
         )
@@ -320,28 +320,29 @@ def test_union_output_partitioning_unsound(spark, sf_dir):
         )
         a = u.filter("(value <= 5.0e1) OR (event_type IN ('signup', 'view'))")
         b = u.filter("(event_id % 5) = 4")
+        return a, b
+
+    def group_count():
+        a, b = sides()
         tagged = a.select("event_type", F.lit(1).alias("__v")).unionByName(
             b.select("event_type", F.lit(-1).alias("__v"))
         )
-        groups = tagged.groupBy("event_type").count().count()
-        expect_except = a.count() - a.filter("(event_id % 5) = 4").count()
-        expect_intersect = a.filter("(event_id % 5) = 4").count()
-        return (
-            groups,
-            a.exceptAll(b).count(), expect_except,
-            a.intersectAll(b).count(), expect_intersect,
-        )
+        return tagged.groupBy("event_type").count().count()
 
-    groups, got_e, exp_e, got_i, exp_i = results()
-    assert groups == 5
-    assert got_e == exp_e and got_i == exp_i
+    a, b = sides()
+    assert group_count() == 5
+    expect_except = a.count() - a.filter("(event_id % 5) = 4").count()
+    expect_intersect = a.filter("(event_id % 5) = 4").count()
+    assert a.exceptAll(b).count() == expect_except
+    assert a.intersectAll(b).count() == expect_intersect
 
     # the unsoundness is real on this Spark build: flipping the conf
-    # back reproduces the split groups (skip the assert if upstream
-    # fixed it — the guard above is what the engine depends on)
+    # back reproduces the split groups (only the cheap group-count
+    # probe runs on this branch — review finding: the set-op jobs'
+    # results were computed and discarded here)
     spark.conf.set("spark.sql.unionOutputPartitioning", "true")
     try:
-        bad_groups = results()[0]
+        bad_groups = group_count()
     finally:
         spark.conf.set("spark.sql.unionOutputPartitioning", "false")
     assert bad_groups > 5, (
