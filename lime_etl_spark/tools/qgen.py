@@ -566,6 +566,61 @@ class QGen:
             ops=rel.ops + ["rename"],
         )
 
+    def _op_self_outer(self, rel: Rel) -> Rel | None:
+        """FULL OUTER join of two filtered branches of the same relation
+        on its unique key — the outer-join interaction surface (null
+        rows flowing into later filters/aggs/windows from BOTH sides).
+        Requires a single-column unique key so the join condition is
+        one equality and the output's (key, rkey) tuple stays unique
+        (matched: (k,k); left-only: (k,NULL); right-only: (NULL,k))."""
+        if not rel.unique or len(rel.unique) != 1:
+            return None
+        key = rel.unique[0]
+        if any(c.name.startswith("r_o_") for c in rel.cols):
+            return None  # one self-outer per pipeline
+        p1, p2 = self._pred(rel), self._pred(rel)
+        if p1 is None or p2 is None or p1 == p2:
+            return None
+        others = [c for c in rel.cols if c.name != key]
+        self.rng.shuffle(others)
+        picked = others[: self.rng.randint(1, min(2, len(others)))]
+        rmap = {key: f"r_o_{key}", **{c.name: f"r_o_{c.name}" for c in picked}}
+        a_df = rel.df.filter(F.expr(p1))
+        b_df = rel.df.filter(F.expr(p2)).select(
+            *[F.col(n).alias(rmap[n]) for n in [key] + [c.name for c in picked]]
+        )
+        df = analytics.join(
+            a_df, b_df, on=a_df[key] == b_df[rmap[key]], how="full"
+        )
+        qa, qb = self._q(), self._q()
+        rsel = ", ".join(
+            f"{n} AS {rmap[n]}" for n in [key] + [c.name for c in picked]
+        )
+        proj = ", ".join(
+            [f"{qa}.{c.name}" for c in rel.cols]
+            + [f"{qb}.{rmap[n]}" for n in [key] + [c.name for c in picked]]
+        )
+        sql = (
+            f"SELECT {proj} FROM "
+            f"(SELECT * FROM ({rel.sql}) x1 WHERE {p1}) {qa} "
+            f"FULL JOIN (SELECT {rsel} FROM ({rel.sql}) x2 WHERE {p2}) {qb} "
+            f"ON {qa}.{key} = {qb}.{rmap[key]}"
+        )
+        # every column is nullable after a full outer join
+        cols = [replace(c, nullable=True) for c in rel.cols] + [
+            Col(rmap[key], rel.col(key).t, True)
+        ] + [Col(rmap[c.name], c.t, True) for c in picked]
+        pools = dict(rel.pools)
+        for n in [key] + [c.name for c in picked]:
+            src = rel.pool(n)
+            if src:
+                pools[rmap[n]] = src
+        return replace(
+            rel, df=df, sql=sql, cols=cols,
+            unique=[key, rmap[key]], pools=pools,
+            ops=rel.ops + ["self_outer"],
+        )
+
     def _op_keep_latest(self, rel: Rel) -> Rel | None:
         """core.dedup_latest — the reference's only window-shaped
         operator (O2: keep-latest per key with a deterministic
@@ -1133,7 +1188,7 @@ class QGen:
         ("filter", 24), ("derive", 20), ("join", 20), ("agg", 14),
         ("window", 12), ("setop", 5), ("distinct", 3), ("project", 4),
         ("having", 4), ("asof", 4), ("dropna", 6), ("rename", 4),
-        ("keep_latest", 5),
+        ("keep_latest", 5), ("self_outer", 4),
     ]
 
     def generate(self) -> Rel:
@@ -1151,6 +1206,7 @@ class QGen:
             "dropna": self._op_dropna,
             "rename": self._op_rename,
             "keep_latest": self._op_keep_latest,
+            "self_outer": self._op_self_outer,
         }
         applied = 0
         tries = 0

@@ -84,5 +84,5 @@ EXPECTED_FAMILIES = {
     "row_number", "topk", "running", "lag_lead", "part_sum", "moving",
     "ntile", "first_last", "union_all", "union_distinct", "intersect",
     "except_all", "except_distinct", "distinct", "sort_limit",
-    "dropna", "rename", "keep_latest",
+    "dropna", "rename", "keep_latest", "self_outer",
 }
