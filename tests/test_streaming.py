@@ -957,3 +957,19 @@ def test_stage_events_dir_uses_directory_layout_directly(tmp_path):
     (sf_dir / "events.parquet").mkdir(parents=True)
     (sf_dir / "events.parquet" / "part-00000.parquet").write_bytes(b"x")
     assert stage_events_dir(str(sf_dir)) == str(sf_dir / "events.parquet")
+
+
+def test_get_spark_heals_union_partitioning_conf(spark):
+    """The Spark 4.1 unionOutputPartitioning unsoundness pin must
+    survive session reuse: a host session that re-enabled the broken
+    default gets healed back to false (it is a runtime conf), keeping
+    the hash-group-splitting bug out of every downstream aggregate."""
+    from lime_etl_spark.session import get_spark
+
+    spark.conf.set("spark.sql.unionOutputPartitioning", "true")
+    try:
+        reused = get_spark("heal_union_conf")
+    finally:
+        spark.conf.set("spark.sql.unionOutputPartitioning", "false")
+    assert reused is spark
+    assert reused.conf.get("spark.sql.unionOutputPartitioning") == "false"
