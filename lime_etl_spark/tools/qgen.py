@@ -582,6 +582,11 @@ class QGen:
         if p1 is None or p2 is None or p1 == p2:
             return None
         others = [c for c in rel.cols if c.name != key]
+        if not others:
+            # a key-only relation (post-project/agg) has nothing to
+            # bring from the right branch — randint(1, 0) crashed here
+            # (sweep seeds 2040/2481)
+            return None
         self.rng.shuffle(others)
         picked = others[: self.rng.randint(1, min(2, len(others)))]
         rmap = {key: f"r_o_{key}", **{c.name: f"r_o_{c.name}" for c in picked}}

@@ -31,8 +31,10 @@ from lime_etl_spark.tools.qgen import generate_query
 #  - 1869: Spark 4.1.2 unionOutputPartitioning unsoundness — split hash
 #    groups / exceptAll no-op (pinned off in the session factory;
 #    focused repro in test_plans.py::test_union_output_partitioning_unsound)
+#  - 2040/2481: self_outer on a key-only relation crashed randint(1, 0)
 REGRESSION_SEEDS = [
     16, 29, 39, 70, 93, 100, 136, 139, 342, 423, 827, 1869, 1890,
+    2040, 2481,
 ]
 
 SWEEP = list(range(120))
