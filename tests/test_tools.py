@@ -160,3 +160,36 @@ def test_was_submitted_detects_pre_gateway_spark_submit(monkeypatch):
     assert not _was_submitted()
     monkeypatch.setenv("PYSPARK_GATEWAY_PORT", "43123")
     assert _was_submitted()
+
+
+def test_gencheck_canon_and_compare_primitives():
+    """The generative harness's exactness primitives: full-precision
+    hex floats, scale-insensitive Decimal normalization (Spark
+    sum(dec(18,6)) -> dec(28,6) vs DuckDB dec(38,6) must compare
+    equal), NaN stability, bytes, and order-insensitive rowset
+    comparison with None-first ordering."""
+    from decimal import Decimal
+
+    from lime_etl_spark.tools.gencheck import canon, compare
+
+    assert canon(0.1) == (0.1).hex()
+    assert canon(float("nan")) == "nan"
+    assert canon(Decimal("123.400000")) == canon(Decimal("123.40"))
+    assert canon(Decimal("123.400001")) != canon(Decimal("123.40"))
+    assert canon(b"\x00\xff") == "00ff"
+    assert canon(None) is None
+
+    rows_a = [(1, "x"), (None, "y"), (2, "z")]
+    rows_b = [(2, "z"), (1, "x"), (None, "y")]
+    assert compare(rows_a, ["i", "s"], rows_b, ["i", "s"]) == []
+    # column-name mismatch reported before values
+    errs = compare(rows_a, ["i", "s"], rows_b, ["i", "t"])
+    assert errs and "columns" in errs[0]
+    errs = compare(rows_a, ["i", "s"], rows_b[:2], ["i", "s"])
+    assert errs and "rowcount" in errs[0]
+    errs = compare([(1, "x")], ["i", "s"], [(1, "y")], ["i", "s"])
+    assert errs and "values" in errs[0]
+    # column ORDER must not matter (compare sorts by name)
+    assert compare(
+        [("x", 1)], ["s", "i"], [(1, "x")], ["i", "s"]
+    ) == []
