@@ -143,8 +143,13 @@ class LimeSurveyClient:
             if self._session_key is not None:
                 # reference's release payload is malformed (limesurvey.py:109); fixed
                 self._rpc("release_session_key", [self._session_key])
-                self._session_key = None
         finally:
+            # the key dies with the transport either way: clearing it
+            # HERE (not only on RPC success) keeps a failed release
+            # from leaving the client reporting an active session and
+            # replaying the release over a freshly recreated HTTP
+            # session on a retried close() (round-8 advisor finding)
+            self._session_key = None
             # tear down the per-client HTTP session (cookies, pooled
             # sockets) even when the release RPC itself fails — an
             # unreachable server must not leak the Session it was

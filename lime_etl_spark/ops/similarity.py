@@ -467,7 +467,15 @@ def _write_parquet_replace(df: DataFrame, dest: str, fs) -> None:
     also being read from' — destroying a previously valid index
     (round-7 review finding). Crash anywhere in the swap leaves no
     manifest (the caller publishes it LAST), so a half-swapped dir
-    loads as 'no index here', never as torn data."""
+    loads as 'no index here', never as torn data.
+
+    SINGLE WRITER ONLY (round-8, advisor finding): the tmp sibling is
+    a fixed '__swap' path and the swap deletes it unconditionally, so
+    two concurrent save() calls to the same index path can delete each
+    other's tmp mid-write and interleave delete/rename into a mixed
+    publish. Index saves are a coordination point (one builder owns an
+    index path); concurrent-writer safety would need a fenced commit
+    protocol, not a suffix."""
     tmp = dest.rstrip("/") + "__swap"
     fs.delete(tmp)
     df.write.mode("overwrite").parquet(tmp)
@@ -503,7 +511,15 @@ class LSHIndex:
         ``lsh_corpus_fingerprint(corpus)`` (alias of the IVF helper —
         the identity is id+vector, index-type-agnostic) so a load over
         a changed corpus refuses instead of silently dropping every
-        vector added since assignment."""
+        vector added since assignment.
+
+        Single-writer contract: one process owns an index path (see
+        _write_parquet_replace). After save() returns, this object
+        remains searchable — self.bucketed is re-bound to the published
+        parquet, so a LOADED index re-saved to its own path does not
+        keep lazily reading the pre-swap part files it just replaced
+        (round-8 advisor finding: load → save → lsh_search died with
+        FILE_NOT_EXIST)."""
         from lime_etl_spark.io.fsutil import HadoopFS
 
         spark = self.bucketed.sparkSession
@@ -524,6 +540,9 @@ class LSHIndex:
                 "corpus_fingerprint": corpus_fingerprint,
             },
         )
+        # re-bind to the published files: the pre-save plan may lazily
+        # reference part files the swap just deleted (load→save→search)
+        self.bucketed = spark.read.parquet(path.rstrip("/") + "/bucketed")
 
 
 def lsh_index(
@@ -588,6 +607,68 @@ def lsh_index_load(
     return LSHIndex(manifest["dim"], manifest["n_planes"], bucketed)
 
 
+def calibrate_lsh_depth(
+    queries: DataFrame,
+    index: LSHIndex,
+    k: int = 5,
+    target_recall: float = 0.9,
+    sample: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "tuple[int, float]":
+    """calibrate_lsh for a PERSISTED index (round-8: the index that
+    exists precisely for the 1e9-vector user was the one path without
+    the recall dial — r7 verdict task #7). The saved assignment bakes
+    in n_planes, so the only free knob is probing DEPTH: walk depth
+    1 → 2 → ... → n_planes over the LOADED bucketed corpus (no
+    re-assignment — that is the index's whole point), measure recall@k
+    on a deterministic ``sample``-probe set against the exact top-k
+    over the same saved vectors, stop at the first depth meeting
+    ``target_recall``. Depth n_planes probes the full bucket space, so
+    the ladder converges to exact-search recall (1.0 modulo ties at
+    the k-boundary) — if the target is unreachable even there, the
+    answer is rebuilding with fewer planes, and the NaN/shortfall
+    semantics match calibrate_lsh. Returns (multi_probe, measured).
+
+    Cost: one exact pass on ≤ sample probes vs the saved corpus, then
+    ≤ n_planes sample-searches — each reuses the persisted assignment,
+    never rescanning the raw corpus."""
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(f"target_recall in (0, 1], got {target_recall}")
+    probe_set = queries.select(id_col, vec_col).orderBy(id_col).limit(sample)
+    # the saved assignment IS the corpus (neighbor_id, cv) — exact
+    # ground truth comes from the same vectors the index will search
+    corpus = index.bucketed.select(
+        F.col("neighbor_id").alias(id_col), F.col("cv").alias(vec_col)
+    )
+    exact = cosine_topk(probe_set, corpus, k=k, id_col=id_col, vec_col=vec_col)
+    exact_pairs = {
+        (r.query_id, r.neighbor_id)
+        for r in exact.select("query_id", "neighbor_id").collect()
+    }
+    if not exact_pairs:
+        return 1, float("nan")
+    qb0 = with_lsh_bucket(probe_set, index.dim, index.n_planes, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("qv"),
+        F.col("bucket"),
+    )
+    last = (1, 0.0)
+    for depth in range(1, index.n_planes + 1):
+        approx = _lsh_topk_from_bucketed(
+            qb0, index.bucketed, index.n_planes, depth, k
+        )
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in approx.select("query_id", "neighbor_id").collect()
+        }
+        recall = len(exact_pairs & got) / len(exact_pairs)
+        last = (depth, recall)
+        if recall >= target_recall:
+            return last
+    return last
+
+
 def lsh_search(
     queries: DataFrame,
     index: LSHIndex,
@@ -595,11 +676,37 @@ def lsh_search(
     multi_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_recall: float | None = None,
 ) -> DataFrame:
     """Search a materialized LSH index — identical results to
     lsh_bucketed_topk(queries, corpus, dim, k, n_planes, multi_probe)
     because the plane matrix is regenerated from the manifest's
-    (dim, n_planes) and the corpus side is the saved assignment."""
+    (dim, n_planes) and the corpus side is the saved assignment.
+
+    ``target_recall`` (round-8): measure-and-adjust the probing depth
+    over the loaded assignment instead of guessing a raw multi_probe —
+    the same dial lsh_bucketed_topk grew in round 6, now on the
+    persisted path (see calibrate_lsh_depth; n_planes is fixed by the
+    saved assignment, so depth is the knob). Construction is eager on
+    this path (calibration trials run at call time); explicit
+    multi_probe calls are untouched."""
+    if target_recall is not None:
+        multi_probe, measured = calibrate_lsh_depth(
+            queries, index, k=k, target_recall=target_recall,
+            id_col=id_col, vec_col=vec_col,
+        )
+        if measured == measured and measured < target_recall:  # not NaN
+            import warnings
+
+            warnings.warn(
+                f"lsh_search: calibration deepened to multi_probe="
+                f"{multi_probe} (the full bucket space at n_planes="
+                f"{index.n_planes}) but measured recall@{k} is "
+                f"{measured:.3f} < target {target_recall} — ties at the "
+                "k-boundary; rebuild with fewer planes or use exact "
+                "cosine_topk if that matters.",
+                stacklevel=2,
+            )
     qb0 = with_lsh_bucket(queries, index.dim, index.n_planes, vec_col).select(
         F.col(id_col).alias("query_id"),
         _to_double(F.col(vec_col)).alias("qv"),
@@ -1013,7 +1120,12 @@ class IVFIndex:
         so a load against a CHANGED corpus is refused instead of
         silently searching a stale index (searching an index missing
         half the corpus returns confidently-wrong neighbors — the
-        staleness must be loud)."""
+        staleness must be loud).
+
+        Single-writer contract: one process owns an index path (see
+        _write_parquet_replace). After save() returns, self.assigned
+        is re-bound to the published parquet so this object remains
+        searchable (round-8 advisor finding)."""
         from lime_etl_spark.io.fsutil import HadoopFS
 
         spark = self.assigned.sparkSession
@@ -1051,6 +1163,10 @@ class IVFIndex:
                 "corpus_fingerprint": corpus_fingerprint,
             },
         )
+        # re-bind to the published files so a loaded-then-re-saved
+        # index stays searchable (mirrors LSHIndex.save; round-8
+        # advisor finding — the pre-swap plan references deleted parts)
+        self.assigned = spark.read.parquet(path.rstrip("/") + "/assigned")
 
 
 def ivf_corpus_fingerprint(

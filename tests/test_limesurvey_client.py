@@ -452,10 +452,19 @@ def test_close_tears_down_transport_even_when_release_rpc_fails():
     c = LimeSurveyClient(
         url="http://x", username="u", password="p", transport=DyingTransport()
     )
+    t = c.transport
     assert c.session_key == "K"
     with pytest.raises(LimeSurveyError):
         c.close()
     assert closed == [True]  # transport torn down despite the RPC failure
+    # the key died with the transport: the client must not keep
+    # reporting an active session, and a retried close() must not
+    # replay the release over a recreated HTTP session (round-8
+    # advisor finding)
+    assert c._session_key is None
+    calls_after_first_close = t.calls
+    c.close()
+    assert t.calls == calls_after_first_close  # no replayed release RPC
 
     # with-block: the body's exception survives a failing teardown
     closed.clear()

@@ -1068,3 +1068,88 @@ def test_index_resave_after_load_same_path(spark, sf_dir, tmp_path):
     iv.save(d2, corpus_fingerprint=st.fingerprint)
     iv2 = similarity.ivf_index_load(spark, d2, expected_fingerprint=st.fingerprint)
     assert iv2.cents.shape == (8, 64) and iv2.assigned.count() == st.n
+
+
+def test_index_search_continues_after_resave_to_same_path(spark, sf_dir, tmp_path):
+    """The SAME in-memory object must stay searchable after save():
+    pre-fix, a loaded index re-saved to its own path kept a plan over
+    the pre-swap part files the swap had just deleted, and the next
+    search died with FILE_NOT_EXIST (round-8 advisor finding) — save()
+    now re-binds the DataFrame to the published parquet."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    st = similarity.corpus_stats(emb)
+    q = emb.filter(F.col("vec_id") < 8)
+
+    d1 = str(tmp_path / "lsh")
+    similarity.lsh_index(emb, dim=64, n_planes=5).save(
+        d1, corpus_fingerprint=st.fingerprint
+    )
+    loaded = similarity.lsh_index_load(spark, d1, expected_fingerprint=st.fingerprint)
+    before = sorted(map(tuple, similarity.lsh_search(q, loaded, k=5).collect()))
+    loaded.save(d1, corpus_fingerprint=st.fingerprint)
+    after = sorted(map(tuple, similarity.lsh_search(q, loaded, k=5).collect()))
+    assert after == before and len(after) > 0
+
+    d2 = str(tmp_path / "ivf")
+    similarity.ivf_index(emb, dim=64, n_clusters=8).save(
+        d2, corpus_fingerprint=st.fingerprint
+    )
+    iv = similarity.ivf_index_load(spark, d2, expected_fingerprint=st.fingerprint)
+    ivb = sorted(map(tuple, similarity.ivf_search(q, iv, k=5, nprobe=4).collect()))
+    iv.save(d2, corpus_fingerprint=st.fingerprint)
+    iva = sorted(map(tuple, similarity.ivf_search(q, iv, k=5, nprobe=4).collect()))
+    assert iva == ivb and len(iva) > 0
+
+
+def test_lsh_search_target_recall_matches_fresh_path(spark, sf_dir, tmp_path):
+    """lsh_search(..., target_recall=) (r7 verdict task #7): the
+    persisted-index path gets the same recall dial as
+    lsh_bucketed_topk. n_planes is baked into the saved assignment, so
+    calibration walks probing DEPTH only; the calibrated search must
+    equal BOTH the explicit-depth persisted search and the fresh
+    (unpersisted) path at the same knobs."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    st = similarity.corpus_stats(emb)
+    q = emb.filter(F.col("vec_id") < 16)
+    d = str(tmp_path / "lsh")
+    similarity.lsh_index(emb, dim=64, n_planes=5).save(
+        d, corpus_fingerprint=st.fingerprint
+    )
+    loaded = similarity.lsh_index_load(spark, d, expected_fingerprint=st.fingerprint)
+    depth, measured = similarity.calibrate_lsh_depth(
+        q, loaded, k=5, target_recall=0.9
+    )
+    assert 1 <= depth <= 5
+    # full bucket space at depth=n_planes => exact recall modulo ties,
+    # so either the target was met early or the ladder ran to the top
+    assert measured >= 0.9 or depth == 5
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # calibration shortfall would warn
+        if measured < 0.9:
+            warnings.simplefilter("always")
+        calibrated = sorted(map(tuple, similarity.lsh_search(
+            q, loaded, k=5, target_recall=0.9
+        ).collect()))
+    explicit = sorted(map(tuple, similarity.lsh_search(
+        q, loaded, k=5, multi_probe=depth
+    ).collect()))
+    fresh = sorted(map(tuple, similarity.lsh_bucketed_topk(
+        q, emb, dim=64, k=5, n_planes=5, multi_probe=depth
+    ).collect()))
+    assert calibrated == explicit == fresh and len(calibrated) > 0
+
+
+def test_calibrate_lsh_depth_empty_probe_set_returns_nan(spark, sf_dir, tmp_path):
+    emb = read_table(spark, sf_dir, "embeddings")
+    st = similarity.corpus_stats(emb)
+    d = str(tmp_path / "lsh")
+    similarity.lsh_index(emb, dim=64, n_planes=5).save(
+        d, corpus_fingerprint=st.fingerprint
+    )
+    loaded = similarity.lsh_index_load(spark, d, expected_fingerprint=st.fingerprint)
+    depth, measured = similarity.calibrate_lsh_depth(
+        emb.filter(F.col("vec_id") < 0), loaded, k=5, target_recall=0.9
+    )
+    assert depth == 1 and measured != measured  # NaN, never a fabricated 1.0
