@@ -1,0 +1,752 @@
+"""Generative differential tests for the LLM-pipeline operator surface.
+
+Round-8 centerpiece (r7 verdict next-round #1): the relational
+generator (tools/qgen.py, 20,150 seeds by round-7 end) never touches
+the ~3,200 LoC of custom dedup/similarity logic — ngram-Jaccard,
+MinHash-LSH, SimHash, semantic dedup, ANN. This module closes that gap
+the same way: per seed, draw a RANDOM corpus (doc counts, lengths,
+vocab sizes, duplication rates, rendering noise) or a random embedding
+set (dims, cluster structure, exact dups, zero vectors) plus random
+operator parameters (shingle n, thresholds, k, n_planes, multi_probe,
+df caps), run the distributed operator, and compare EXACTLY against a
+brute-force pure-Python oracle.
+
+Why exact comparison is possible: every hash in the dedup surface is
+an md5 construction (``_hash28``/``_hash60``/band keys — see
+ops/dedup.py), every rounding is pinned half-away-from-zero
+(``F.round``), every dot product is a sequential left fold
+(``similarity._dot`` = ``F.aggregate(zip_with(·,·,*), 0.0, +)``), and
+the LSH hyperplanes come from an integer LCG — all replicable
+bit-for-bit in CPython/numpy. The one approximation: the engine's
+Jaccard keys shingles by xxhash64 while the oracle uses the shingle
+strings; a collision among ≤ a few hundred shingles per seed has
+probability ~1e-16 per seed and would surface as a loud mismatch.
+Where the engine path is Arrow/numpy (semantic-dedup assignment), the
+oracle calls THE SAME numpy expressions, so the float semantics are
+identical by construction, not by tolerance.
+
+Invariants checked per family (all full-tuple equality, no tolerance):
+
+- exact_dedup / exact_groups: survivors == min-id-per-fingerprint.
+- ngram_jaccard (self-join mode): pairs == brute-force Jaccard with
+  the documented cap semantics (commons over the df-capped universe,
+  TRUE set sizes — the cap may hide pairs, never promote them).
+- minhash_sigs: all 16 signature columns == the md5/LCG permutation
+  minima.
+- minhash_cands: pairs == brute-force band-key sharing, AND ⊇ every
+  exact-duplicate pair (identical signatures share all bands).
+- minhash_near_dups: == candidates ∩ (true-set Jaccard ≥ threshold).
+- simhash (JVM + Arrow twin): signatures == the ±1 bit-vote oracle.
+- simhash_pairs: == ALL pairs at hamming ≤ max_hamming (the 4×15-bit
+  pigeonhole makes band candidate generation lossless below 4).
+- cosine_topk: == brute-force top-k under (round6 score desc, id asc).
+- lsh_topk / lsh_search (index path): == brute-force top-k within the
+  probed bucket set, buckets from the replicated LCG hyperplanes;
+  at multi_probe == n_planes additionally == exact cosine_topk.
+- semantic (JVM + Arrow twin, drawn centroids/threshold/keep): ==
+  the SemDeDup upper-triangular pruning oracle.
+- ivf_full_probe: ivf_search at nprobe == n_cells == cosine_topk
+  (probing every cell is exhaustive by construction).
+
+Artifact runner (same shape as tools/gencheck.py):
+
+    python -m lime_etl_spark.tools.llmgen --seeds 2500 \
+        --out GENCHECK_LLM_r08.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import itertools
+import json
+import math
+import random
+import re
+import time
+from collections import Counter
+
+import numpy as np
+
+from lime_etl_spark.ops.dedup import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_PERMS,
+    MOD_P,
+    PERM_A,
+    PERM_B,
+    SIMHASH_BITS,
+)
+
+# ---------------------------------------------------------------------------
+# Pure-Python reference primitives (the oracle side)
+# ---------------------------------------------------------------------------
+
+
+def py_tokens(text: str) -> list[str]:
+    """ops/text.py tokens(): maximal lowercase [a-z0-9] runs."""
+    return re.findall(r"[a-z0-9]+", (text or "").lower())
+
+
+def py_shingles(toks: list[str], n: int) -> list[str]:
+    if len(toks) < n:
+        return []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def _md5hex(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def py_h28(s: str) -> int:
+    return int(_md5hex(s)[:7], 16)
+
+
+def py_h60(s: str) -> int:
+    return int(_md5hex(s)[:15], 16)
+
+
+def round_half_up(x: float, digits: int) -> float:
+    """F.round semantics for doubles: half away from zero."""
+    scale = 10.0**digits
+    if x >= 0:
+        return math.floor(x * scale + 0.5) / scale
+    return -math.floor(-x * scale + 0.5) / scale
+
+
+def dot_seq(a, b) -> float:
+    """similarity._dot: sequential left fold of pairwise products."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def gnorm(v) -> float:
+    return max(math.sqrt(dot_seq(v, v)), 1e-300)
+
+
+def cos_round(a, b, digits: int = 6) -> float:
+    return round_half_up(dot_seq(a, b) / (gnorm(a) * gnorm(b)), digits)
+
+
+def py_hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """similarity._hyperplanes: integer LCG, bit-for-bit."""
+    planes, state = [], 123456789
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (2**31)
+            row.append((state / float(2**31)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def py_bucket(vec, planes) -> int:
+    b = 0
+    for i, plane in enumerate(planes):
+        if dot_seq(vec, plane) > 0:
+            b += 2**i
+    return b
+
+
+def py_probe_buckets(bucket: int, n_planes: int, depth: int) -> set[int]:
+    """home bucket + every ≤depth-bit XOR flip (similarity._probe_masks)."""
+    probed = {bucket}
+    for d in range(1, depth + 1):
+        for combo in itertools.combinations(range(n_planes), d):
+            probed.add(bucket ^ sum(2**i for i in combo))
+    return probed
+
+
+def py_minhash_sig(shingle_set: set[str]) -> list[int] | None:
+    """ops/dedup.minhash_signatures: per-permutation minima over
+    (A[j]*h28(shingle)+B[j]) mod P; docs with no shingles are dropped."""
+    if not shingle_set:
+        return None
+    hs = [py_h28(s) for s in shingle_set]
+    return [
+        min((PERM_A[j] * h + PERM_B[j]) % MOD_P for h in hs)
+        for j in range(MINHASH_PERMS)
+    ]
+
+
+def py_band_keys(sig: list[int]) -> list[tuple[int, str]]:
+    """ops/dedup.minhash_bands: (band, md5 of dash-joined slice)."""
+    return [
+        (band, _md5hex("-".join(str(sig[band * LSH_ROWS + r]) for r in range(LSH_ROWS))))
+        for band in range(LSH_BANDS)
+    ]
+
+
+def py_simhash(toks: list[str]) -> int | None:
+    """ops/dedup.simhash: ±1 bit votes over DISTINCT tokens, bit set
+    iff vote sum > 0; token-less docs never reach the output."""
+    s = set(toks)
+    if not s:
+        return None
+    acc = [0] * SIMHASH_BITS
+    for tok in s:
+        h = py_h60(tok)
+        for b in range(SIMHASH_BITS):
+            acc[b] += 1 if (h >> b) & 1 else -1
+    return sum(1 << b for b in range(SIMHASH_BITS) if acc[b] > 0)
+
+
+# ---------------------------------------------------------------------------
+# Random corpus / embedding generators
+# ---------------------------------------------------------------------------
+
+_SEPARATORS = [" ", "  ", ", ", "\t", " . ", "\n", " - ", "; ", " !! "]
+_ALNUM = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def gen_corpus(rng: random.Random) -> list[tuple[int, str, list[str]]]:
+    """(doc_id, rendered_text, token_list) rows: controlled duplication
+    (exact via re-rendering, near via ≤3 token edits), empty and
+    sub-shingle-length docs, randomized case/separator rendering that
+    must normalize away under tokens()."""
+    vocab_n = rng.randint(4, 40)
+    vocab = [
+        "".join(rng.choice(_ALNUM) for _ in range(rng.randint(2, 7)))
+        for _ in range(vocab_n)
+    ]
+    n_docs = rng.randint(4, 60)
+    token_lists: list[list[str]] = []
+    for _ in range(n_docs):
+        r = rng.random()
+        if token_lists and r < 0.20:  # exact duplicate (re-rendered)
+            toks = list(rng.choice(token_lists))
+        elif token_lists and r < 0.45:  # near duplicate: ≤3 edits
+            toks = list(rng.choice(token_lists))
+            for _ in range(rng.randint(1, 3)):
+                op = rng.choice(("sub", "ins", "del"))
+                if op == "sub" and toks:
+                    toks[rng.randrange(len(toks))] = rng.choice(vocab)
+                elif op == "ins":
+                    toks.insert(rng.randint(0, len(toks)), rng.choice(vocab))
+                elif op == "del" and toks:
+                    del toks[rng.randrange(len(toks))]
+        else:
+            toks = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+        token_lists.append(toks)
+    ids = rng.sample(range(1, 100_000), n_docs)
+    rows = []
+    for doc_id, toks in zip(ids, token_lists):
+        rendered = []
+        for t in toks:
+            case = rng.random()
+            rendered.append(t.upper() if case < 0.15 else t.title() if case < 0.3 else t)
+        sep = rng.choice(_SEPARATORS)
+        text = sep.join(rendered)
+        if rng.random() < 0.2:
+            text = rng.choice(["  ", "...", "!", ""]) + text + rng.choice(["", " .", "??"])
+        rows.append((doc_id, text, toks))
+    return rows
+
+
+def gen_embeddings(rng: random.Random) -> tuple[int, list[tuple[int, list[float]]]]:
+    """(dim, [(vec_id, float32-exact vector)]): clustered gaussians at a
+    drawn noise scale, plus exact duplicates and occasional all-zero
+    vectors (the gnorm guard's edge)."""
+    dim = rng.choice([3, 4, 8, 16])
+    k = rng.randint(1, 5)
+    centers = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(k)]
+    sigma = rng.choice([0.01, 0.1, 0.5, 1.0])
+    n = rng.randint(6, 80)
+    vecs: list[list[float]] = []
+    for _ in range(n):
+        r = rng.random()
+        if vecs and r < 0.10:  # exact duplicate vector, different id
+            v = list(rng.choice(vecs))
+        elif r < 0.05:
+            v = [0.0] * dim
+        else:
+            c = rng.choice(centers)
+            v = [c[j] + rng.gauss(0.0, sigma) for j in range(dim)]
+        # float32 exactness: store what the parquet/array<float> column
+        # would hold, then both engines widen to the same doubles
+        vecs.append([float(np.float32(x)) for x in v])
+    ids = rng.sample(range(1, 100_000), n)
+    return dim, list(zip(ids, vecs))
+
+
+def _corpus_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id bigint, text string"
+    )
+
+
+def _emb_df(spark, emb_rows):
+    return spark.createDataFrame(
+        emb_rows, "vec_id bigint, embedding array<float>"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Comparison (same canonicalization as tools/gencheck.py)
+# ---------------------------------------------------------------------------
+
+
+def _canon_rowset(rows):
+    from lime_etl_spark.tools.gencheck import canon
+
+    return sorted(
+        (tuple(canon(v) for v in r) for r in rows),
+        key=lambda t: tuple((x is None, str(x)) for x in t),
+    )
+
+
+def compare_sets(spark_rows, oracle_rows) -> list[str]:
+    s, o = _canon_rowset(spark_rows), _canon_rowset(oracle_rows)
+    if len(s) != len(o):
+        return [f"rowcount: spark={len(s)} oracle={len(o)}; "
+                f"spark-only={set(s) - set(o)} oracle-only={set(o) - set(s)}"]
+    bad = [(a, b) for a, b in zip(s, o) if a != b]
+    if bad:
+        return [f"values: first diffs {bad[:3]}"]
+    return []
+
+
+# ---------------------------------------------------------------------------
+# Families — each returns (ops_list, mismatch_list, rows_compared)
+# ---------------------------------------------------------------------------
+
+
+def _fam_exact_dedup(spark, rng):
+    from lime_etl_spark.ops import dedup
+
+    rows = gen_corpus(rng)
+    df = _corpus_df(spark, rows)
+    fp = {i: _md5hex(" ".join(toks)) for i, _, toks in rows}
+    keep = {}
+    for i in sorted(fp):
+        keep.setdefault(fp[i], i)
+    if rng.random() < 0.5:
+        got = [(r.doc_id, r.text) for r in dedup.exact_dedup(df).collect()]
+        want = [(i, t) for i, t, _ in rows if keep[fp[i]] == i]
+        return ["exact_dedup"], compare_sets(got, want), len(got)
+    got = [tuple(r) for r in dedup.exact_dedup_groups(df).collect()]
+    counts = Counter(fp.values())
+    want = [
+        (h, keep[h], c) for h, c in counts.items() if c > 1
+    ]  # (fingerprint, canonical_id, n_docs)
+    # engine fingerprint is md5 of the canonical token stream — same
+    # construction as the oracle's fp map
+    return ["exact_groups"], compare_sets(got, want), len(got)
+
+
+def _jaccard_oracle(rows, n, threshold, cap):
+    sets = {i: set(py_shingles(toks, n)) for i, _, toks in rows}
+    df_count: Counter = Counter()
+    for s in sets.values():
+        for sh in s:
+            df_count[sh] += 1
+    universe = {sh for sh, c in df_count.items() if cap is None or c <= cap}
+    ids = sorted(sets)
+    want = []
+    for a, b in itertools.combinations(ids, 2):
+        common = len((sets[a] & sets[b]) & universe)
+        if common == 0:
+            continue
+        na, nb = len(sets[a]), len(sets[b])
+        j = round_half_up(common / float(na + nb - common), 6)
+        if j >= threshold:
+            want.append((a, b, common, na, nb, j))
+    return want
+
+
+def _fam_ngram_jaccard(spark, rng):
+    from lime_etl_spark.ops import dedup
+
+    rows = gen_corpus(rng)
+    df = _corpus_df(spark, rows)
+    n = rng.randint(1, 4)
+    threshold = round(rng.uniform(0.05, 0.9), 2)
+    cap = rng.choice([None, 2, 3, 5, 256])
+    got = [
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(
+            df, threshold=threshold, n=n, max_docs_per_shingle=cap
+        ).collect()
+    ]
+    want = _jaccard_oracle(rows, n, threshold, cap)
+    return (
+        [f"ngram_jaccard:n={n}:cap={cap}"],
+        compare_sets(got, want),
+        len(got),
+    )
+
+
+def _fam_minhash(spark, rng):
+    from lime_etl_spark.ops import dedup
+
+    rows = gen_corpus(rng)
+    df = _corpus_df(spark, rows)
+    n = rng.randint(1, 3)
+    sigs = {
+        i: py_minhash_sig(set(py_shingles(toks, n))) for i, _, toks in rows
+    }
+    sigs = {i: s for i, s in sigs.items() if s is not None}
+    which = rng.random()
+    if which < 0.34:
+        got = [tuple(r) for r in dedup.minhash_signatures(df, n=n).collect()]
+        want = [(i, *s) for i, s in sigs.items()]
+        return [f"minhash_sigs:n={n}"], compare_sets(got, want), len(got)
+    bands = {i: set(py_band_keys(s)) for i, s in sigs.items()}
+    ids = sorted(bands)
+    cand = [
+        (a, b)
+        for a, b in itertools.combinations(ids, 2)
+        if bands[a] & bands[b]
+    ]
+    if which < 0.67:
+        got = [tuple(r) for r in dedup.minhash_lsh_candidates(df, n=n).collect()]
+        errs = compare_sets(got, cand)
+        # recall floor: identical signatures share every band — every
+        # exact-duplicate doc pair MUST be a candidate
+        fp = {i: _md5hex(" ".join(toks)) for i, _, toks in rows if i in sigs}
+        by_fp: dict[str, list[int]] = {}
+        for i in sorted(fp):
+            by_fp.setdefault(fp[i], []).append(i)
+        must = {
+            (a, b)
+            for grp in by_fp.values()
+            for a, b in itertools.combinations(grp, 2)
+        }
+        missing = must - set(got)
+        if missing:
+            errs.append(f"exact-dup pairs missing from candidates: {sorted(missing)[:5]}")
+        return [f"minhash_cands:n={n}"], errs, len(got)
+    threshold = round(rng.uniform(0.05, 0.9), 2)
+    got = [
+        tuple(r)
+        for r in dedup.minhash_near_dups(df, threshold=threshold, n=n).collect()
+    ]
+    sets = {i: set(py_shingles(toks, n)) for i, _, toks in rows}
+    want = []
+    for a, b in cand:
+        common = len(sets[a] & sets[b])
+        if common == 0:
+            continue
+        j = round_half_up(common / float(len(sets[a]) + len(sets[b]) - common), 6)
+        if j >= threshold:
+            want.append((a, b, j))
+    return [f"minhash_near_dups:n={n}"], compare_sets(got, want), len(got)
+
+
+def _fam_simhash(spark, rng):
+    from lime_etl_spark.ops import dedup
+
+    rows = gen_corpus(rng)
+    df = _corpus_df(spark, rows)
+    sims = {i: py_simhash(toks) for i, _, toks in rows}
+    sims = {i: s for i, s in sims.items() if s is not None}
+    which = rng.random()
+    if which < 0.5:
+        fn = dedup.simhash_arrow if rng.random() < 0.5 else dedup.simhash
+        got = [tuple(r) for r in fn(df).collect()]
+        want = list(sims.items())
+        return (
+            [f"simhash:{'arrow' if fn is dedup.simhash_arrow else 'jvm'}"],
+            compare_sets(got, want),
+            len(got),
+        )
+    max_hamming = rng.randint(1, 3)
+    got = [
+        tuple(r)
+        for r in dedup.simhash_near_pairs(df, max_hamming=max_hamming).collect()
+    ]
+    ids = sorted(sims)
+    want = []
+    for a, b in itertools.combinations(ids, 2):
+        ham = bin(sims[a] ^ sims[b]).count("1")
+        if ham <= max_hamming:
+            want.append((a, b, ham))
+    # pigeonhole (4 bands × 15 bits, max_hamming < 4): band candidate
+    # generation is LOSSLESS below the bound — full equality, not ⊆
+    return [f"simhash_pairs:h={max_hamming}"], compare_sets(got, want), len(got)
+
+
+def _topk_oracle(emb_map, query_ids, k, allowed=None):
+    want = []
+    for qid in query_ids:
+        qv = emb_map[qid]
+        scored = [
+            (cos_round(qv, cv), nid)
+            for nid, cv in emb_map.items()
+            if nid != qid and (allowed is None or nid in allowed.get(qid, ()))
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (score, nid) in enumerate(scored[:k], start=1):
+            want.append((qid, nid, rank, score))
+    return want
+
+
+def _fam_cosine_topk(spark, rng):
+    from lime_etl_spark.ops import similarity
+
+    dim, emb_rows = gen_embeddings(rng)
+    df = _emb_df(spark, emb_rows)
+    emb_map = dict(emb_rows)
+    qids = rng.sample(sorted(emb_map), rng.randint(1, min(8, len(emb_map))))
+    k = rng.randint(1, 7)
+    from pyspark.sql import functions as F
+
+    q = df.filter(F.col("vec_id").isin(qids))
+    fn = (
+        similarity.cosine_topk_arrow
+        if rng.random() < 0.3
+        else similarity.cosine_topk
+    )
+    got = [tuple(r) for r in fn(q, df, k=k).collect()]
+    want = _topk_oracle(emb_map, qids, k)
+    label = "cosine_topk_arrow" if fn is similarity.cosine_topk_arrow else "cosine_topk"
+    return [f"{label}:k={k}:dim={dim}"], compare_sets(got, want), len(got)
+
+
+def _fam_lsh_topk(spark, rng):
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.ops import similarity
+
+    dim, emb_rows = gen_embeddings(rng)
+    df = _emb_df(spark, emb_rows)
+    emb_map = dict(emb_rows)
+    qids = rng.sample(sorted(emb_map), rng.randint(1, min(8, len(emb_map))))
+    k = rng.randint(1, 7)
+    n_planes = rng.randint(2, 6)
+    depth = rng.randint(0, n_planes)
+    q = df.filter(F.col("vec_id").isin(qids))
+    via_index = rng.random() < 0.4
+    if via_index:
+        idx = similarity.lsh_index(df, dim=dim, n_planes=n_planes)
+        out = similarity.lsh_search(q, idx, k=k, multi_probe=depth)
+    else:
+        out = similarity.lsh_bucketed_topk(
+            q, df, dim=dim, k=k, n_planes=n_planes, multi_probe=depth
+        )
+    got = [tuple(r) for r in out.collect()]
+    planes = py_hyperplanes(dim, n_planes)
+    buckets = {i: py_bucket(v, planes) for i, v in emb_map.items()}
+    allowed = {
+        qid: {
+            nid
+            for nid in emb_map
+            if buckets[nid] in py_probe_buckets(buckets[qid], n_planes, depth)
+        }
+        for qid in qids
+    }
+    want = _topk_oracle(emb_map, qids, k, allowed=allowed)
+    errs = compare_sets(got, want)
+    if depth == n_planes:
+        # full bucket space probed == exact search, engine-internally
+        exact = [
+            tuple(r) for r in similarity.cosine_topk(q, df, k=k).collect()
+        ]
+        errs += [
+            "full-probe != cosine_topk: " + e for e in compare_sets(got, exact)
+        ]
+    fam = "lsh_search" if via_index else "lsh_topk"
+    return (
+        [f"{fam}:planes={n_planes}:depth={depth}"],
+        errs,
+        len(got),
+    )
+
+
+def _semantic_oracle(emb_map, cents_list, threshold, keep):
+    """SemDeDup replication: numpy assignment VERBATIM from
+    similarity._assign_cluster (same library → identical floats), then
+    sequential-fold cent_cos and upper-triangular pruning."""
+    cents = np.asarray(cents_list, dtype=np.float64)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    ids = sorted(emb_map)
+    x = np.array([emb_map[i] for i in ids], dtype=np.float64)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    m = xn @ cn.T
+    s = np.sign(m) * np.floor(np.abs(m) * 1e9 + 0.5) / 1e9
+    cluster = {i: int(np.argmax(s[r])) for r, i in enumerate(ids)}
+    cent_cos = {
+        i: round_half_up(
+            dot_seq(emb_map[i], cents_list[cluster[i]])
+            / (gnorm(emb_map[i]) * gnorm(cents_list[cluster[i]])),
+            9,
+        )
+        for i in ids
+    }
+    ranked: dict[int, list[int]] = {}
+    for i in ids:
+        ranked.setdefault(cluster[i], []).append(i)
+    dropped = set()
+    for cl, members in ranked.items():
+        members.sort(
+            key=lambda i: (cent_cos[i], i)
+            if keep == "farthest"
+            else (-cent_cos[i], i)
+        )
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                a, b = members[ai], members[bi]
+                if cos_round(emb_map[a], emb_map[b], 6) >= threshold:
+                    dropped.add(b)
+    return [
+        (i, cluster[i], round_half_up(cent_cos[i], 6))
+        for i in ids
+        if i not in dropped
+    ]
+
+
+def _fam_semantic(spark, rng):
+    from lime_etl_spark.ops import similarity
+
+    dim, emb_rows = gen_embeddings(rng)
+    df = _emb_df(spark, emb_rows)
+    emb_map = dict(emb_rows)
+    n_cells = rng.randint(1, 6)
+    # drawn centroids (not trained): the invariant targets the pruning
+    # semantics, and provided-centroid mode is the production shape for
+    # reusing one clustering across snapshots
+    cents = [
+        [float(np.float32(rng.gauss(0.0, 1.0))) for _ in range(dim)]
+        for _ in range(n_cells)
+    ]
+    threshold = round(rng.uniform(0.1, 0.95), 2)
+    keep = rng.choice(["farthest", "closest"])
+    fn = (
+        similarity.semantic_dedup_arrow
+        if rng.random() < 0.4
+        else similarity.semantic_dedup
+    )
+    got = [
+        tuple(r)
+        for r in fn(df, dim=dim, centroids=cents, threshold=threshold, keep=keep).collect()
+    ]
+    want = _semantic_oracle(emb_map, cents, threshold, keep)
+    label = (
+        "semantic_arrow" if fn is similarity.semantic_dedup_arrow else "semantic"
+    )
+    return (
+        [f"{label}:cells={n_cells}:keep={keep}"],
+        compare_sets(got, want),
+        len(got),
+    )
+
+
+def _fam_ivf_full_probe(spark, rng):
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.ops import similarity
+
+    dim, emb_rows = gen_embeddings(rng)
+    df = _emb_df(spark, emb_rows)
+    qids = rng.sample([i for i, _ in emb_rows], rng.randint(1, 6))
+    k = rng.randint(1, 7)
+    n_clusters = rng.randint(1, 6)
+    q = df.filter(F.col("vec_id").isin(qids))
+    idx = similarity.ivf_index(df, dim=dim, n_clusters=n_clusters)
+    got = [
+        tuple(r)
+        for r in similarity.ivf_search(q, idx, k=k, nprobe=n_clusters).collect()
+    ]
+    want = _topk_oracle(dict(emb_rows), qids, k)
+    return (
+        [f"ivf_full_probe:cells={n_clusters}:k={k}"],
+        compare_sets(got, want),
+        len(got),
+    )
+
+
+FAMILIES = [
+    (_fam_exact_dedup, 1.0),
+    (_fam_ngram_jaccard, 1.5),
+    (_fam_minhash, 1.8),
+    (_fam_simhash, 1.5),
+    (_fam_cosine_topk, 1.2),
+    (_fam_lsh_topk, 1.8),
+    (_fam_semantic, 1.5),
+    (_fam_ivf_full_probe, 0.7),
+]
+
+
+def check_seed(spark, seed: int) -> dict:
+    rng = random.Random(seed)
+    total = sum(w for _, w in FAMILIES)
+    pick = rng.uniform(0, total)
+    acc = 0.0
+    fam = FAMILIES[-1][0]
+    for f, w in FAMILIES:
+        acc += w
+        if pick <= acc:
+            fam = f
+            break
+    rec: dict = {"seed": seed}
+    try:
+        ops, errs, rows = fam(spark, rng)
+        rec["ops"] = ops
+        if errs:
+            rec["mismatch"] = errs
+        else:
+            rec["rows"] = rows
+    except Exception as exc:
+        rec["ops"] = [fam.__name__]
+        rec["error"] = f"{type(exc).__name__}: {exc}"
+    return rec
+
+
+def run_sweep(spark, seeds, progress_every: int = 100) -> dict:
+    t0 = time.time()
+    results, failures = [], []
+    op_hist: Counter = Counter()
+    rows_total = 0
+    for i, seed in enumerate(seeds):
+        rec = check_seed(spark, seed)
+        if "error" in rec or "mismatch" in rec:
+            failures.append(rec)
+        else:
+            rows_total += rec["rows"]
+        for op in rec.get("ops", []):
+            op_hist[op.split(":")[0]] += 1
+        results.append(rec)
+        if progress_every and (i + 1) % progress_every == 0:
+            print(
+                f"# {i + 1}/{len(seeds)} seeds, {len(failures)} failures, "
+                f"{time.time() - t0:.0f}s",
+                flush=True,
+            )
+    return {
+        "harness": "llmgen (randomized corpora/embeddings vs pure-Python brute-force oracles)",
+        "seeds_run": len(results),
+        "seed_min": min(seeds) if len(seeds) else None,
+        "seed_max": max(seeds) if len(seeds) else None,
+        "failures": failures,
+        "failure_count": len(failures),
+        "rows_compared_total": rows_total,
+        "op_histogram": dict(sorted(op_hist.items())),
+        "elapsed_sec": round(time.time() - t0, 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--seeds", type=int, default=2500)
+    ap.add_argument("--start", type=int, default=0)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from lime_etl_spark.session import get_spark
+
+    spark = get_spark("llmgen", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    report = run_sweep(spark, range(args.start, args.start + args.seeds))
+    print(json.dumps({k: v for k, v in report.items() if k != "failures"}))
+    if report["failures"]:
+        for f in report["failures"][:10]:
+            print(json.dumps(f))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(report, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()
