@@ -43,11 +43,11 @@ def _norm(a: Column) -> Column:
 
 def _gnorm(a: Column) -> Column:
     """Zero-guarded norm for cosine denominators: matches the Arrow
-    kernels' ``np.maximum(norm, 1e-300)``, so an all-zero vector gets
+    kernels' ``np.maximum(norm, 1e-150)``, so an all-zero vector gets
     cosine 0 (dot is 0) instead of NULL — NULL breaks JVM/Arrow parity
     because Spark window ASC sorts NULLs first while pandas sort_values
     puts NaN last."""
-    return F.greatest(_norm(a), F.lit(1e-300))
+    return F.greatest(_norm(a), F.lit(1e-150))
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> DataFrame:
@@ -758,7 +758,7 @@ def cosine_topk_arrow(
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     if q_rows:
         qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
-        qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+        qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-150)
     else:
         # empty probe set: a (0,) array has no axis=1 to normalize over;
         # the kernel short-circuits so the placeholder is never used
@@ -775,7 +775,7 @@ def cosine_topk_arrow(
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-150)
             m = xn @ qn.T  # (n_batch, n_q)
             # half-away-from-zero at 6dp == F.round/_round_half_up
             # (inlined: a global ref would pickle by module reference)
@@ -957,8 +957,8 @@ def embedding_near_dup_bucketed_arrow(
         idb = bdf["id_b"].to_numpy(dtype=np.int64)
         A = np.array(adf["ea"].tolist(), dtype=np.float64)
         B = np.array(bdf["eb"].tolist(), dtype=np.float64)
-        An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
-        Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+        An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-150)
+        Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-150)
         # block the a-side so each (block x |b|) score matrix stays
         # under the byte budget — the matrix, not the vectors, is what
         # OOMs an oversized bucket
@@ -1750,7 +1750,7 @@ def semantic_dedup_arrow(
             ["cent_cos", "__sid"], ascending=[asc, True], kind="mergesort"
         ).reset_index(drop=True)
         X = np.array(pdf["e"].tolist(), dtype=np.float64)
-        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-150)
         n = len(pdf)
         idx = np.arange(n)
         drop = np.zeros(n, dtype=bool)

@@ -1219,7 +1219,7 @@ _ANN_COSINE_ORACLE = f"""
       GROUP BY qid, cid),
     scored AS (
       SELECT qid AS query_id, cid AS neighbor_id,
-             round(dot / (greatest(nq.nrm, 1e-300) * greatest(nc.nrm, 1e-300)), 6) AS score
+             round(dot / (greatest(nq.nrm, 1e-150) * greatest(nc.nrm, 1e-150)), 6) AS score
       FROM dots JOIN norms nq ON nq.vec_id = qid
                 JOIN norms nc ON nc.vec_id = cid)
     SELECT query_id, neighbor_id, rank, score FROM (
@@ -1323,7 +1323,7 @@ def _lsh_ann_oracle() -> str:
       GROUP BY query_id, neighbor_id),
     scored AS (
       SELECT query_id, neighbor_id,
-             round(dot / (greatest(nq.nrm, 1e-300) * greatest(nc.nrm, 1e-300)), 6) AS score
+             round(dot / (greatest(nq.nrm, 1e-150) * greatest(nc.nrm, 1e-150)), 6) AS score
       FROM dots JOIN norms nq ON nq.vec_id = query_id
                 JOIN norms nc ON nc.vec_id = neighbor_id)
     SELECT query_id, neighbor_id, rank, score FROM (
@@ -2083,10 +2083,10 @@ def text_rolling_hash(spark, sf_dir):
       JOIN (SELECT vec_id, e, unnest(range(1, 65)) AS i FROM v) b
         ON a.i = b.i AND a.vec_id < b.vec_id
       GROUP BY 1, 2)
-    SELECT id_a, id_b, round(dot / (greatest(na.nrm, 1e-300) * greatest(nb.nrm, 1e-300)), 6) AS cosine
+    SELECT id_a, id_b, round(dot / (greatest(na.nrm, 1e-150) * greatest(nb.nrm, 1e-150)), 6) AS cosine
     FROM dots JOIN norms na ON na.vec_id = id_a
               JOIN norms nb ON nb.vec_id = id_b
-    WHERE round(dot / (greatest(na.nrm, 1e-300) * greatest(nb.nrm, 1e-300)), 6) >= 0.3
+    WHERE round(dot / (greatest(na.nrm, 1e-150) * greatest(nb.nrm, 1e-150)), 6) >= 0.3
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
@@ -2155,10 +2155,10 @@ def _bucketed_cosine_dedup_oracle() -> str:
             JOIN v a ON a.vec_id = c.id_a
             JOIN v b ON b.vec_id = c.id_b)
       GROUP BY id_a, id_b)
-    SELECT id_a, id_b, round(dot / (greatest(na.nrm, 1e-300) * greatest(nb.nrm, 1e-300)), 6) AS cosine
+    SELECT id_a, id_b, round(dot / (greatest(na.nrm, 1e-150) * greatest(nb.nrm, 1e-150)), 6) AS cosine
     FROM dots JOIN norms na ON na.vec_id = id_a
               JOIN norms nb ON nb.vec_id = id_b
-    WHERE round(dot / (greatest(na.nrm, 1e-300) * greatest(nb.nrm, 1e-300)), 6) >= 0.3
+    WHERE round(dot / (greatest(na.nrm, 1e-150) * greatest(nb.nrm, 1e-150)), 6) >= 0.3
     """
 
 
@@ -2935,7 +2935,7 @@ def _kmeans_assign_ctes(n_iter: int = 5, n_clusters: int = 16) -> list[str]:
       SELECT vec_id, cluster FROM (
         SELECT d.vec_id, d.cluster,
                row_number() OVER (PARTITION BY d.vec_id
-                 ORDER BY round(d.dot / (greatest(nv.nrm, 1e-300) * greatest(cn.cnrm, 1e-300)), 9) DESC,
+                 ORDER BY round(d.dot / (greatest(nv.nrm, 1e-150) * greatest(cn.cnrm, 1e-150)), 9) DESC,
                           d.cluster) AS r
         FROM d{t} d
         JOIN norms nv ON nv.vec_id = d.vec_id
@@ -2965,7 +2965,7 @@ def _kmeans_assign_ctes(n_iter: int = 5, n_clusters: int = 16) -> list[str]:
     parts.append("""rF AS MATERIALIZED (
       SELECT d.vec_id, d.cluster,
              row_number() OVER (PARTITION BY d.vec_id
-               ORDER BY round(d.dot / (greatest(nv.nrm, 1e-300) * greatest(cn.cnrm, 1e-300)), 9) DESC,
+               ORDER BY round(d.dot / (greatest(nv.nrm, 1e-150) * greatest(cn.cnrm, 1e-150)), 9) DESC,
                         d.cluster) AS r
       FROM dF d
       JOIN norms nv ON nv.vec_id = d.vec_id
@@ -2999,7 +2999,7 @@ def _ivf_oracle(n_iter: int = 5, n_clusters: int = 16, nprobe: int = 4, k: int =
       GROUP BY query_id, neighbor_id)""")
     parts.append("""scored AS MATERIALIZED (
       SELECT query_id, neighbor_id,
-             round(dot / (greatest(nq.nrm, 1e-300) * greatest(nc.nrm, 1e-300)), 6) AS score
+             round(dot / (greatest(nq.nrm, 1e-150) * greatest(nc.nrm, 1e-150)), 6) AS score
       FROM pd_ JOIN norms nq ON nq.vec_id = query_id
                JOIN norms nc ON nc.vec_id = neighbor_id)""")
     ctes = ",\n    ".join(parts)
@@ -3050,7 +3050,7 @@ def _semantic_dedup_oracle(
     parts.append("""asg AS MATERIALIZED (SELECT vec_id, cluster FROM rF WHERE r = 1)""")
     parts.append("""centc AS MATERIALIZED (
       SELECT d.vec_id, d.cluster,
-             round(d.dot / (greatest(nv.nrm, 1e-300) * greatest(cn.cnrm, 1e-300)), 9) AS cent_cos
+             round(d.dot / (greatest(nv.nrm, 1e-150) * greatest(cn.cnrm, 1e-150)), 9) AS cent_cos
       FROM dF d
       JOIN asg a ON a.vec_id = d.vec_id AND a.cluster = d.cluster
       JOIN norms nv ON nv.vec_id = d.vec_id
@@ -3075,7 +3075,7 @@ def _semantic_dedup_oracle(
       SELECT DISTINCT id_b FROM cdots
       JOIN norms na ON na.vec_id = id_a
       JOIN norms nb ON nb.vec_id = id_b
-      WHERE round(dot / (greatest(na.nrm, 1e-300) * greatest(nb.nrm, 1e-300)), 6) >= {threshold})""")
+      WHERE round(dot / (greatest(na.nrm, 1e-150) * greatest(nb.nrm, 1e-150)), 6) >= {threshold})""")
     ctes = ",\n    ".join(parts)
     return f"""
     WITH {ctes}

@@ -123,7 +123,7 @@ def dot_seq(a, b) -> float:
 
 
 def gnorm(v) -> float:
-    return max(math.sqrt(dot_seq(v, v)), 1e-300)
+    return max(math.sqrt(dot_seq(v, v)), 1e-150)
 
 
 def cos_round(a, b, digits: int = 6) -> float:

@@ -1,0 +1,343 @@
+"""Generative streaming-equivalence tests (r7 verdict next-round #3).
+
+Every streaming gate before round 8 was a FIXED scenario: one source
+layout, one trigger bound, hand-picked restart points. The round-7
+SCD2 drain bug (multi-file micro-batch quarantine) was exactly a
+batch-COMPOSITION bug — found by hand. This harness generates the
+composition instead:
+
+Per seed, draw a random event set (row count, users, types, duplicate
+rate, timestamp span/disorder), split it into a RANDOM number of
+parquet files with a RANDOM row partition and a RANDOM processing
+order (the file source drains oldest-mtime-first, and the harness
+assigns mtimes), then drain with a RANDOM maxFilesPerTrigger through a
+drawn pipeline — optional stateless pre-filter plus one of
+tumbling/sliding/session aggregation or watermark dedup — and require
+the availableNow result to EQUAL the same pipeline run as one batch
+over the same files.
+
+Equivalence contract: the drawn watermark delay always exceeds the
+data's time span, so no row is ever late and no state is evicted
+regardless of how the split scattered event times across micro-batches
+— which is precisely the regime where split/order/trigger-bound MUST
+be invisible. What varies per seed is the thing the fixed tests never
+varied: how many batches, which rows share one, and in what order
+state accumulates (sessions merging across batches, dedup state built
+file by file).
+
+A second family checks RESUME equivalence: drain a prefix of the
+files, stop, add the rest, re-drain from the SAME checkpoint into the
+SAME exactly-once parquet file sink — committed output must equal a
+one-shot drain over all files AND the batch distinct. (The SIGKILL
+mid-batch variant stays in tests/test_streaming_restart.py; this
+generates the stage boundary instead of hand-picking it.)
+
+Artifact runner:
+
+    python -m lime_etl_spark.tools.streamgen --seeds 500 \
+        --out GENCHECK_STREAM_r08.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import glob
+import json
+import os
+import random
+import shutil
+import tempfile
+import time
+import uuid
+from collections import Counter
+
+from lime_etl_spark import schemas
+from lime_etl_spark.tools.llmgen import compare_sets
+
+_TYPES = ["click", "view", "purchase", "scroll", "login"]
+_BASE = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def gen_events(rng: random.Random):
+    """Random event rows: (event_id, ts, user_id, event_type, value,
+    props) with full-row duplicates (same event_id AND content — the
+    dedup survivor is unambiguous) and a drawn time span. Returns
+    (rows, span_minutes)."""
+    n = rng.randint(20, 250)
+    n_users = rng.randint(1, 8)
+    types = rng.sample(_TYPES, rng.randint(1, len(_TYPES)))
+    span_min = rng.choice([15, 60, 360])
+    rows = []
+    next_id = 1
+    for _ in range(n):
+        if rows and rng.random() < 0.15:
+            rows.append(rows[rng.randrange(len(rows))])  # full-row dup
+            continue
+        ts = _BASE + dt.timedelta(seconds=rng.randint(0, span_min * 60))
+        rows.append(
+            (
+                next_id,
+                ts,
+                rng.randint(1, n_users),
+                rng.choice(types),
+                round(rng.uniform(0, 500), 2),
+                rng.choice([None, '{"k":1}', '{"k":2}']),
+            )
+        )
+        next_id += 1
+    return rows, span_min
+
+
+def stage_files(spark, rng: random.Random, rows, work: str) -> str:
+    """Write a RANDOM partition of rows into 1..8 parquet files with
+    randomized processing order: the file source drains oldest-mtime
+    first, so assigning increasing mtimes over a shuffled chunk order
+    fixes which rows share a micro-batch — the variable under test.
+
+    Files are written driver-side with pyarrow (timestamp[us], the
+    fixture's micros encoding; the session reads it as LTZ under the
+    pinned UTC timezone identically on the stream and batch paths) —
+    a Spark write job per chunk measured ~20 s/seed of pure staging
+    overhead across 1..8 chunks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shuffled = list(rows)
+    rng.shuffle(shuffled)
+    n_files = rng.randint(1, min(8, max(1, len(rows))))
+    # random cut points -> uneven chunks (some may be near-empty)
+    cuts = sorted(rng.sample(range(1, len(shuffled)), n_files - 1)) if n_files > 1 else []
+    chunks, prev = [], 0
+    for c in cuts + [len(shuffled)]:
+        chunks.append(shuffled[prev:c])
+        prev = c
+    pa_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    events_dir = os.path.join(work, "events")
+    os.makedirs(events_dir)
+    mtime = time.time() - 3600
+    for order, chunk in enumerate(chunks):
+        cols = list(zip(*chunk)) if chunk else [[], [], [], [], [], []]
+        table = pa.table(
+            {f.name: list(c) for f, c in zip(pa_schema, cols)}, schema=pa_schema
+        )
+        dest = os.path.join(events_dir, f"f{order:03d}.parquet")
+        pq.write_table(table, dest)
+        os.utime(dest, (mtime + order, mtime + order))
+    return events_dir
+
+
+def _pipeline(rng: random.Random, span_min: int):
+    """Draw (ops_label, stream_transform, output_mode). The transform
+    applies identically to the stream and the batch twin — Spark's
+    batch mode accepts withWatermark (no-op) and window/session_window
+    aggregates, so the twin is the SAME code over the same files."""
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.streaming import events as sevents
+
+    # watermark delay > span: no late rows, no evicted state — split
+    # invariance is exact by contract (see module docstring)
+    wm = f"{span_min + 1440} minutes"
+    pre_label, pre = "", None
+    if rng.random() < 0.5:
+        kind = rng.choice(["type", "value", "user"])
+        if kind == "type":
+            keep = rng.sample(_TYPES, rng.randint(1, 3))
+            pre = lambda df: df.filter(F.col("event_type").isin(keep))  # noqa: E731
+        elif kind == "value":
+            cut = round(rng.uniform(50, 400), 2)
+            pre = lambda df: df.filter(F.col("value") >= cut)  # noqa: E731
+        else:
+            m = rng.randint(2, 4)
+            pre = lambda df: df.filter(F.col("user_id") % m == 0)  # noqa: E731
+        pre_label = f"+pre_{kind}"
+    fam = rng.choice(["tumbling", "sliding", "session", "dedup"])
+    if fam == "tumbling":
+        window = rng.choice(["1 minute", "5 minutes", "17 minutes"])
+        fn = lambda df: sevents.tumbling_counts(df, window=window, watermark=wm)  # noqa: E731
+        mode = "complete"
+    elif fam == "sliding":
+        slide = rng.choice([1, 2, 5])
+        width = slide * rng.randint(1, 4)
+        fn = lambda df: sevents.sliding_counts(  # noqa: E731
+            df, window=f"{width} minutes", slide=f"{slide} minutes", watermark=wm
+        )
+        mode = "complete"
+    elif fam == "session":
+        gap = rng.choice(["2 minutes", "10 minutes", "45 minutes"])
+        fn = lambda df: sevents.session_windows(df, gap=gap, watermark=wm)  # noqa: E731
+        mode = "complete"
+    else:
+        fn = lambda df: sevents.dedup_within_watermark(df, watermark=wm)  # noqa: E731
+        mode = "append"
+
+    def transform(df):
+        return fn(pre(df) if pre else df)
+
+    if fam == "dedup":
+        # dropDuplicatesWithinWatermark is stream-only; the batch twin
+        # is plain distinct-by-key — unambiguous because the generator
+        # only plants FULL-ROW duplicates (same event_id, same content)
+        def batch_twin(df):
+            return (pre(df) if pre else df).dropDuplicates(["event_id"])
+    else:
+        batch_twin = transform
+    return f"{fam}{pre_label}", transform, batch_twin, mode
+
+
+def _read_batch(spark, events_dir: str):
+    return spark.read.schema(schemas.EVENTS).parquet(events_dir)
+
+
+def check_seed(spark, seed: int, workroot: str) -> dict:
+    from lime_etl_spark.streaming import events as sevents
+
+    rng = random.Random(seed)
+    rec: dict = {"seed": seed}
+    work = os.path.join(workroot, f"s{seed}_{uuid.uuid4().hex[:8]}")
+    os.makedirs(work)
+    try:
+        rows, span_min = gen_events(rng)
+        events_dir = stage_files(spark, rng, rows, work)
+        label, transform, batch_twin, mode = _pipeline(rng, span_min)
+        mfpt = rng.choice([1, 2, 3, None])
+        restart = rng.random() < 0.25 and mode == "append"
+        rec["ops"] = [f"{label}:mfpt={mfpt}{':restart' if restart else ''}"]
+        batch = [tuple(r) for r in batch_twin(_read_batch(spark, events_dir)).collect()]
+        if restart:
+            got = _resume_drain(spark, rng, events_dir, transform, work, mfpt)
+        else:
+            stream = sevents.read_events_stream(
+                spark, events_dir, max_files_per_trigger=mfpt
+            )
+            got = [
+                tuple(r)
+                for r in sevents.run_to_memory(
+                    transform(stream),
+                    checkpoint_dir=os.path.join(work, "ck"),
+                    output_mode=mode,
+                ).collect()
+            ]
+        errs = compare_sets(got, batch)
+        if errs:
+            rec["mismatch"] = errs
+        else:
+            rec["rows"] = len(got)
+    except Exception as exc:
+        rec["error"] = f"{type(exc).__name__}: {exc}"
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return rec
+
+
+def _resume_drain(spark, rng, events_dir, transform, work, mfpt):
+    """Two-stage drain: only a random prefix of the files exists for
+    drain #1; the rest appear before drain #2, which RESUMES from the
+    same checkpoint into the same exactly-once parquet file sink.
+    Returns the committed sink rows (the file-sink log discards
+    anything uncommitted)."""
+    from lime_etl_spark.streaming import events as sevents
+
+    files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
+    m = rng.randint(1, len(files))
+    hidden = os.path.join(work, "hidden")
+    os.makedirs(hidden)
+    stashed = []
+    for f in files[m:]:
+        st = os.stat(f)
+        dest = os.path.join(hidden, os.path.basename(f))
+        shutil.move(f, dest)
+        stashed.append((dest, f, st.st_mtime))
+    sink = os.path.join(work, "sink")
+    ck = os.path.join(work, "rck")
+    for stage in (1, 2):
+        stream = sevents.read_events_stream(
+            spark, events_dir, max_files_per_trigger=mfpt
+        )
+        q = (
+            transform(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if stage == 1:
+            for src, orig, mtime in stashed:
+                shutil.move(src, orig)
+                os.utime(orig, (mtime, mtime))
+    return [tuple(r) for r in spark.read.parquet(sink).collect()]
+
+
+def run_sweep(spark, seeds, progress_every: int = 50) -> dict:
+    t0 = time.time()
+    results, failures = [], []
+    op_hist: Counter = Counter()
+    rows_total = 0
+    workroot = tempfile.mkdtemp(prefix="streamgen_")
+    try:
+        for i, seed in enumerate(seeds):
+            rec = check_seed(spark, seed, workroot)
+            if "error" in rec or "mismatch" in rec:
+                failures.append(rec)
+            else:
+                rows_total += rec["rows"]
+            for op in rec.get("ops", []):
+                op_hist[op.split(":")[0]] += 1
+            results.append(rec)
+            if progress_every and (i + 1) % progress_every == 0:
+                print(
+                    f"# {i + 1}/{len(seeds)} seeds, {len(failures)} failures, "
+                    f"{time.time() - t0:.0f}s",
+                    flush=True,
+                )
+    finally:
+        shutil.rmtree(workroot, ignore_errors=True)
+    return {
+        "harness": "streamgen (random file splits/order/trigger bounds + resume vs batch twin)",
+        "seeds_run": len(results),
+        "seed_min": min(seeds) if len(seeds) else None,
+        "seed_max": max(seeds) if len(seeds) else None,
+        "failures": failures,
+        "failure_count": len(failures),
+        "rows_compared_total": rows_total,
+        "op_histogram": dict(sorted(op_hist.items())),
+        "elapsed_sec": round(time.time() - t0, 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--seeds", type=int, default=500)
+    ap.add_argument("--start", type=int, default=0)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from lime_etl_spark.session import get_spark
+
+    spark = get_spark("streamgen", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    report = run_sweep(spark, range(args.start, args.start + args.seeds))
+    print(json.dumps({k: v for k, v in report.items() if k != "failures"}))
+    if report["failures"]:
+        for f in report["failures"][:10]:
+            print(json.dumps(f))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(report, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -229,6 +229,157 @@ def soak_incremental_dedup(spark: SparkSession, duration_s: int) -> dict:
     return out
 
 
+def rate_embeddings(
+    spark: SparkSession, rows_per_sec: int, vocab_vecs: int = 400, dim: int = 16
+) -> DataFrame:
+    """Synthetic embedding stream: ``vocab_vecs`` base vectors repeat
+    forever (every later occurrence is an exact duplicate → cosine 1.0
+    to its first arrival), so the member state plateaus while input
+    keeps flowing — the semantic mirror of rate_documents. Components
+    are sin() of a per-(base, dim) lattice: deterministic JVM
+    expressions, distinct bases nowhere near collinear."""
+    base = F.col("value") % vocab_vecs
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.sin((base * 31 + i * 13).cast("double")),
+    )
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_sec)
+        .load()
+        .select(F.col("value").alias("vec_id"), vec.alias("embedding"))
+    )
+
+
+def _soak_centroids(dim: int = 16, k: int = 8):
+    """Deterministic (k, dim) centroid lattice for the soak — the
+    production path trains once and persists; the soak needs only A
+    fixed clustering so per-batch work is cell-bounded."""
+    import numpy as np
+
+    i = np.arange(k)[:, None]
+    j = np.arange(dim)[None, :]
+    return np.cos(i * 7 + j * 3).astype(np.float64)
+
+
+def soak_semantic_dedup(spark: SparkSession, duration_s: int) -> dict:
+    """Continuous-trigger soak for the incremental semantic stage
+    (r7 verdict next-round #5): per-batch cost must stay flat as the
+    member state grows, because each batch's candidate joins are
+    keyed on cluster and bounded by batch × cell membership — at a
+    plateaued member corpus that bound is a constant. Pass criterion
+    matches soak_incremental_dedup: mean trigger duration in the
+    final third within 2x of the first third."""
+    from lime_etl_spark.streaming.semantic import MEMBERS_SUBDIR, semantic_dedup_on_ingest
+
+    vecs = rate_embeddings(spark, rows_per_sec=400)
+    work = tempfile.mkdtemp(prefix=f"lime_soak_{uuid.uuid4().hex[:8]}_")
+    state = os.path.join(work, "state")
+    q = semantic_dedup_on_ingest(
+        vecs,
+        state,
+        os.path.join(work, "ck"),
+        _soak_centroids(),
+        threshold=0.99,
+        available_now=False,
+    )
+    try:
+        progresses = _poll(q, time.time() + duration_s)
+    finally:
+        q.stop()
+    batches = [
+        {
+            "batchId": p["batchId"],
+            "numInputRows": p.get("numInputRows"),
+            "triggerMs": (p.get("durationMs") or {}).get("triggerExecution"),
+        }
+        for p in progresses
+    ]
+    out: dict = {"batches": batches}
+    timed = [b for b in batches if b["triggerMs"] and b["numInputRows"]]
+    n = len(timed)
+    if n >= 6:
+        first = [b["triggerMs"] for b in timed[: n // 3]]
+        last = [b["triggerMs"] for b in timed[-(n // 3):]]
+        out["mean_trigger_ms_first_third"] = sum(first) / len(first)
+        out["mean_trigger_ms_final_third"] = sum(last) / len(last)
+        out["per_batch_cost_flat"] = (
+            out["mean_trigger_ms_final_third"]
+            <= 2.0 * out["mean_trigger_ms_first_third"]
+        )
+    try:
+        out["member_state_rows"] = (
+            spark.read.parquet(os.path.join(state, MEMBERS_SUBDIR)).count()
+        )
+        # exact-duplicate vocab: members must plateau at <= vocab_vecs
+        out["member_state_plateaued"] = out["member_state_rows"] <= 400
+    except Exception:
+        out["member_state_rows"] = None
+    return out
+
+
+def semantic_ingest_scale(
+    spark: SparkSession,
+    small_dir: str,
+    big_dir: str,
+    dim: int = 64,
+    files_per_trigger: int = 4,
+) -> dict:
+    """Bounded-ingest scale ratio for the semantic stage: drain a
+    small and a 10x embedding corpus through semantic_dedup_on_ingest
+    (availableNow, same trigger bound → same batch COUNT, 10x batch
+    sizes) and report the wall ratio. Sublinear (< 10x at 10x data)
+    means per-batch fixed overhead amortizes and the cell-keyed
+    candidate work is not super-linear in corpus — the semantic
+    mirror of streaming LSH dedup's SOAK scale line (4.8x @ 100x)."""
+    import numpy as np
+
+    from lime_etl_spark.ops.similarity import (
+        kmeans_centroids_embeddings,
+        recommended_n_clusters,
+    )
+    from lime_etl_spark.streaming.semantic import semantic_dedup_on_ingest, survivors
+
+    out: dict = {"small_dir": small_dir, "big_dir": big_dir}
+    walls = {}
+    for label, src in (("small", small_dir), ("big", big_dir)):
+        corpus = spark.read.parquet(src)
+        n = corpus.count()
+        # train once per corpus (the production amortized step; timed
+        # separately so the reported ratio is the INGEST path)
+        k = recommended_n_clusters(n)
+        t0 = time.time()
+        cents = kmeans_centroids_embeddings(corpus, dim, k=k, n_iter=3)
+        train_s = time.time() - t0
+        work = tempfile.mkdtemp(prefix=f"lime_semscale_{uuid.uuid4().hex[:8]}_")
+        stream = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .parquet(src)
+        )
+        t0 = time.time()
+        q = semantic_dedup_on_ingest(
+            stream, os.path.join(work, "state"), os.path.join(work, "ck"),
+            cents, threshold=0.95,
+        )
+        q.awaitTermination()
+        wall = time.time() - t0
+        walls[label] = wall
+        out[label] = {
+            "rows": n,
+            "n_clusters": k,
+            "train_sec": round(train_s, 2),
+            "ingest_wall_sec": round(wall, 2),
+            "survivor_rows": survivors(
+                spark, os.path.join(work, "state")
+            ).count(),
+        }
+    out["data_ratio"] = round(out["big"]["rows"] / out["small"]["rows"], 1)
+    out["ingest_wall_ratio"] = round(walls["big"] / walls["small"], 2)
+    out["sublinear"] = out["ingest_wall_ratio"] < out["data_ratio"]
+    return out
+
+
 def soak_quality_monitor(spark: SparkSession, duration_s: int) -> dict:
     """Continuous quality-at-ingest: rate events with a deterministic
     2% NULL-user_id floor plus periodic 30% bursts (every 5th
@@ -316,6 +467,8 @@ def main() -> None:
         result["incremental_dedup"] = soak_incremental_dedup(spark, args.duration)
     if "quality_monitor" in args.which:
         result["quality_monitor"] = soak_quality_monitor(spark, args.duration)
+    if "semantic_dedup" in args.which:
+        result["semantic_dedup"] = soak_semantic_dedup(spark, args.duration)
     line = json.dumps(result)
     print(line)
     if args.out:
