@@ -1,0 +1,285 @@
+"""Property tests for the qgen dialect-parity contract (r7 verdict
+next-round #8).
+
+tools/qgen.py's cross-engine guarantees live as prose + generator
+code: the e0 double-literal rule, the DECIMAL(18,6) aggregation rule,
+NULL-propagating ||, the shared scalar subset (comparisons, IN,
+AND/OR/NOT, CASE, NULLIF, CAST AS DECIMAL, upper/lower/substr/length,
+year/month/date_trunc, %, +,-,*). This suite regenerates that subset
+as RANDOM expression trees over random literals and evaluates each
+tree standalone in BOTH engines — if a family added to qgen ever
+leaves the truly-shared dialect, hypothesis shrinks the divergence to
+a minimal expression instead of a 20-op pipeline mismatch.
+
+Scope mirrors the contract AS USED by the generator: substr is
+(col, 1, k) positive-args form, date_trunc is the CAST(... AS
+TIMESTAMP) rendering, % takes a positive integer literal rhs,
+multiplication is magnitude-budgeted the way qgen's literal pools
+bound it (so int chains stay in int64 and decimal casts in
+DECIMAL(18,6) range), and division does not exist.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lime_etl_spark.tools.gencheck import canon
+
+# ---------------------------------------------------------------------------
+# Typed random expression trees over the contract's scalar subset
+# ---------------------------------------------------------------------------
+
+_TS_LITS = [
+    "TIMESTAMP '2024-01-15 10:30:00'",
+    "TIMESTAMP '1996-12-31 23:59:59'",
+    "TIMESTAMP '2000-02-29 00:00:00'",
+]
+_STR_ALPHABET = "abcdefghij XYZ0123_"
+
+
+class _E:
+    """(sql, typ, bound) — bound is the max-abs a numeric subtree can
+    reach, used to keep int chains in int64 and dec-casts in range."""
+
+    __slots__ = ("sql", "typ", "bound")
+
+    def __init__(self, sql, typ, bound=0.0):
+        self.sql = sql
+        self.typ = typ
+        self.bound = bound
+
+
+def _dbl_lit(v: float) -> str:
+    s = repr(v)
+    # the e0 rule: a bare '1.5' parses as DECIMAL(2,1) in DuckDB and
+    # DOUBLE in Spark — every double literal must carry an exponent
+    return s if ("e" in s or "E" in s) else s + "e0"
+
+
+def _num_leaf(rng: random.Random) -> _E:
+    which = rng.random()
+    if which < 0.4:
+        v = rng.randint(-1000, 1000)
+        return _E(str(v), "num", abs(v))
+    if which < 0.8:
+        v = round(rng.uniform(-1e4, 1e4), rng.randint(0, 6))
+        return _E(_dbl_lit(v), "num", abs(v))
+    if which < 0.9:
+        return _E("CAST(NULL AS DOUBLE)", "num", 0.0)
+    v = rng.choice([0.0, -0.0, 1e-7, -1.5, 2.5, 1e4])
+    return _E(_dbl_lit(v), "num", abs(v))
+
+
+def _str_leaf(rng: random.Random) -> _E:
+    if rng.random() < 0.1:
+        return _E("CAST(NULL AS STRING)" , "str")
+    n = rng.randint(0, 8)
+    s = "".join(rng.choice(_STR_ALPHABET) for _ in range(n))
+    return _E(f"'{s}'", "str")
+
+
+def _num_expr(rng: random.Random, depth: int) -> _E:
+    if depth <= 0:
+        return _num_leaf(rng)
+    kind = rng.choice(
+        ["leaf", "add", "sub", "mul", "mod", "case", "nullif", "len", "part"]
+    )
+    if kind == "leaf":
+        return _num_leaf(rng)
+    if kind in ("add", "sub"):
+        a, b = _num_expr(rng, depth - 1), _num_expr(rng, depth - 1)
+        op = "+" if kind == "add" else "-"
+        return _E(f"({a.sql} {op} {b.sql})", "num", a.bound + b.bound)
+    if kind == "mul":
+        a, b = _num_expr(rng, depth - 1), _num_expr(rng, depth - 1)
+        if a.bound * b.bound > 1e12:  # int64-safe, decimal-castable
+            return _num_leaf(rng)
+        return _E(f"({a.sql} * {b.sql})", "num", a.bound * b.bound)
+    if kind == "mod":
+        a = _num_expr(rng, depth - 1)
+        m = rng.randint(1, 97)
+        return _E(f"({a.sql} % {m})", "num", float(m))
+    if kind == "case":
+        c = _bool_expr(rng, depth - 1)
+        a, b = _num_expr(rng, depth - 1), _num_expr(rng, depth - 1)
+        return _E(
+            f"(CASE WHEN {c.sql} THEN {a.sql} ELSE {b.sql} END)",
+            "num",
+            max(a.bound, b.bound),
+        )
+    if kind == "nullif":
+        a, b = _num_expr(rng, depth - 1), _num_leaf(rng)
+        return _E(f"NULLIF({a.sql}, {b.sql})", "num", a.bound)
+    if kind == "len":
+        s = _str_expr(rng, depth - 1)
+        return _E(f"length({s.sql})", "num", 64.0)
+    s = rng.choice(_TS_LITS)
+    fn = rng.choice(["year", "month"])
+    return _E(f"{fn}({s})", "num", 2100.0)
+
+
+def _str_expr(rng: random.Random, depth: int) -> _E:
+    if depth <= 0:
+        return _str_leaf(rng)
+    kind = rng.choice(["leaf", "upper", "lower", "substr", "concat", "case"])
+    if kind == "leaf":
+        return _str_leaf(rng)
+    if kind in ("upper", "lower"):
+        s = _str_expr(rng, depth - 1)
+        return _E(f"{kind}({s.sql})", "str")
+    if kind == "substr":
+        s = _str_expr(rng, depth - 1)
+        k = rng.randint(1, 3)
+        return _E(f"substr({s.sql}, 1, {k})", "str")
+    if kind == "concat":
+        a, b = _str_expr(rng, depth - 1), _str_expr(rng, depth - 1)
+        return _E(f"({a.sql} || {b.sql})", "str")
+    c = _bool_expr(rng, depth - 1)
+    a, b = _str_expr(rng, depth - 1), _str_expr(rng, depth - 1)
+    return _E(f"(CASE WHEN {c.sql} THEN {a.sql} ELSE {b.sql} END)", "str")
+
+
+def _bool_expr(rng: random.Random, depth: int) -> _E:
+    if depth <= 0:
+        a, b = _num_leaf(rng), _num_leaf(rng)
+        op = rng.choice(["<", "<=", "=", "<>", ">", ">="])
+        return _E(f"({a.sql} {op} {b.sql})", "bool")
+    kind = rng.choice(["cmp_num", "cmp_str", "cmp_ts", "in", "and", "or", "not"])
+    if kind == "cmp_num":
+        a, b = _num_expr(rng, depth - 1), _num_expr(rng, depth - 1)
+        op = rng.choice(["<", "<=", "=", "<>", ">", ">="])
+        return _E(f"({a.sql} {op} {b.sql})", "bool")
+    if kind == "cmp_str":
+        a, b = _str_expr(rng, depth - 1), _str_expr(rng, depth - 1)
+        op = rng.choice(["<", "=", ">", "<>"])
+        return _E(f"({a.sql} {op} {b.sql})", "bool")
+    if kind == "cmp_ts":
+        a, b = rng.choice(_TS_LITS), rng.choice(_TS_LITS)
+        op = rng.choice(["<", "=", ">="])
+        return _E(f"({a} {op} {b})", "bool")
+    if kind == "in":
+        a = _num_expr(rng, depth - 1)
+        lits = ", ".join(_num_leaf(rng).sql for _ in range(rng.randint(1, 4)))
+        return _E(f"({a.sql} IN ({lits}))", "bool")
+    if kind in ("and", "or"):
+        a, b = _bool_expr(rng, depth - 1), _bool_expr(rng, depth - 1)
+        return _E(f"({a.sql} {kind.upper()} {b.sql})", "bool")
+    a = _bool_expr(rng, depth - 1)
+    return _E(f"(NOT {a.sql})", "bool")
+
+
+def _root_expr(rng: random.Random) -> str:
+    kind = rng.choice(["num", "str", "bool", "dec", "trunc"])
+    depth = rng.randint(1, 3)
+    if kind == "num":
+        return _num_expr(rng, depth).sql
+    if kind == "str":
+        return _str_expr(rng, depth).sql
+    if kind == "bool":
+        return _bool_expr(rng, depth).sql
+    if kind == "dec":
+        a = _num_expr(rng, min(depth, 2))
+        if a.bound >= 1e12:
+            a = _num_leaf(rng)
+        return f"CAST({a.sql} AS DECIMAL(18,6))"
+    ts = rng.choice(_TS_LITS)
+    return f"CAST(date_trunc('month', {ts}) AS TIMESTAMP)"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(0, 10**9))
+def _run_scalar_block(spark, duck, seed):
+    rng = random.Random(seed)
+    exprs = [_root_expr(rng) for _ in range(6)]
+    select = ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    srow = spark.sql(f"SELECT {select}").collect()[0]
+    drow = duck.sql(f"SELECT {select}").fetchall()[0]
+    for i, (sv, dv) in enumerate(zip(srow, drow)):
+        assert canon(sv) == canon(dv), (
+            f"seed {seed} expr {exprs[i]}: spark={sv!r} duck={dv!r}"
+        )
+
+
+def test_scalar_subset_agrees_across_engines(spark, duck):
+    """Random contract-subset expression trees, literal-bound, both
+    engines, canonical equality (hex floats / normalized decimals)."""
+    _run_scalar_block(spark, duck)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def _run_decimal_sum(spark, duck, vals):
+    lits = ", ".join(f"({_dbl_lit(v)})" for v in vals)
+    expr = "sum(CAST(v AS DECIMAL(18,6))) AS s"
+    srow = spark.sql(f"SELECT {expr} FROM VALUES {lits} AS t(v)").collect()[0]
+    drow = duck.sql(f"SELECT {expr} FROM (VALUES {lits}) t(v)").fetchall()[0]
+    assert canon(srow[0]) == canon(drow[0]), f"vals={vals}"
+
+
+def test_decimal_sum_rule_is_exact_across_engines(spark, duck):
+    """The no-float-aggregation rule's positive half: SUM over
+    CAST(double AS DECIMAL(18,6)) is order-independent and EXACTLY
+    equal across engines for arbitrary double inputs — including
+    values near the .xxxxxx5 rounding boundary (no double is an exact
+    scale-6 midpoint, so the half-up/half-even difference between
+    engines can never engage)."""
+    _run_decimal_sum(spark, duck)
+
+
+def test_bare_decimal_literal_would_diverge(spark, duck):
+    """Negative control — WHY the e0 rule exists. Both SQL dialects
+    type a bare '0.1' as DECIMAL (verified below), but the ENGINE side
+    of every generated pipeline builds literals through the DataFrame
+    API, where a Python float is a DOUBLE — so an oracle rendered with
+    bare literals computes exact decimal arithmetic against the
+    engine's IEEE arithmetic and diverges. The e0 suffix forces the
+    ORACLE down to DOUBLE to match the engine. If an engine upgrade
+    ever changes either typing, this fails loudly and the rule gets
+    re-derived."""
+    from pyspark.sql import functions as F
+
+    # SQL-vs-SQL: bare literals agree (both DECIMAL — the trap is NOT
+    # here, which is exactly why it was easy to mis-state in prose)
+    sv = spark.sql("SELECT (0.1 + 0.2) AS v").collect()[0][0]
+    dv = duck.sql("SELECT (0.1 + 0.2) AS v").fetchall()[0][0]
+    assert canon(sv) == canon(dv)
+    # engine-vs-SQL: F.lit(0.1) is a DOUBLE; the bare-literal oracle
+    # would be exact decimal 0.3 — divergence
+    ev = (
+        spark.range(1)
+        .select((F.lit(0.1) + F.lit(0.2)).alias("v"))
+        .collect()[0][0]
+    )
+    assert canon(ev) != canon(dv)
+    # the contract rendering re-converges oracle to engine
+    dv_e0 = duck.sql("SELECT (0.1e0 + 0.2e0) AS v").fetchall()[0][0]
+    assert canon(ev) == canon(dv_e0)
