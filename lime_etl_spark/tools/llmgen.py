@@ -657,6 +657,108 @@ def _fam_ivf_full_probe(spark, rng):
     )
 
 
+def _uf_components(edges) -> dict[int, int]:
+    """Union-find oracle: node -> min-id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _cc_want(edges):
+    roots = _uf_components(edges)
+    sizes = Counter(roots.values())
+    return [(n, r, sizes[r]) for n, r in roots.items()]
+
+
+def _fam_connected_components(spark, rng):
+    from lime_etl_spark.ops import dedup
+
+    # random graph shapes: sparse pairs, plus planted chains (long
+    # diameter — the label-prop convergence knob) and cliques (the
+    # near-dup regime: small dense components)
+    ids = rng.sample(range(1, 10_000), rng.randint(4, 60))
+    edges = set()
+    n_rand = rng.randint(0, len(ids))
+    for _ in range(n_rand):
+        a, b = rng.sample(ids, 2)
+        edges.add((min(a, b), max(a, b)))
+    if rng.random() < 0.5 and len(ids) >= 8:  # chain
+        chain = rng.sample(ids, rng.randint(5, min(30, len(ids))))
+        edges.update(
+            (min(a, b), max(a, b)) for a, b in zip(chain, chain[1:])
+        )
+    if rng.random() < 0.5 and len(ids) >= 5:  # clique
+        cl = rng.sample(ids, rng.randint(3, 5))
+        edges.update(
+            (min(a, b), max(a, b)) for a, b in itertools.combinations(cl, 2)
+        )
+    edges = sorted(edges)
+    algorithm = rng.choice(["label_prop", "two_phase_star"])
+    if not edges:
+        return [f"connected_components:{algorithm}:empty"], [], 0
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = [
+        tuple(r) for r in dedup.connected_components(pairs, algorithm=algorithm).collect()
+    ]
+    return (
+        [f"connected_components:{algorithm}"],
+        compare_sets(got, _cc_want(edges)),
+        len(got),
+    )
+
+
+def _fam_near_dup_groups(spark, rng):
+    """The full composite gated as dedup_near_dup_groups: banded-LSH
+    candidates -> candidate-driven exact Jaccard -> connected
+    components, against the chained Python oracle."""
+    from lime_etl_spark.ops import dedup
+
+    rows = gen_corpus(rng)
+    df = _corpus_df(spark, rows)
+    n = rng.randint(1, 3)
+    threshold = round(rng.uniform(0.05, 0.9), 2)
+    pairs = dedup.minhash_near_dups(df, threshold=threshold, n=n)
+    got = [tuple(r) for r in dedup.connected_components(pairs).collect()]
+    sigs = {
+        i: py_minhash_sig(set(py_shingles(toks, n))) for i, _, toks in rows
+    }
+    bands = {i: set(py_band_keys(s)) for i, s in sigs.items() if s is not None}
+    sets = {i: set(py_shingles(toks, n)) for i, _, toks in rows}
+    edges = []
+    for a, b in itertools.combinations(sorted(bands), 2):
+        if not bands[a] & bands[b]:
+            continue
+        common = len(sets[a] & sets[b])
+        if common == 0:
+            continue
+        j = round_half_up(common / float(len(sets[a]) + len(sets[b]) - common), 6)
+        if j >= threshold:
+            edges.append((a, b))
+    return (
+        [f"near_dup_groups:n={n}"],
+        compare_sets(got, _cc_want(edges)),
+        len(got),
+    )
+
+
+# NOTE (same precedent as tools/qgen.py): adding a family changes the
+# seed -> family mapping, so a pinned regression seed no longer
+# reproduces its original case byte-for-byte; the fixes those seeds
+# caught are pinned STRUCTURALLY by focused tests
+# (tests/test_generative_llm.py), and pinned seeds stay as extra sweep
+# coverage.
 FAMILIES = [
     (_fam_exact_dedup, 1.0),
     (_fam_ngram_jaccard, 1.5),
@@ -666,6 +768,8 @@ FAMILIES = [
     (_fam_lsh_topk, 1.8),
     (_fam_semantic, 1.5),
     (_fam_ivf_full_probe, 0.7),
+    (_fam_connected_components, 0.8),
+    (_fam_near_dup_groups, 0.8),
 ]
 
 

@@ -22,9 +22,14 @@ Cross-engine parity is guaranteed BY CONSTRUCTION, not by hoping:
   dyadic — so double→decimal rounding can never tie-break
   differently). Per-row double arithmetic (+,-,*) is IEEE-identical
   across engines and allowed freely.
-- Double literals are rendered with an ``e0`` suffix: DuckDB parses a
-  bare ``1.0`` as DECIMAL(2,1), which would change derived-column
-  types and aggregate results.
+- Double literals are rendered with an ``e0`` suffix: BOTH SQL
+  dialects type a bare ``1.0`` as DECIMAL (pinned in
+  tests/test_dialect_contract.py — an earlier version of this note
+  mis-attributed it to DuckDB alone), but the ENGINE side builds
+  literals through the DataFrame API where a Python float is a
+  DOUBLE; a bare-literal oracle would therefore compute exact decimal
+  arithmetic against the engine's IEEE arithmetic. The suffix forces
+  the oracle down to DOUBLE to match the engine.
 - String concatenation uses ``||`` (NULL-propagating in both engines);
   DuckDB's concat() SKIPS nulls while Spark's returns NULL.
 - Every ORDER BY (windows, top-k, sort+limit) is made TOTAL by
