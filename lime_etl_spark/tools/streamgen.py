@@ -199,6 +199,147 @@ def _read_batch(spark, events_dir: str):
     return spark.read.schema(schemas.EVENTS).parquet(events_dir)
 
 
+def _stage_files_time_ordered(rng: random.Random, rows, work: str) -> str:
+    """SCD2 staging: the maintainer's documented contract is per-key
+    monotone event time ACROSS batches, so legal multi-batch inputs are
+    time-ordered cuts — rows sorted by (ts, event_id), cut only where
+    ts strictly increases (same-ts rows never straddle a batch), file
+    processing order = time order via mtimes. WITHIN that contract the
+    composition is still random: how many files, where the cuts fall,
+    how many no-op updates and state flips share a batch — exactly the
+    r7 SCD2 drain-bug class."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    legal_cuts = [
+        i for i in range(1, len(ordered)) if ordered[i][1] > ordered[i - 1][1]
+    ]
+    n_cuts = rng.randint(0, min(7, len(legal_cuts)))
+    cuts = sorted(rng.sample(legal_cuts, n_cuts)) if n_cuts else []
+    chunks, prev = [], 0
+    for c in cuts + [len(ordered)]:
+        chunks.append(ordered[prev:c])
+        prev = c
+    pa_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    events_dir = os.path.join(work, "events")
+    os.makedirs(events_dir)
+    mtime = time.time() - 3600
+    for order, chunk in enumerate(chunks):
+        cols = list(zip(*chunk))
+        table = pa.table(
+            {f.name: list(c) for f, c in zip(pa_schema, cols)}, schema=pa_schema
+        )
+        dest = os.path.join(events_dir, f"f{order:03d}.parquet")
+        pq.write_table(table, dest)
+        os.utime(dest, (mtime + order, mtime + order))
+    return events_dir
+
+
+def _gen_scd2_events(rng: random.Random):
+    """Change events tuned for SCD2: few keys, DISTINCT (key, ts)
+    pairs, runs of repeated states (no-op updates that must collapse
+    across batch boundaries) interleaved with state flips."""
+    n_users = rng.randint(1, 6)
+    types = rng.sample(_TYPES, rng.randint(2, len(_TYPES)))
+    rows, eid = [], 1
+    used = set()
+    for u in range(1, n_users + 1):
+        state = rng.choice(types)
+        t = rng.randint(0, 600)
+        for _ in range(rng.randint(1, 40)):
+            if rng.random() < 0.45:  # state flip
+                state = rng.choice([s for s in types if s != state] or types)
+            # else: repeated state — a no-op update to collapse
+            while (u, t) in used:
+                t += rng.randint(1, 120)
+            used.add((u, t))
+            rows.append(
+                (
+                    eid,
+                    _BASE + dt.timedelta(seconds=t),
+                    u,
+                    state,
+                    round(rng.uniform(0, 100), 2),
+                    None,
+                )
+            )
+            eid += 1
+            t += rng.randint(0, 300)
+    return rows
+
+
+def _check_scd2_seed(spark, rng: random.Random, rec: dict, work: str):
+    from lime_etl_spark.ops import behavior
+    from lime_etl_spark.streaming import events as sevents
+    from lime_etl_spark.streaming.scd2 import (
+        QUARANTINE_SUBDIR,
+        history,
+        maintain_scd2,
+    )
+
+    rows = _gen_scd2_events(rng)
+    events_dir = _stage_files_time_ordered(rng, rows, work)
+    mfpt = rng.choice([1, 2, 3, None])
+    restart = rng.random() < 0.3
+    rec["ops"] = [f"scd2:mfpt={mfpt}{':restart' if restart else ''}"]
+    files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
+    state = os.path.join(work, "state")
+    ck = os.path.join(work, "ck")
+    if restart and len(files) > 1:
+        m = rng.randint(1, len(files) - 1)
+        hidden = os.path.join(work, "hidden")
+        os.makedirs(hidden)
+        stashed = []
+        for f in files[m:]:
+            st = os.stat(f)
+            dest = os.path.join(hidden, os.path.basename(f))
+            shutil.move(f, dest)
+            stashed.append((dest, f, st.st_mtime))
+        stages = 2
+    else:
+        stashed, stages = [], 1
+    for stage in range(1, stages + 1):
+        q = maintain_scd2(
+            sevents.read_events_stream(spark, events_dir, max_files_per_trigger=mfpt),
+            state,
+            ck,
+        )
+        q.awaitTermination()
+        if stage == 1 and stashed:
+            for src, orig, mtime in stashed:
+                shutil.move(src, orig)
+                os.utime(orig, (mtime, mtime))
+    got = [tuple(r) for r in history(spark, state).collect()]
+    batch = [
+        tuple(r)
+        for r in behavior.scd2_from_change_stream(
+            _read_batch(spark, events_dir), "user_id", "event_type", "ts", "event_id"
+        ).collect()
+    ]
+    errs = compare_sets(got, batch)
+    # legal (monotone) input must quarantine NOTHING (the dir may
+    # exist with no part files — written-then-empty overwrites)
+    qdir = os.path.join(state, QUARANTINE_SUBDIR)
+    if glob.glob(os.path.join(qdir, "**", "*.parquet"), recursive=True):
+        nq = spark.read.parquet(qdir).count()
+        if nq:
+            errs.append(f"quarantined {nq} rows on legal monotone input")
+    if errs:
+        rec["mismatch"] = errs
+    else:
+        rec["rows"] = len(got)
+
+
 def check_seed(spark, seed: int, workroot: str) -> dict:
     from lime_etl_spark.streaming import events as sevents
 
@@ -207,6 +348,9 @@ def check_seed(spark, seed: int, workroot: str) -> dict:
     work = os.path.join(workroot, f"s{seed}_{uuid.uuid4().hex[:8]}")
     os.makedirs(work)
     try:
+        if rng.random() < 0.2:
+            _check_scd2_seed(spark, rng, rec, work)
+            return rec
         rows, span_min = gen_events(rng)
         events_dir = stage_files(spark, rng, rows, work)
         label, transform, batch_twin, mode = _pipeline(rng, span_min)
