@@ -71,11 +71,17 @@ def compare(spark_rows, spark_cols, duck_rows, duck_cols) -> list[str]:
 
 
 def duck_connect(sf_dir: str):
+    import os
+
     import duckdb
 
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        # generated rehearsal fixtures (tools.datagen) write each table
+        # as a DIRECTORY of part files; the driver fixture is one file
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     return con
 
 
