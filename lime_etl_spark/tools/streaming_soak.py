@@ -251,10 +251,14 @@ def rate_embeddings(
     )
 
 
-def _soak_centroids(dim: int = 16, k: int = 8):
+def _soak_centroids(dim: int = 16, k: int = 64):
     """Deterministic (k, dim) centroid lattice for the soak — the
     production path trains once and persists; the soak needs only A
-    fixed clustering so per-batch work is cell-bounded."""
+    fixed clustering so per-batch work is cell-bounded. k=64 mirrors
+    the operator's own contract (cells sized so in-cell pair work is
+    ~n*budget): at k=8 a backlogged batch went quadratic in-cell and
+    each slow batch grew the next one's backlog — runaway, 2 batches
+    in 180 s."""
     import numpy as np
 
     i = np.arange(k)[:, None]
@@ -272,7 +276,7 @@ def soak_semantic_dedup(spark: SparkSession, duration_s: int) -> dict:
     final third within 2x of the first third."""
     from lime_etl_spark.streaming.semantic import MEMBERS_SUBDIR, semantic_dedup_on_ingest
 
-    vecs = rate_embeddings(spark, rows_per_sec=400)
+    vecs = rate_embeddings(spark, rows_per_sec=100)
     work = tempfile.mkdtemp(prefix=f"lime_soak_{uuid.uuid4().hex[:8]}_")
     state = os.path.join(work, "state")
     q = semantic_dedup_on_ingest(
