@@ -205,13 +205,20 @@ def gen_corpus(rng: random.Random) -> list[tuple[int, str, list[str]]]:
     """(doc_id, rendered_text, token_list) rows: controlled duplication
     (exact via re-rendering, near via ≤3 token edits), empty and
     sub-shingle-length docs, randomized case/separator rendering that
-    must normalize away under tokens()."""
-    vocab_n = rng.randint(4, 40)
+    must normalize away under tokens().
+
+    ``rng.big`` (set by check_seed under --big): draw 200-1,200 docs
+    from a 30-200-word vocab instead of 4-60 from 4-40 — the regime
+    where multi-partition shuffles, AQE coalescing, and band-bucket
+    fan-out actually engage, while the brute-force oracles stay
+    seconds-cheap (all-pairs on 1,200 docs is 7.2e5 set ops)."""
+    big = getattr(rng, "big", False)
+    vocab_n = rng.randint(30, 200) if big else rng.randint(4, 40)
     vocab = [
         "".join(rng.choice(_ALNUM) for _ in range(rng.randint(2, 7)))
         for _ in range(vocab_n)
     ]
-    n_docs = rng.randint(4, 60)
+    n_docs = rng.randint(200, 1200) if big else rng.randint(4, 60)
     token_lists: list[list[str]] = []
     for _ in range(n_docs):
         r = rng.random()
@@ -249,11 +256,15 @@ def gen_embeddings(rng: random.Random) -> tuple[int, list[tuple[int, list[float]
     """(dim, [(vec_id, float32-exact vector)]): clustered gaussians at a
     drawn noise scale, plus exact duplicates and occasional all-zero
     vectors (the gnorm guard's edge)."""
-    dim = rng.choice([3, 4, 8, 16])
-    k = rng.randint(1, 5)
+    big = getattr(rng, "big", False)
+    dim = rng.choice([8, 16, 32]) if big else rng.choice([3, 4, 8, 16])
+    k = rng.randint(3, 10) if big else rng.randint(1, 5)
     centers = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(k)]
     sigma = rng.choice([0.01, 0.1, 0.5, 1.0])
-    n = rng.randint(6, 80)
+    # big: enough vectors that buckets/cells hold real batches; the
+    # semantic family caps lower (its Python prune oracle is
+    # sum-of-cell^2 cosines) via _SEMANTIC_BIG_CAP
+    n = rng.randint(500, 3000) if big else rng.randint(6, 80)
     vecs: list[list[float]] = []
     for _ in range(n):
         r = rng.random()
@@ -601,9 +612,14 @@ def _fam_semantic(spark, rng):
     from lime_etl_spark.ops import similarity
 
     dim, emb_rows = gen_embeddings(rng)
+    if len(emb_rows) > 600:
+        # the Python prune oracle is sum-of-cell^2 cosines; cap the
+        # big-mode draw so oracle cost stays seconds, and scale cells
+        # up so in-cell work is still multi-partition real
+        emb_rows = emb_rows[:600]
     df = _emb_df(spark, emb_rows)
     emb_map = dict(emb_rows)
-    n_cells = rng.randint(1, 6)
+    n_cells = rng.randint(3, 12) if getattr(rng, "big", False) else rng.randint(1, 6)
     # drawn centroids (not trained): the invariant targets the pruning
     # semantics, and provided-centroid mode is the production shape for
     # reusing one clustering across snapshots
@@ -773,8 +789,9 @@ FAMILIES = [
 ]
 
 
-def check_seed(spark, seed: int) -> dict:
+def check_seed(spark, seed: int, big: bool = False) -> dict:
     rng = random.Random(seed)
+    rng.big = big  # generators read this to widen their draw ranges
     total = sum(w for _, w in FAMILIES)
     pick = rng.uniform(0, total)
     acc = 0.0
@@ -798,13 +815,13 @@ def check_seed(spark, seed: int) -> dict:
     return rec
 
 
-def run_sweep(spark, seeds, progress_every: int = 100) -> dict:
+def run_sweep(spark, seeds, progress_every: int = 100, big: bool = False) -> dict:
     t0 = time.time()
     results, failures = [], []
     op_hist: Counter = Counter()
     rows_total = 0
     for i, seed in enumerate(seeds):
-        rec = check_seed(spark, seed)
+        rec = check_seed(spark, seed, big=big)
         if "error" in rec or "mismatch" in rec:
             failures.append(rec)
         else:
@@ -820,6 +837,7 @@ def run_sweep(spark, seeds, progress_every: int = 100) -> dict:
             )
     return {
         "harness": "llmgen (randomized corpora/embeddings vs pure-Python brute-force oracles)",
+        "big_mode": big,
         "seeds_run": len(results),
         "seed_min": min(seeds) if len(seeds) else None,
         "seed_max": max(seeds) if len(seeds) else None,
@@ -836,13 +854,20 @@ def main() -> None:
     ap.add_argument("--seeds", type=int, default=2500)
     ap.add_argument("--start", type=int, default=0)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--big", action="store_true",
+        help="widen draw ranges (200-1,200 docs / 500-3,000 vectors) so "
+        "multi-partition shuffles and AQE engage; oracles stay exact",
+    )
     args = ap.parse_args()
 
     from lime_etl_spark.session import get_spark
 
-    spark = get_spark("llmgen", shuffle_partitions=4)
+    spark = get_spark("llmgen", shuffle_partitions=16 if args.big else 4)
     spark.sparkContext.setLogLevel("ERROR")
-    report = run_sweep(spark, range(args.start, args.start + args.seeds))
+    report = run_sweep(
+        spark, range(args.start, args.start + args.seeds), big=args.big
+    )
     print(json.dumps({k: v for k, v in report.items() if k != "failures"}))
     if report["failures"]:
         for f in report["failures"][:10]:
