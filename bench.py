@@ -64,10 +64,44 @@ def main() -> None:
     # Warm the JVM paths the queries share (codegen, parquet reader,
     # shuffle machinery) with a job that does no query-specific work, so
     # per-query numbers measure the queries, not first-job JIT.
-    spark.range(1_000_000).selectExpr(
-        "sum(cast(id as decimal(12,2)) * (1 - cast(id % 7 as decimal(6,4)) / 100)) s",
-        "sum(id) t",
-    ).write.format("noop").mode("overwrite").save()
+    def _warmup_job():
+        spark.range(1_000_000).selectExpr(
+            "sum(cast(id as decimal(12,2)) * (1 - cast(id % 7 as decimal(6,4)) / 100)) s",
+            "sum(id) t",
+        ).write.format("noop").mode("overwrite").save()
+
+    _warmup_job()
+    # Host calibration (round 8): the same commit measured 9.5-10.0 s on
+    # the round-7 host and 15+ s on the round-8 one — per-round VMs
+    # differ in single-core speed and noise. Two fixed microbenches make
+    # cross-round comparisons mechanical: normalize query totals by the
+    # calibration ratio before adjudicating a "regression" across
+    # rounds. Both are min-of-3 AFTER the warmup job, so JIT/first-job
+    # cost is excluded from the calibration too.
+    import hashlib as _hl
+
+    def _py_bench() -> float:
+        t0 = time.perf_counter()
+        h = _hl.md5()
+        for i in range(2_000_000):
+            h.update(str(i).encode())
+        return time.perf_counter() - t0
+
+    def _jvm_bench() -> float:
+        t0 = time.perf_counter()
+        _warmup_job()
+        return time.perf_counter() - t0
+
+    host_calibration = {
+        "python_md5_2m_sec": round(min(_py_bench() for _ in range(3)), 3),
+        "spark_decimal_agg_1m_sec": round(min(_jvm_bench() for _ in range(3)), 3),
+        "note": (
+            "fixed single-core CPython loop + fixed 1M-row JVM decimal "
+            "aggregate, min of 3 warm runs; divide query totals by the "
+            "round-over-round ratio of these before calling a plan "
+            "regression across hosts"
+        ),
+    }
     from lime_etl_spark.io.sources import read_table
 
     read_table(spark, SF_DIR, "region").write.format("noop").mode("overwrite").save()
@@ -157,6 +191,7 @@ def main() -> None:
         "warm_spread": warm_spread,
         "exec_spread": exec_spread,
         "jvm": "G1, -Xms8g floor, 32g heap",
+        "host_calibration": host_calibration,
     }
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"

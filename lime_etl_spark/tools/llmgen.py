@@ -769,6 +769,146 @@ def _fam_near_dup_groups(spark, rng):
     )
 
 
+def _incremental_semantic_oracle(batches, cents_list, threshold, keep):
+    """Pure-Python replication of streaming/semantic.process_batch run
+    over an ORDERED batch sequence: per batch, numpy assignment (same
+    expressions as the engine's Arrow kernel), cent_cos at 9dp, rank
+    per cluster over the FULL batch (ranks are assigned before the
+    prior-decision exclusion, so re-delivered ids leave rank gaps),
+    vetoes from accepted members of the same cell plus higher-ranked
+    surviving-or-dropped batch-mates at pair_cos 6dp >= threshold,
+    dup_of = highest cos then lowest id. Returns (survivors rows,
+    decisions rows) in the engine's output shapes."""
+    import numpy as np
+
+    cents = np.asarray(cents_list, dtype=np.float64)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    members: list[tuple[int, int, float, list]] = []  # (id, cluster, cc9, vec)
+    decided: set[int] = set()
+    decisions = []
+    for bid, rows in enumerate(batches):
+        if not rows:
+            continue
+        ids = [i for i, _ in rows]
+        vec = dict(rows)
+        x = np.array([vec[i] for i in ids], dtype=np.float64)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        s_ = xn @ cn.T
+        s_ = np.sign(s_) * np.floor(np.abs(s_) * 1e9 + 0.5) / 1e9
+        cluster = {i: int(np.argmax(s_[r])) for r, i in enumerate(ids)}
+        cc9 = {
+            i: round_half_up(
+                dot_seq(vec[i], cents_list[cluster[i]])
+                / (gnorm(vec[i]) * gnorm(cents_list[cluster[i]])),
+                9,
+            )
+            for i in ids
+        }
+        rk: dict[int, int] = {}
+        for cl in set(cluster.values()):
+            mem = [i for i in ids if cluster[i] == cl]
+            mem.sort(
+                key=lambda i: (cc9[i], i) if keep == "farthest" else (-cc9[i], i)
+            )
+            for r, i in enumerate(mem, start=1):
+                rk[i] = r
+        cand = [i for i in ids if i not in decided]
+        for i in cand:
+            vetoes = []
+            for mid, mcl, _mcc, mvec in members:
+                if mcl == cluster[i] and mid != i:
+                    c6 = cos_round(mvec, vec[i], 6)
+                    if c6 >= threshold:
+                        vetoes.append((c6, mid))
+            for j in cand:
+                if j != i and cluster[j] == cluster[i] and rk[j] < rk[i]:
+                    c6 = cos_round(vec[j], vec[i], 6)
+                    if c6 >= threshold:
+                        vetoes.append((c6, j))
+            if vetoes:
+                best = max(vetoes, key=lambda p: (p[0], -p[1]))
+                decisions.append((i, True, best[1], best[0], cluster[i], bid))
+            else:
+                decisions.append((i, False, None, None, cluster[i], bid))
+                members.append((i, cluster[i], cc9[i], vec[i]))
+        decided.update(cand)
+    survivors = [
+        (i, cl, round_half_up(cc, 6)) for i, cl, cc, _ in members
+    ]
+    return survivors, decisions
+
+
+def _fam_semantic_ingest(spark, rng):
+    """Incremental (at-ingest) semantic dedup vs the ordered-batch
+    oracle: random corpus split into random ordered micro-batches, with
+    optional cross-batch re-delivery of an already-decided id and an
+    optional full-batch REPLAY (process_batch called twice with the
+    same batch_id) — decisions and survivors must match the oracle run
+    WITHOUT the replay (replay idempotence, generatively)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.streaming import semantic as SS
+
+    dim, emb_rows = gen_embeddings(rng)
+    emb_rows = emb_rows[:250]
+    n_cells = rng.randint(1, 6)
+    cents = [
+        [float(np.float32(rng.gauss(0.0, 1.0))) for _ in range(dim)]
+        for _ in range(n_cells)
+    ]
+    threshold = round(rng.uniform(0.1, 0.95), 2)
+    keep = rng.choice(["farthest", "closest"])
+    n_batches = rng.randint(1, 5)
+    batches: list[list] = [[] for _ in range(n_batches)]
+    for row in emb_rows:
+        batches[rng.randrange(n_batches)].append(row)
+    for b in range(1, n_batches):
+        if rng.random() < 0.4:
+            earlier = [r for bb in batches[:b] for r in bb]
+            if earlier:
+                redelivered = rng.choice(earlier)
+                if redelivered[0] not in {i for i, _ in batches[b]}:
+                    batches[b].append(redelivered)
+    replay_at = rng.randrange(n_batches) if rng.random() < 0.5 else None
+    schema = "vec_id bigint, embedding array<float>"
+    state = tempfile.mkdtemp(prefix="llmgen_sem_ingest_")
+    try:
+        for bid, rows in enumerate(batches):
+            df = spark.createDataFrame(rows, schema)
+            SS.process_batch(df, bid, state, cents, threshold=threshold, keep=keep)
+            if replay_at == bid:
+                SS.process_batch(df, bid, state, cents, threshold=threshold, keep=keep)
+        got_surv = [tuple(r) for r in SS.survivors(spark, state).collect()]
+        dec_path = _os.path.join(state, SS.DECISIONS_SUBDIR)
+        got_dec = [
+            tuple(r)
+            for r in spark.read.parquet(dec_path)
+            .select(
+                "vec_id", "is_dup", "dup_of", "best_cos",
+                F.col("cluster").cast("bigint").alias("cluster"),
+                F.col("ingest_batch").cast("bigint").alias("ingest_batch"),
+            )
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    want_surv, want_dec = _incremental_semantic_oracle(
+        batches, cents, threshold, keep
+    )
+    errs = compare_sets(got_surv, want_surv)
+    errs += ["decisions: " + e for e in compare_sets(got_dec, want_dec)]
+    return (
+        [f"semantic_ingest:b={n_batches}:replay={replay_at is not None}"],
+        errs,
+        len(got_surv) + len(got_dec),
+    )
+
+
 # NOTE (same precedent as tools/qgen.py): adding a family changes the
 # seed -> family mapping, so a pinned regression seed no longer
 # reproduces its original case byte-for-byte; the fixes those seeds
@@ -786,6 +926,7 @@ FAMILIES = [
     (_fam_ivf_full_probe, 0.7),
     (_fam_connected_components, 0.8),
     (_fam_near_dup_groups, 0.8),
+    (_fam_semantic_ingest, 1.0),
 ]
 
 
