@@ -17,11 +17,22 @@ schema + events/documents, emitting BOTH:
 Cross-engine parity is guaranteed BY CONSTRUCTION, not by hoping:
 
 - No floating-point aggregation: SUM over doubles goes through
-  CAST(x AS DECIMAL(18,6)) on both sides (order-independent, exact;
-  no double at scale 6 is an exact rounding midpoint — 5/10^7 is not
-  dyadic — so double→decimal rounding can never tie-break
-  differently). Per-row double arithmetic (+,-,*) is IEEE-identical
-  across engines and allowed freely.
+  CAST(x AS DECIMAL(18,6)) on both sides (order-independent, exact).
+  MAGNITUDE CLAUSE (found by tests/test_dialect_contract.py's
+  hypothesis sweep, round 8): the engines use DIFFERENT
+  double→decimal algorithms — Spark rounds the ≤17-significant-digit
+  SHORTEST DECIMAL REPR (BigDecimal.valueOf) HALF_UP, DuckDB rounds
+  ``x * 10^scale`` computed in floating point — and neither rounds
+  the exact binary expansion. They agree only while
+  ``ulp(x)·10^scale`` is far below the rounding-grid spacing, i.e.
+  |x| well under ~1e10 for scale 6; at |x| ~ 7e11 all three candidate
+  answers differ (pinned by
+  test_double_to_decimal_cast_diverges_beyond_contract_bound). This
+  generator's casts stay orders of magnitude inside the bound by
+  construction: fixture money columns are cent-valued (short reprs,
+  |x| < 1e6) and derive arithmetic multiplies by {2.0, 3.0, 0.5}
+  literals a bounded number of times. Per-row double arithmetic
+  (+,-,*) is IEEE-identical across engines and allowed freely.
 - Double literals are rendered with an ``e0`` suffix: BOTH SQL
   dialects type a bare ``1.0`` as DECIMAL (pinned in
   tests/test_dialect_contract.py — an earlier version of this note
