@@ -143,16 +143,23 @@ def gen_text_corpus(rng: random.Random, allow_null: bool = False):
     """(doc_id, text) rows whose vocabulary MIXES random tokens with the
     engine's stopword/language-marker lists (so quality/lang-ID branches
     actually fire), plus empty docs, whitespace-only docs, duplicated
-    docs, and (optionally) NULL text."""
+    docs, and (optionally) NULL text.
+
+    ``rng.big`` (set by check_seed under --big, same convention as
+    tools/llmgen.py): 300-1,200 docs from wider vocabularies — the
+    regime where the explode/groupBy families (TF-IDF, span dedup,
+    vocabulary, collocations) actually shuffle across partitions —
+    while the Python oracles stay linear-ish and seconds-cheap."""
+    big = getattr(rng, "big", False)
     vocab = [
         "".join(rng.choice(_ALNUM) for _ in range(rng.randint(2, 7)))
-        for _ in range(rng.randint(3, 25))
+        for _ in range(rng.randint(20, 400) if big else rng.randint(3, 25))
     ]
     vocab += rng.sample(_STOPWORDS_LIST, rng.randint(0, len(_STOPWORDS_LIST)))
     for lang, words in _LANG_MARKERS.items():
         if rng.random() < 0.5:
             vocab += rng.sample(words, rng.randint(1, len(words)))
-    n_docs = rng.randint(3, 45)
+    n_docs = rng.randint(300, 1200) if big else rng.randint(3, 45)
     texts: list[str | None] = []
     for _ in range(n_docs):
         r = rng.random()
@@ -182,9 +189,11 @@ def _text_df(spark, rows):
 def gen_events(rng: random.Random, types: list[str] | None = None):
     """(user_id, ts, event_type) rows: few users, clustered timestamps
     (same-second collisions included), drawn over a multi-week range so
-    weekly cohorts have >1 bucket."""
+    weekly cohorts have >1 bucket. ``rng.big``: 100-400 users so the
+    user-key window exchange actually spans partitions."""
     types = types or ["view", "click", "cart", "buy", "refund"]
-    n_users = rng.randint(1, 12)
+    big = getattr(rng, "big", False)
+    n_users = rng.randint(100, 400) if big else rng.randint(1, 12)
     users = rng.sample(range(1, 10_000), n_users)
     base = datetime(2025, 1, 6) + timedelta(days=rng.randint(0, 21))
     rows = []
@@ -447,7 +456,8 @@ def _gen_redact_text(rng: random.Random) -> str:
 def _fam_redact(spark, rng):
     from lime_etl_spark.ops import text as T
 
-    rows = [(i, _gen_redact_text(rng)) for i in range(1, rng.randint(3, 30))]
+    hi = 600 if getattr(rng, "big", False) else 30
+    rows = [(i, _gen_redact_text(rng)) for i in range(1, rng.randint(3, hi))]
     df = _text_df(spark, rows)
     got = [
         (r.doc_id, r.text_redacted)
@@ -517,8 +527,10 @@ def _fam_vocab_collocations(spark, rng):
 
 def _gen_keyed_rows(rng: random.Random):
     """(id, key, stratum, n_tokens) rows; keys unique (str or int domain),
-    occasional NULL key/length, small stratum set."""
-    n = rng.randint(3, 60)
+    occasional NULL key/length, small stratum set. ``rng.big``:
+    2,000-10,000 rows (multi-partition windows/range-repartitions)."""
+    big = getattr(rng, "big", False)
+    n = rng.randint(2000, 10_000) if big else rng.randint(3, 60)
     as_str = rng.random() < 0.5
     raw = rng.sample(range(1, 1_000_000), n)
     keys: list = [
@@ -602,7 +614,7 @@ def _fam_stratified(spark, rng):
     as_str = any(isinstance(r[1], str) for r in rows)
     df = _keyed_df(spark, rows, as_str)
     salt = rng.choice(["", "s9"])
-    n_per = rng.randint(1, 8)
+    n_per = rng.randint(1, 800) if getattr(rng, "big", False) else rng.randint(1, 8)
     got = [
         (r.id,)
         for r in S.stratified_sample_exact(df, "key", "stratum", n_per, salt=salt).collect()
@@ -835,8 +847,11 @@ def _fam_funnel(spark, rng):
 
 def _gen_change_stream(rng: random.Random):
     """(key, state, ts, seq) change rows: few keys, repeated/NULL states,
-    unique (ts, seq) per key."""
-    keys = rng.sample(range(1, 500), rng.randint(1, 6))
+    unique (ts, seq) per key. ``rng.big``: 150-500 keys."""
+    big = getattr(rng, "big", False)
+    keys = rng.sample(
+        range(1, 5000), rng.randint(150, 500) if big else rng.randint(1, 6)
+    )
     states = ["new", "active", "paused", None]
     rows = []
     seq = 0
@@ -887,13 +902,14 @@ def _fam_scd2_pit(spark, rng):
         return ["scd2"], compare_sets(got, want_hist), len(got)
     keys = sorted({r[0] for r in rows}) + [99_999]
     base = datetime(2025, 3, 1)
+    n_facts = rng.randint(500, 3000) if getattr(rng, "big", False) else rng.randint(2, 25)
     facts = [
         (
             fid,
             rng.choice(keys),
             base + timedelta(hours=rng.randint(-2, 52), seconds=rng.randint(0, 3599)),
         )
-        for fid in range(1, rng.randint(2, 25))
+        for fid in range(1, n_facts)
     ]
     fdf = spark.createDataFrame(facts, "fact_id bigint, key bigint, fts timestamp")
     got = [tuple(r) for r in B.point_in_time_join(fdf, hist, "key", "fts").collect()]
@@ -915,7 +931,8 @@ def _fam_scd2_pit(spark, rng):
 def _fam_validate(spark, rng):
     from lime_etl_spark.ops import quality as Q
 
-    n = rng.randint(0, 50)
+    big = getattr(rng, "big", False)
+    n = rng.randint(5000, 20_000) if big else rng.randint(0, 50)
     rows = []
     for i in range(n):
         rows.append(
@@ -995,8 +1012,10 @@ def _fam_drift(spark, rng):
             for _ in range(n)
         ]
 
-    ref_rows = draw(rng.randint(0, 60))
-    cur_rows = draw(rng.randint(0, 60))
+    big = getattr(rng, "big", False)
+    hi = 20_000 if big else 60
+    ref_rows = draw(rng.randint(0, hi))
+    cur_rows = draw(rng.randint(0, hi))
     if rng.random() < 0.1:  # degenerate: constant reference
         ref_rows = [(5.0,)] * rng.randint(1, 5)
     ref = spark.createDataFrame(ref_rows, "x double") if ref_rows else spark.createDataFrame([], "x double")
@@ -1036,7 +1055,10 @@ def _fam_drift(spark, rng):
 def _fam_pagerank(spark, rng):
     from lime_etl_spark.ops import graph as G
 
-    nodes = rng.sample(range(1, 1000), rng.randint(2, 40))
+    big = getattr(rng, "big", False)
+    nodes = rng.sample(
+        range(1, 10_000), rng.randint(300, 800) if big else rng.randint(2, 40)
+    )
     edges = set()
     for _ in range(rng.randint(1, 3 * len(nodes))):
         a, b = rng.sample(nodes, 2)
@@ -1097,8 +1119,9 @@ FAMILIES = [
 ]
 
 
-def check_seed(spark, seed: int) -> dict:
+def check_seed(spark, seed: int, big: bool = False) -> dict:
     rng = random.Random(seed)
+    rng.big = big  # generators read this to widen their draw ranges
     total = sum(w for _, w in FAMILIES)
     pick = rng.uniform(0, total)
     acc = 0.0
@@ -1122,13 +1145,13 @@ def check_seed(spark, seed: int) -> dict:
     return rec
 
 
-def run_sweep(spark, seeds, progress_every: int = 100) -> dict:
+def run_sweep(spark, seeds, progress_every: int = 100, big: bool = False) -> dict:
     t0 = time.time()
     results, failures = [], []
     op_hist: Counter = Counter()
     rows_total = 0
     for i, seed in enumerate(seeds):
-        rec = check_seed(spark, seed)
+        rec = check_seed(spark, seed, big=big)
         if "error" in rec or "mismatch" in rec:
             failures.append(rec)
         else:
@@ -1147,6 +1170,7 @@ def run_sweep(spark, seeds, progress_every: int = 100) -> dict:
             "opsgen (randomized corpora/event-logs/change-streams/rule-sets "
             "vs pure-Python oracles: text, sampling, behavior, quality, graph)"
         ),
+        "big_mode": big,
         "seeds_run": len(results),
         "seed_min": min(seeds) if len(seeds) else None,
         "seed_max": max(seeds) if len(seeds) else None,
@@ -1163,13 +1187,21 @@ def main() -> None:
     ap.add_argument("--seeds", type=int, default=2000)
     ap.add_argument("--start", type=int, default=0)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--big", action="store_true",
+        help="widen draw ranges (300-1,200-doc corpora, 2k-10k keyed rows, "
+        "100-400-user event logs, 300-800-node graphs) so multi-partition "
+        "shuffles and AQE engage; oracles stay exact",
+    )
     args = ap.parse_args()
 
     from lime_etl_spark.session import get_spark
 
-    spark = get_spark("opsgen", shuffle_partitions=4)
+    spark = get_spark("opsgen", shuffle_partitions=16 if args.big else 4)
     spark.sparkContext.setLogLevel("ERROR")
-    report = run_sweep(spark, range(args.start, args.start + args.seeds))
+    report = run_sweep(
+        spark, range(args.start, args.start + args.seeds), big=args.big
+    )
     print(json.dumps({k: v for k, v in report.items() if k != "failures"}))
     if report["failures"]:
         for f in report["failures"][:10]:
