@@ -340,6 +340,81 @@ def _check_scd2_seed(spark, rng: random.Random, rec: dict, work: str):
         rec["rows"] = len(got)
 
 
+def _check_funnel_seed(spark, rng: random.Random, rec: dict, work: str):
+    """Incremental funnel maintenance == the batch funnel, generatively:
+    the maintainer shares streaming/scd2.py's per-key monotone contract,
+    so the SCD2 event generator + time-ordered file cuts produce legal
+    feeds; steps and the conversion window are drawn per seed, drains
+    use random maxFilesPerTrigger, and a restart variant re-drains from
+    the same checkpoint after the remaining files appear."""
+    from lime_etl_spark.ops import behavior
+    from lime_etl_spark.streaming import events as sevents
+    from lime_etl_spark.streaming.funnel import (
+        QUARANTINE_SUBDIR,
+        funnel_report,
+        maintain_funnel,
+    )
+
+    rows = _gen_scd2_events(rng)
+    types_present = sorted({r[3] for r in rows})
+    k = rng.randint(2, min(4, max(2, len(types_present))))
+    steps = rng.sample(types_present, min(k, len(types_present)))
+    window_days = rng.choice([None, 1, 7])
+    events_dir = _stage_files_time_ordered(rng, rows, work)
+    mfpt = rng.choice([1, 2, 3, None])
+    restart = rng.random() < 0.3
+    rec["ops"] = [
+        f"funnel:k={len(steps)}:w={window_days}:mfpt={mfpt}"
+        f"{':restart' if restart else ''}"
+    ]
+    files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
+    state = os.path.join(work, "state")
+    ck = os.path.join(work, "ck")
+    if restart and len(files) > 1:
+        m = rng.randint(1, len(files) - 1)
+        hidden = os.path.join(work, "hidden")
+        os.makedirs(hidden)
+        stashed = []
+        for f in files[m:]:
+            st = os.stat(f)
+            dest = os.path.join(hidden, os.path.basename(f))
+            shutil.move(f, dest)
+            stashed.append((dest, f, st.st_mtime))
+        stages = 2
+    else:
+        stashed, stages = [], 1
+    for stage in range(1, stages + 1):
+        q = maintain_funnel(
+            sevents.read_events_stream(spark, events_dir, max_files_per_trigger=mfpt),
+            state,
+            ck,
+            steps,
+            window_days=window_days,
+        )
+        q.awaitTermination()
+        if stage == 1 and stashed:
+            for src, orig, mtime in stashed:
+                shutil.move(src, orig)
+                os.utime(orig, (mtime, mtime))
+    got = [tuple(r) for r in funnel_report(spark, state, steps).collect()]
+    batch = [
+        tuple(r)
+        for r in behavior.funnel(
+            _read_batch(spark, events_dir), steps, window_days=window_days
+        ).collect()
+    ]
+    errs = compare_sets(got, batch)
+    qdir = os.path.join(state, QUARANTINE_SUBDIR)
+    if glob.glob(os.path.join(qdir, "**", "*.parquet"), recursive=True):
+        nq = spark.read.parquet(qdir).count()
+        if nq:
+            errs.append(f"quarantined {nq} rows on legal monotone input")
+    if errs:
+        rec["mismatch"] = errs
+    else:
+        rec["rows"] = len(got)
+
+
 def check_seed(spark, seed: int, workroot: str) -> dict:
     from lime_etl_spark.streaming import events as sevents
 
@@ -348,8 +423,12 @@ def check_seed(spark, seed: int, workroot: str) -> dict:
     work = os.path.join(workroot, f"s{seed}_{uuid.uuid4().hex[:8]}")
     os.makedirs(work)
     try:
-        if rng.random() < 0.2:
+        pick = rng.random()
+        if pick < 0.2:
             _check_scd2_seed(spark, rng, rec, work)
+            return rec
+        if pick < 0.38:
+            _check_funnel_seed(spark, rng, rec, work)
             return rec
         rows, span_min = gen_events(rng)
         events_dir = stage_files(spark, rng, rows, work)
