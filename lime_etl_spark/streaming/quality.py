@@ -53,6 +53,7 @@ _REPORT_SCHEMA = (
 
 
 def _check_rules(rules: Sequence[quality.Rule]) -> None:
+    seen: set[tuple[str, str]] = set()
     for r in rules:
         if r.kind == "unique":
             raise ValueError(
@@ -61,6 +62,22 @@ def _check_rules(rules: Sequence[quality.Rule]) -> None:
                 "use streaming/dedup.py's keyed ingest state for cross-batch "
                 "key dedup, or run the batch validate() over the corpus"
             )
+        # the report state keys rows by (rule kind, column): two rules of
+        # the same kind on the same column (e.g. two in_range bounds)
+        # would SILENTLY merge into one summed row in report() while the
+        # batch validate keeps them as two (already-ambiguous) rows —
+        # found by the generative streaming harness (round 8). Refuse
+        # loudly; distinct bounds belong in one in_range(lo=, hi=) rule
+        # or in separate monitors.
+        key = (r.kind, r.column)
+        if key in seen:
+            raise ValueError(
+                f"duplicate rule {r.kind}({r.column}): the cumulative "
+                "report keys violations by (rule, column), so same-kind "
+                "rules on one column are indistinguishable; combine the "
+                "bounds into one rule or monitor them separately"
+            )
+        seen.add(key)
 
 
 def process_batch(

@@ -415,6 +415,87 @@ def _check_funnel_seed(spark, rng: random.Random, rec: dict, work: str):
         rec["rows"] = len(got)
 
 
+def _check_quality_seed(spark, rng: random.Random, rec: dict, work: str):
+    """Incremental quality monitoring == batch validate, generatively:
+    random rule sets over the event columns (row-level rules, a
+    foreign-key rule against a static dim; ``unique`` is contractually
+    rejected at attach) and ARBITRARY random splits/orders — the
+    monitor's whole point is sum-decomposability, so unlike scd2/funnel
+    no ordering contract constrains the generator. The cumulative
+    report must equal one batch validate over all files; a restart
+    variant re-drains from the same checkpoint."""
+    from lime_etl_spark.ops import quality
+    from lime_etl_spark.streaming import events as sevents
+    from lime_etl_spark.streaming.quality import monitor_quality, report
+
+    rows, _span = gen_events(rng)
+    events_dir = stage_files(spark, rng, rows, work)
+    dim = spark.createDataFrame(
+        [(i,) for i in range(1, rng.randint(2, 9))], "uid bigint"
+    )
+    # one rule per (kind, column): the monitor REJECTS duplicates (its
+    # report keys by that pair — the silent-merge this harness caught)
+    pool = [
+        quality.not_null("event_type"),
+        quality.not_null("value"),
+        quality.accepted_values("event_type", rng.sample(_TYPES, rng.randint(1, 4))),
+        (
+            quality.in_range("value", lo=rng.uniform(0, 40))
+            if rng.random() < 0.5
+            else quality.in_range("value", lo=0.0, hi=rng.uniform(40, 100))
+        ),
+        quality.foreign_key("user_id", dim, "uid", broadcast_dim=rng.random() < 0.5),
+    ]
+    rules = rng.sample(pool, rng.randint(1, len(pool)))
+    with_rc = rng.random() < 0.7
+    mfpt = rng.choice([1, 2, 3, None])
+    restart = rng.random() < 0.3
+    rec["ops"] = [
+        f"quality:rules={len(rules)}:mfpt={mfpt}{':restart' if restart else ''}"
+    ]
+    files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
+    state = os.path.join(work, "state")
+    ck = os.path.join(work, "ck")
+    if restart and len(files) > 1:
+        m = rng.randint(1, len(files) - 1)
+        hidden = os.path.join(work, "hidden")
+        os.makedirs(hidden)
+        stashed = []
+        for f in files[m:]:
+            st = os.stat(f)
+            dest = os.path.join(hidden, os.path.basename(f))
+            shutil.move(f, dest)
+            stashed.append((dest, f, st.st_mtime))
+        stages = 2
+    else:
+        stashed, stages = [], 1
+    for stage in range(1, stages + 1):
+        q = monitor_quality(
+            sevents.read_events_stream(spark, events_dir, max_files_per_trigger=mfpt),
+            state,
+            ck,
+            rules,
+            with_row_count=with_rc,
+        )
+        q.awaitTermination()
+        if stage == 1 and stashed:
+            for src, orig, mtime in stashed:
+                shutil.move(src, orig)
+                os.utime(orig, (mtime, mtime))
+    got = [tuple(r) for r in report(spark, state).collect()]
+    batch = [
+        tuple(r)
+        for r in quality.validate(
+            _read_batch(spark, events_dir), rules, with_row_count=with_rc
+        ).collect()
+    ]
+    errs = compare_sets(got, batch)
+    if errs:
+        rec["mismatch"] = errs
+    else:
+        rec["rows"] = len(got)
+
+
 def check_seed(spark, seed: int, workroot: str) -> dict:
     from lime_etl_spark.streaming import events as sevents
 
@@ -429,6 +510,9 @@ def check_seed(spark, seed: int, workroot: str) -> dict:
             return rec
         if pick < 0.38:
             _check_funnel_seed(spark, rng, rec, work)
+            return rec
+        if pick < 0.5:
+            _check_quality_seed(spark, rng, rec, work)
             return rec
         rows, span_min = gen_events(rng)
         events_dir = stage_files(spark, rng, rows, work)

@@ -113,6 +113,20 @@ def test_unique_rule_rejected_with_pointer(spark, tmp_path):
         )
 
 
+def test_duplicate_kind_column_rules_rejected(spark, tmp_path):
+    """Two rules of the same kind on one column would silently MERGE in
+    report() (its state keys rows by (rule, column)) while the batch
+    validate keeps two ambiguous rows — found by the generative
+    streaming harness (round 8); the monitor must refuse at attach."""
+    with pytest.raises(ValueError, match="duplicate rule in_range"):
+        sq.process_batch(
+            _events(spark, [(1, "a", _ts(1), 1.0)]),
+            0,
+            str(tmp_path / "state"),
+            (Q.in_range("value", lo=0.0), Q.in_range("value", hi=10.0)),
+        )
+
+
 def test_streamed_fixture_equals_batch_validate(spark, sf_dir):
     from lime_etl_spark.io.sources import read_table
     from lime_etl_spark.streaming.quality import _FIXTURE_RULES
