@@ -183,6 +183,14 @@ def idempotent_reload(
         .partitionBy(partition_column)
         .parquet(path)
     )
+    # drop any cached listing/plan state for the path: the streaming
+    # maintainers READ their state dirs again in the same and subsequent
+    # micro-batches (prior-decision guards, survivor joins), and a stale
+    # session-shared file-status entry from before this overwrite serves
+    # part-file names the commit just replaced — FAILED_READ_FILE /
+    # partition-schema assertion, surfaced by the round-8 prior-ids
+    # guard in streaming/dedup.py
+    df.sparkSession.catalog.refreshByPath(path)
 
 
 def _partition_dir_columns(hfs, path: str) -> "list[str]":

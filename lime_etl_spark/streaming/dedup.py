@@ -108,7 +108,34 @@ def process_batch(
                 "text"
             )
         )
-        .cache()
+    )
+    # one decision per doc_id EVER: a doc_id re-delivered in a LATER
+    # batch (cross-batch at-least-once delivery) must not get a second
+    # decision row — and, worse, a re-delivered SURVIVOR would re-verify
+    # against nothing (its own state twin is excluded below), be
+    # re-accepted, and land in the bands/docs state TWICE, poisoning
+    # every future batch's Jaccard denominators via duplicated index
+    # rows. Same guard streaming/semantic.py gained from the round-7
+    # review; found here by the round-8 generative dedup_ingest family.
+    # The current batch's own partition is excluded, so a REPLAYED batch
+    # re-decides identically (partition overwrite converges).
+    prior_ids = (
+        _read_or_empty(
+            spark, os.path.join(state_dir, DECISIONS_SUBDIR), _DECISIONS_SCHEMA
+        )
+        .filter(F.col("ingest_batch") != batch_id)
+        .select("doc_id")
+    )
+    # eager localCheckpoint, NOT cache(): this frame embeds a scan of
+    # the decisions dir that this very batch then OVERWRITES — a cached
+    # plan stays registered with the CacheManager, and the write's
+    # recacheByPath re-executes it concurrently with the commit's file
+    # moves (FAILED_READ_FILE / partition-schema assertion on the part
+    # files being swapped; found by the empty-batch test the moment the
+    # prior-ids guard landed). The checkpoint snapshots the batch-sized
+    # rows once, severing the decisions scan from every later plan.
+    new_docs = new_docs.join(prior_ids, "doc_id", "left_anti").localCheckpoint(
+        eager=True
     )
     new_bands = dedup.minhash_bands(new_docs).cache()
 
@@ -178,6 +205,14 @@ def _process_batch_inner(
             "best_jaccard",
         )
         .withColumn("ingest_batch", F.lit(batch_id))
+        # eager localCheckpoint BEFORE the write: the plan reads the
+        # decisions dir (the prior-decision anti-join) and the write
+        # REPLACES partitions of that same dir — a lazy plan lists/reads
+        # the dir DURING the overwrite commit and dies FAILED_READ_FILE
+        # on a part file the commit just swapped (hit by the empty-batch
+        # test the moment the prior-ids guard landed). The frame is
+        # batch-sized, so pinning it is one tiny job per micro-batch.
+        .localCheckpoint(eager=True)
     )
     sinks.idempotent_reload(
         decisions, os.path.join(state_dir, DECISIONS_SUBDIR), "ingest_batch"
@@ -195,19 +230,32 @@ def _process_batch_inner(
         .filter((F.col("ingest_batch") == batch_id) & ~F.col("is_dup"))
         .select("doc_id")
     )
-    sinks.idempotent_reload(
+    # left_anti vs the existing state: on a batch REPLAY the survivors
+    # are already stored under this batch's partitions — the anti-join
+    # empties the append and the dynamic partition overwrite then
+    # touches NO partitions, so the first attempt's state stands
+    # (same mechanism as streaming/semantic.py's member append)
+    # both appends read their own target dir (the replay anti-join) —
+    # same read-under-overwrite hazard as decisions: pin eagerly first
+    bands_append = (
         new_bands.join(
             survivor_ids.withColumnRenamed("doc_id", "id"), "id", "left_semi"
-        ).withColumn("ingest_batch", F.lit(batch_id)),
-        os.path.join(state_dir, BANDS_SUBDIR),
-        "ingest_batch",
+        )
+        .join(state_bands.select("id").distinct(), "id", "left_anti")
+        .withColumn("ingest_batch", F.lit(batch_id))
+        .localCheckpoint(eager=True)
     )
     sinks.idempotent_reload(
-        new_docs.join(survivor_ids, "doc_id", "left_semi").withColumn(
-            "ingest_batch", F.lit(batch_id)
-        ),
-        os.path.join(state_dir, DOCS_SUBDIR),
-        "ingest_batch",
+        bands_append, os.path.join(state_dir, BANDS_SUBDIR), "ingest_batch"
+    )
+    docs_append = (
+        new_docs.join(survivor_ids, "doc_id", "left_semi")
+        .join(state_docs.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("ingest_batch", F.lit(batch_id))
+        .localCheckpoint(eager=True)
+    )
+    sinks.idempotent_reload(
+        docs_append, os.path.join(state_dir, DOCS_SUBDIR), "ingest_batch"
     )
 
 

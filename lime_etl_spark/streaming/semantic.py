@@ -245,6 +245,14 @@ def _process_batch_inner(spark, ranked, batch_id, state_dir, threshold) -> None:
             "cluster",
         )
         .withColumn("ingest_batch", F.lit(batch_id))
+        # eager localCheckpoint BEFORE the write: the plan reads the
+        # decisions dir (prior_ids anti-join) while the write replaces
+        # partitions of that same dir — a lazy plan can list/read part
+        # files mid-overwrite and die FAILED_READ_FILE (race surfaced by
+        # the round-8 generative dedup_ingest family in the LSH twin of
+        # this module; latent here since the round-7 prior-ids guard).
+        # Batch-sized frame: one tiny extra job per micro-batch.
+        .localCheckpoint(eager=True)
     )
     sinks.idempotent_reload(
         decisions, os.path.join(state_dir, DECISIONS_SUBDIR), "ingest_batch"
@@ -271,6 +279,10 @@ def _process_batch_inner(spark, ranked, batch_id, state_dir, threshold) -> None:
         .join(survivor_ids, "vec_id", "left_semi")
         .join(members.select("vec_id"), "vec_id", "left_anti")
         .withColumn("ingest_batch", F.lit(batch_id))
+        # same read-under-overwrite pin as decisions: this plan reads
+        # the members dir (the re-delivery anti-join) while replacing
+        # partitions of the members dir
+        .localCheckpoint(eager=True)
     )
     sinks.idempotent_reload(
         new_members, os.path.join(state_dir, MEMBERS_SUBDIR), "ingest_batch"

@@ -909,6 +909,139 @@ def _fam_semantic_ingest(spark, rng):
     )
 
 
+def _incremental_dedup_oracle(batches, threshold, n=3):
+    """Pure-Python replication of streaming/dedup.process_batch over an
+    ORDERED batch sequence: per batch, intra-batch id collapse by
+    min-md5(text), MinHash banding, candidates = (state×new sharing a
+    band, id_a≠id_b) ∪ (new×new sharing a band, id_a<id_b), exact
+    Jaccard on TRUE shingle sets (batch text wins on id), dup_of = MIN
+    matched id, best = max jaccard; ONE decision per doc_id ever
+    (cross-batch re-deliveries of decided ids are ignored), survivors
+    extend the state. Returns (decision rows, accepted (id, text))."""
+    state: dict[int, tuple[set, set]] = {}  # id -> (band keys, shingles)
+    state_text: dict[int, str] = {}
+    decided: set[int] = set()
+    decisions = []
+    for bid, rows in enumerate(batches):
+        by_id: dict[int, str] = {}
+        for i, t in rows:
+            if i not in by_id or _md5hex(t or "") < _md5hex(by_id[i] or ""):
+                by_id[i] = t
+        new = {i: t for i, t in by_id.items() if i not in decided}
+        bands: dict[int, set] = {}
+        sets_: dict[int, set] = {}
+        for i, t in new.items():
+            toks = py_tokens(t)
+            sh = set(py_shingles(toks, n))
+            sets_[i] = sh
+            sig = py_minhash_sig(sh)
+            bands[i] = set(py_band_keys(sig)) if sig else set()
+        cands = set()
+        for i in new:
+            for aid, (abands, _aset) in state.items():
+                if aid != i and bands[i] & abands:
+                    cands.add((aid, i))
+        ordered = sorted(new)
+        for ai in range(len(ordered)):
+            for bi in range(ai + 1, len(ordered)):
+                a, b = ordered[ai], ordered[bi]
+                if bands[a] & bands[b]:
+                    cands.add((a, b))
+        matches: dict[int, list[tuple[int, float]]] = {}
+        for a, b in cands:
+            sa = sets_[a] if a in new else state[a][1]
+            sb = sets_[b]
+            common = len(sa & sb)
+            if common == 0:
+                continue
+            j = round_half_up(common / float(len(sa) + len(sb) - common), 6)
+            if j >= threshold:
+                matches.setdefault(b, []).append((a, j))
+        for i in sorted(new):
+            hit = matches.get(i)
+            if hit:
+                decisions.append(
+                    (i, True, min(a for a, _ in hit), max(j for _, j in hit), bid)
+                )
+            else:
+                decisions.append((i, False, None, None, bid))
+                state[i] = (bands[i], sets_[i])
+                state_text[i] = new[i]
+        decided.update(new)
+    return decisions, sorted(state_text.items())
+
+
+def _fam_dedup_ingest(spark, rng):
+    """Incremental (at-ingest) LSH dedup vs the ordered-batch oracle:
+    random corpora split into ordered micro-batches, with intra-batch
+    duplicate ids (different renderings — the min-md5 collapse),
+    cross-batch re-deliveries of already-decided ids, and optional
+    full-batch replays. Decisions and the accepted doc store must match
+    the oracle run WITHOUT the replay/re-delivery noise."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.streaming import dedup as SD
+
+    rows = gen_corpus(rng)
+    threshold = round(rng.uniform(0.05, 0.9), 2)
+    n_batches = rng.randint(1, 5)
+    batches: list[list] = [[] for _ in range(n_batches)]
+    for doc_id, text, _toks in rows:
+        batches[rng.randrange(n_batches)].append((doc_id, text))
+    # intra-batch duplicate id, different rendering (same engine winner
+    # as the oracle's min-md5 rule)
+    for b in range(n_batches):
+        if batches[b] and rng.random() < 0.3:
+            i, t = rng.choice(batches[b])
+            batches[b].append((i, (t or "") + " xq"))
+    # cross-batch re-delivery of an already-decided id
+    for b in range(1, n_batches):
+        if rng.random() < 0.4:
+            earlier = [r for bb in batches[:b] for r in bb]
+            if earlier:
+                redelivered = rng.choice(earlier)
+                if redelivered[0] not in {i for i, _ in batches[b]}:
+                    batches[b].append(redelivered)
+    replay_at = rng.randrange(n_batches) if rng.random() < 0.4 else None
+    schema = "doc_id bigint, text string"
+    state = tempfile.mkdtemp(prefix="llmgen_dedup_ingest_")
+    try:
+        for bid, brows in enumerate(batches):
+            df = spark.createDataFrame(brows, schema)
+            SD.process_batch(df, bid, state, threshold=threshold)
+            if replay_at == bid:
+                SD.process_batch(df, bid, state, threshold=threshold)
+        got_dec = [
+            tuple(r)
+            for r in spark.read.parquet(_os.path.join(state, SD.DECISIONS_SUBDIR))
+            .select(
+                "doc_id", "is_dup", "dup_of", "best_jaccard",
+                F.col("ingest_batch").cast("bigint").alias("ingest_batch"),
+            )
+            .collect()
+        ]
+        got_docs = [
+            (r.doc_id, r.text)
+            for r in spark.read.parquet(_os.path.join(state, SD.DOCS_SUBDIR))
+            .select("doc_id", "text")
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    want_dec, want_docs = _incremental_dedup_oracle(batches, threshold)
+    errs = ["decisions: " + e for e in compare_sets(got_dec, want_dec)]
+    errs += ["docs: " + e for e in compare_sets(got_docs, want_docs)]
+    return (
+        [f"dedup_ingest:b={n_batches}:replay={replay_at is not None}"],
+        errs,
+        len(got_dec) + len(got_docs),
+    )
+
+
 # NOTE (same precedent as tools/qgen.py): adding a family changes the
 # seed -> family mapping, so a pinned regression seed no longer
 # reproduces its original case byte-for-byte; the fixes those seeds
@@ -927,6 +1060,7 @@ FAMILIES = [
     (_fam_connected_components, 0.8),
     (_fam_near_dup_groups, 0.8),
     (_fam_semantic_ingest, 1.0),
+    (_fam_dedup_ingest, 1.0),
 ]
 
 
