@@ -742,6 +742,46 @@ def test_incremental_dedup_batch_replay_idempotent(spark, tmp_path):
     assert spark.read.parquet(f"{state}/docs").count() == 1
 
 
+def test_incremental_dedup_cross_batch_redelivery_is_ignored(spark, tmp_path):
+    """Structural pin of the round-8 generative dedup_ingest find: a
+    doc_id re-delivered in a LATER batch (cross-batch at-least-once
+    delivery) must get NO second decision row and must NOT be
+    re-appended to the bands/docs state — pre-fix the duplicated index
+    rows doubled shingle counts, so a later exact duplicate of the doc
+    scored Jaccard != 1 against the poisoned denominators."""
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.streaming import dedup as sdedup
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    doc = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    state = str(tmp_path / "state")
+    sdedup.process_batch(doc, 0, state)
+    sdedup.process_batch(doc, 1, state)  # re-delivery, NOT a replay
+    dec = spark.read.parquet(f"{state}/decisions")
+    assert dec.count() == 1  # one decision EVER per doc_id
+    assert dec.filter("ingest_batch = 0").count() == 1
+    # state holds the doc once — bands exactly 4 rows (one per band)
+    assert spark.read.parquet(f"{state}/docs").count() == 1
+    assert spark.read.parquet(f"{state}/bands").count() == 4
+    # and a true duplicate arriving later still verifies at jaccard 1.0
+    dup = spark.createDataFrame([(2, text)], "doc_id bigint, text string")
+    sdedup.process_batch(dup, 2, state)
+    row = (
+        spark.read.parquet(f"{state}/decisions")
+        .filter("doc_id = 2")
+        .collect()[0]
+    )
+    assert row.is_dup and row.dup_of == 1 and row.best_jaccard == 1.0
+    # the re-delivered survivor keeps vetoing: state unchanged afterwards
+    assert (
+        spark.read.parquet(f"{state}/docs")
+        .filter(F.col("doc_id") == 1)
+        .count()
+        == 1
+    )
+
+
 def test_incremental_dedup_survives_empty_batch(spark, tmp_path):
     """Round-4 soak finding: a continuous rate/file source can trigger
     a ZERO-row micro-batch; its decisions partition then holds only
