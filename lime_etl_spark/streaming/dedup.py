@@ -241,7 +241,10 @@ def _process_batch_inner(
         new_bands.join(
             survivor_ids.withColumnRenamed("doc_id", "id"), "id", "left_semi"
         )
-        .join(state_bands.select("id").distinct(), "id", "left_anti")
+        # no distinct() on the anti-join's right side: existence checks
+        # tolerate duplicates, and a distinct over the corpus-scale band
+        # index would add a full shuffle per micro-batch
+        .join(state_bands.select("id"), "id", "left_anti")
         .withColumn("ingest_batch", F.lit(batch_id))
         .localCheckpoint(eager=True)
     )
