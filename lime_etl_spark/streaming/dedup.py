@@ -34,7 +34,22 @@ Scale posture: all joins are keyed ((band, bkey), ids) — no cartesian
 anywhere; the state index join shuffles the BATCH (small) against the
 index (pre-partitionable by bkey on a real deployment); verification
 touches only candidate docs. State growth is linear in accepted docs
-and independent of duplicate volume.
+and independent of duplicate volume. The cross-batch re-delivery guard
+is amortized (streaming/state.DecisionIdGuard): the decided-id set is
+read from disk once per process/session and extended in memory, so the
+recurring per-batch disk cost is one partition listing, not an
+O(state) scan (LIME_REDELIVERY_GUARD=disk restores the per-batch read
+for differential testing).
+
+Executor-loss caveat: the per-batch pins and the guard use
+localCheckpoint, whose blocks are NOT recomputable after executor loss
+— on a cluster with preemption/dynamic allocation a mid-batch executor
+death fails the micro-batch instead of recomputing, and recovery is
+the foreachBatch REPLAY (partition overwrites converge; the guard
+rebuilds itself from disk). That trade is deliberate: a recomputable
+cache() plan stays registered with the CacheManager and re-executes
+its state-dir scan concurrently with this batch's own overwrite commit
+(the round-8 FAILED_READ_FILE race).
 """
 
 from __future__ import annotations
@@ -46,6 +61,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from lime_etl_spark.io import sinks
+from lime_etl_spark.streaming.state import _Pin, decision_guard, guard_mode
 from lime_etl_spark.streaming.state import read_state_or_empty as _read_or_empty
 from lime_etl_spark.ops import dedup
 
@@ -85,11 +101,13 @@ def process_batch(
     spark = batch.sparkSession
     if prefilter is not None:
         batch = prefilter(batch)
-    # cached for the duration of the batch: the three write actions
-    # below (decisions, bands, docs) would otherwise each re-run the
-    # prefilter and the MinHash banding (tokenize + shingle + 16
-    # permutations, the ~ms/row dominant stage) — ~3 full recomputes
-    # per micro-batch; unpersisted in the finally
+    # pinned (eager localCheckpoint) for the duration of the batch: the
+    # three write actions below (decisions, bands, docs) would otherwise
+    # each re-run the prefilter and the MinHash banding (tokenize +
+    # shingle + 16 permutations, the ~ms/row dominant stage) — ~3 full
+    # recomputes per micro-batch; blocks are released DETERMINISTICALLY
+    # in the finally via the pin handle (DataFrame.unpersist is a no-op
+    # on checkpointed frames — round-8 advisor finding)
     #
     # INTRA-batch duplicate ids are collapsed first (deterministic
     # winner: lexicographically smallest md5 of the text, so replays
@@ -119,37 +137,44 @@ def process_batch(
     # review; found here by the round-8 generative dedup_ingest family.
     # The current batch's own partition is excluded, so a REPLAYED batch
     # re-decides identically (partition overwrite converges).
-    prior_ids = (
-        _read_or_empty(
-            spark, os.path.join(state_dir, DECISIONS_SUBDIR), _DECISIONS_SCHEMA
+    decisions_path = os.path.join(state_dir, DECISIONS_SUBDIR)
+    if guard_mode() == "disk":
+        # round-8 behavior: full decisions read per batch (differential
+        # twin for the amortized guard; see state.guard_mode)
+        guard = None
+        prior_ids = (
+            _read_or_empty(spark, decisions_path, _DECISIONS_SCHEMA)
+            .filter(F.col("ingest_batch") != batch_id)
+            .select("doc_id")
         )
-        .filter(F.col("ingest_batch") != batch_id)
-        .select("doc_id")
-    )
-    # eager localCheckpoint, NOT cache(): this frame embeds a scan of
-    # the decisions dir that this very batch then OVERWRITES — a cached
-    # plan stays registered with the CacheManager, and the write's
-    # recacheByPath re-executes it concurrently with the commit's file
-    # moves (FAILED_READ_FILE / partition-schema assertion on the part
-    # files being swapped; found by the empty-batch test the moment the
-    # prior-ids guard landed). The checkpoint snapshots the batch-sized
-    # rows once, severing the decisions scan from every later plan.
-    new_docs = new_docs.join(prior_ids, "doc_id", "left_anti").localCheckpoint(
-        eager=True
-    )
+    else:
+        guard = decision_guard(decisions_path, "doc_id")
+        prior_ids = guard.prior_ids(spark, batch_id)
+    # eager localCheckpoint, NOT cache(): in disk mode this frame embeds
+    # a scan of the decisions dir that this very batch then OVERWRITES —
+    # a cached plan stays registered with the CacheManager, and the
+    # write's recacheByPath re-executes it concurrently with the
+    # commit's file moves (FAILED_READ_FILE / partition-schema assertion
+    # on the part files being swapped; found by the empty-batch test the
+    # moment the prior-ids guard landed). The checkpoint snapshots the
+    # batch-sized rows once, severing the decisions scan from every
+    # later plan. (In cached-guard mode the scan is already severed —
+    # the pin still buys the one-materialization-for-three-writes.)
+    new_docs_pin = _Pin(new_docs.join(prior_ids, "doc_id", "left_anti"))
+    new_docs = new_docs_pin.df
     new_bands = dedup.minhash_bands(new_docs).cache()
 
     try:
         _process_batch_inner(
-            spark, new_docs, new_bands, batch_id, state_dir, threshold
+            spark, new_docs, new_bands, batch_id, state_dir, threshold, guard
         )
     finally:
         new_bands.unpersist()
-        new_docs.unpersist()
+        new_docs_pin.release()
 
 
 def _process_batch_inner(
-    spark, new_docs, new_bands, batch_id, state_dir, threshold
+    spark, new_docs, new_bands, batch_id, state_dir, threshold, guard=None
 ) -> None:
     state_bands = _read_or_empty(
         spark, os.path.join(state_dir, BANDS_SUBDIR), _BANDS_SCHEMA
@@ -195,7 +220,15 @@ def _process_batch_inner(
         F.min("id_a").alias("dup_of"),
         F.max("jaccard").alias("best_jaccard"),
     )
-    decisions = (
+    # eager pin BEFORE the write: the plan may read the decisions dir
+    # (the prior-decision anti-join, in disk-guard mode) and the write
+    # REPLACES partitions of that same dir — a lazy plan lists/reads
+    # the dir DURING the overwrite commit and dies FAILED_READ_FILE
+    # on a part file the commit just swapped (hit by the empty-batch
+    # test the moment the prior-ids guard landed). The frame is
+    # batch-sized, so pinning it is one tiny job per micro-batch;
+    # blocks are released deterministically at the end of the batch.
+    decisions_pin = _Pin(
         new_docs.select("doc_id")
         .join(matches, "doc_id", "left")
         .select(
@@ -205,17 +238,29 @@ def _process_batch_inner(
             "best_jaccard",
         )
         .withColumn("ingest_batch", F.lit(batch_id))
-        # eager localCheckpoint BEFORE the write: the plan reads the
-        # decisions dir (the prior-decision anti-join) and the write
-        # REPLACES partitions of that same dir — a lazy plan lists/reads
-        # the dir DURING the overwrite commit and dies FAILED_READ_FILE
-        # on a part file the commit just swapped (hit by the empty-batch
-        # test the moment the prior-ids guard landed). The frame is
-        # batch-sized, so pinning it is one tiny job per micro-batch.
-        .localCheckpoint(eager=True)
     )
+    pins = [decisions_pin]
+    try:
+        _write_state(
+            spark, decisions_pin, new_docs, new_bands, batch_id, state_dir,
+            guard, pins,
+        )
+    finally:
+        for p in pins:
+            p.release()
+
+
+def _write_state(
+    spark, decisions_pin, new_docs, new_bands, batch_id, state_dir, guard, pins
+) -> None:
+    state_bands = _read_or_empty(
+        spark, os.path.join(state_dir, BANDS_SUBDIR), _BANDS_SCHEMA
+    ).drop("ingest_batch")
+    state_docs = _read_or_empty(
+        spark, os.path.join(state_dir, DOCS_SUBDIR), _DOCS_SCHEMA
+    ).drop("ingest_batch")
     sinks.idempotent_reload(
-        decisions, os.path.join(state_dir, DECISIONS_SUBDIR), "ingest_batch"
+        decisions_pin.df, os.path.join(state_dir, DECISIONS_SUBDIR), "ingest_batch"
     )
 
     # survivors extend the state; duplicates are dropped at the door.
@@ -237,7 +282,7 @@ def _process_batch_inner(
     # (same mechanism as streaming/semantic.py's member append)
     # both appends read their own target dir (the replay anti-join) —
     # same read-under-overwrite hazard as decisions: pin eagerly first
-    bands_append = (
+    bands_pin = _Pin(
         new_bands.join(
             survivor_ids.withColumnRenamed("doc_id", "id"), "id", "left_semi"
         )
@@ -246,20 +291,27 @@ def _process_batch_inner(
         # index would add a full shuffle per micro-batch
         .join(state_bands.select("id"), "id", "left_anti")
         .withColumn("ingest_batch", F.lit(batch_id))
-        .localCheckpoint(eager=True)
     )
+    pins.append(bands_pin)
     sinks.idempotent_reload(
-        bands_append, os.path.join(state_dir, BANDS_SUBDIR), "ingest_batch"
+        bands_pin.df, os.path.join(state_dir, BANDS_SUBDIR), "ingest_batch"
     )
-    docs_append = (
+    docs_pin = _Pin(
         new_docs.join(survivor_ids, "doc_id", "left_semi")
         .join(state_docs.select("doc_id"), "doc_id", "left_anti")
         .withColumn("ingest_batch", F.lit(batch_id))
-        .localCheckpoint(eager=True)
     )
+    pins.append(docs_pin)
     sinks.idempotent_reload(
-        docs_append, os.path.join(state_dir, DOCS_SUBDIR), "ingest_batch"
+        docs_pin.df, os.path.join(state_dir, DOCS_SUBDIR), "ingest_batch"
     )
+    if guard is not None:
+        # ONLY after every write above succeeded: a crash between the
+        # decisions write and here leaves the increment unrecorded, so
+        # the replay re-decides the batch (instead of the guard hiding
+        # the ids and the replay skipping the bands/docs writes that
+        # never happened — the crash-convergence contract)
+        guard.record(spark, batch_id, decisions_pin.df.select("doc_id"))
 
 
 def dedup_on_ingest(

@@ -91,6 +91,13 @@ def process_batch(
 
     Pure function of (batch, rules); the write is a partition overwrite
     keyed on ``batch_id``, so replays converge.
+
+    Stricter than batch ``validate``: two same-kind rules on one column
+    (e.g. two ``in_range`` bounds) are REFUSED with ValueError — the
+    cumulative report keys violations by (rule, column), so such rules
+    would silently merge into one summed row (round-8 generative find).
+    Batch ``validate`` still accepts them; combine the bounds into one
+    rule or monitor them separately.
     """
     _check_rules(rules)
     rep = quality.validate(batch, rules, with_row_count=with_row_count)
@@ -128,7 +135,17 @@ def monitor_quality(
     with_row_count: bool = True,
     available_now: bool = True,
 ) -> StreamingQuery:
-    """Attach incremental quality monitoring to a stream."""
+    """Attach incremental quality monitoring to a stream.
+
+    Rule restriction (a deliberate divergence from batch ``validate``):
+    duplicate (kind, column) rules raise ValueError AT ATTACH — the
+    cumulative report keys violations by (rule, column) and same-kind
+    rules on one column would silently merge into one summed row
+    (round-8 generative find). A monitor configured with e.g. two
+    ``in_range`` bounds on a column must combine them into one
+    ``in_range(lo=, hi=)`` rule or run two monitors; ``unique`` rules
+    are refused outright (not sum-decomposable across micro-batches).
+    """
     _check_rules(rules)
     writer = stream.writeStream.foreachBatch(
         lambda df, bid: process_batch(df, bid, state_dir, rules, with_row_count)

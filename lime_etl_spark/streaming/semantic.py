@@ -47,6 +47,15 @@ Scale posture: everything is keyed on cluster — the new batch (small)
 joins members (large but partitionable by cluster); in-cell cost is
 |batch_cell| x |member_cell|, the IVF search regime; grow n_clusters
 with the corpus. No driver state beyond the k*dim centroid matrix.
+The cross-batch re-delivery guard is amortized
+(streaming/state.DecisionIdGuard): decided ids are read from disk once
+per process/session and extended in memory — per-batch disk cost is
+one partition listing, not an O(state) scan
+(LIME_REDELIVERY_GUARD=disk restores the per-batch read for
+differential testing). Executor-loss caveat: the pins and the guard
+use localCheckpoint, which is not recomputable after executor loss —
+a dead executor fails the micro-batch and recovery is the foreachBatch
+replay (see streaming/dedup.py's module notes; same trade).
 """
 
 from __future__ import annotations
@@ -66,6 +75,7 @@ from lime_etl_spark.ops.similarity import (
     _gnorm,
     _to_double,
 )
+from lime_etl_spark.streaming.state import _Pin, decision_guard, guard_mode
 from lime_etl_spark.streaming.state import read_state_or_empty as _read_or_empty
 
 MEMBERS_SUBDIR = "members"
@@ -181,13 +191,20 @@ def _process_batch_inner(spark, ranked, batch_id, state_dir, threshold) -> None:
     # two ingest_batch partitions (round-7 review finding). Prior
     # decisions from OTHER batches exclude the re-delivery; the current
     # batch's own partition is about to be overwritten (replay-safe).
-    prior_ids = (
-        _read_or_empty(
-            spark, os.path.join(state_dir, DECISIONS_SUBDIR), _DECISIONS_SCHEMA
+    # Round 9: the read is amortized through the decided-id guard
+    # (module docstring); LIME_REDELIVERY_GUARD=disk keeps the round-8
+    # per-batch read as the differential twin.
+    decisions_path = os.path.join(state_dir, DECISIONS_SUBDIR)
+    if guard_mode() == "disk":
+        guard = None
+        prior_ids = (
+            _read_or_empty(spark, decisions_path, _DECISIONS_SCHEMA)
+            .filter(F.col("ingest_batch") != batch_id)
+            .select("vec_id")
         )
-        .filter(F.col("ingest_batch") != batch_id)
-        .select("vec_id")
-    )
+    else:
+        guard = decision_guard(decisions_path, "vec_id")
+        prior_ids = guard.prior_ids(spark, batch_id)
     ranked = ranked.join(prior_ids, "vec_id", "left_anti")
 
     pair_cos = F.round(
@@ -234,7 +251,15 @@ def _process_batch_inner(spark, ranked, batch_id, state_dir, threshold) -> None:
             F.expr("max_by(id_a, struct(cos, -id_a))").alias("dup_of"),
         )
     )
-    decisions = (
+    # eager pin BEFORE the write: the plan may read the decisions dir
+    # (prior_ids anti-join, disk-guard mode) while the write replaces
+    # partitions of that same dir — a lazy plan can list/read part
+    # files mid-overwrite and die FAILED_READ_FILE (race surfaced by
+    # the round-8 generative dedup_ingest family in the LSH twin of
+    # this module; latent here since the round-7 prior-ids guard).
+    # Batch-sized frame: one tiny extra job per micro-batch; blocks
+    # released deterministically at the end of the batch.
+    decisions_pin = _Pin(
         ranked.select("vec_id", "cluster")
         .join(matches, "vec_id", "left")
         .select(
@@ -245,17 +270,21 @@ def _process_batch_inner(spark, ranked, batch_id, state_dir, threshold) -> None:
             "cluster",
         )
         .withColumn("ingest_batch", F.lit(batch_id))
-        # eager localCheckpoint BEFORE the write: the plan reads the
-        # decisions dir (prior_ids anti-join) while the write replaces
-        # partitions of that same dir — a lazy plan can list/read part
-        # files mid-overwrite and die FAILED_READ_FILE (race surfaced by
-        # the round-8 generative dedup_ingest family in the LSH twin of
-        # this module; latent here since the round-7 prior-ids guard).
-        # Batch-sized frame: one tiny extra job per micro-batch.
-        .localCheckpoint(eager=True)
     )
+    pins = [decisions_pin]
+    try:
+        _write_state(spark, decisions_pin, ranked, batch_id, state_dir, guard, pins)
+    finally:
+        for p in pins:
+            p.release()
+
+
+def _write_state(spark, decisions_pin, ranked, batch_id, state_dir, guard, pins):
+    members = _read_or_empty(
+        spark, os.path.join(state_dir, MEMBERS_SUBDIR), _MEMBERS_SCHEMA
+    ).drop("ingest_batch")
     sinks.idempotent_reload(
-        decisions, os.path.join(state_dir, DECISIONS_SUBDIR), "ingest_batch"
+        decisions_pin.df, os.path.join(state_dir, DECISIONS_SUBDIR), "ingest_batch"
     )
 
     # survivors extend the member state; a vec_id already accepted in an
@@ -271,7 +300,10 @@ def _process_batch_inner(spark, ranked, batch_id, state_dir, threshold) -> None:
         .filter((F.col("ingest_batch") == batch_id) & ~F.col("is_dup"))
         .select("vec_id")
     )
-    new_members = (
+    # same read-under-overwrite pin as decisions: this plan reads
+    # the members dir (the re-delivery anti-join) while replacing
+    # partitions of the members dir
+    members_pin = _Pin(
         ranked.select(
             "vec_id", "cluster", F.round(F.col("cent_cos"), 6).alias("cent_cos"),
             "e",
@@ -279,14 +311,16 @@ def _process_batch_inner(spark, ranked, batch_id, state_dir, threshold) -> None:
         .join(survivor_ids, "vec_id", "left_semi")
         .join(members.select("vec_id"), "vec_id", "left_anti")
         .withColumn("ingest_batch", F.lit(batch_id))
-        # same read-under-overwrite pin as decisions: this plan reads
-        # the members dir (the re-delivery anti-join) while replacing
-        # partitions of the members dir
-        .localCheckpoint(eager=True)
     )
+    pins.append(members_pin)
     sinks.idempotent_reload(
-        new_members, os.path.join(state_dir, MEMBERS_SUBDIR), "ingest_batch"
+        members_pin.df, os.path.join(state_dir, MEMBERS_SUBDIR), "ingest_batch"
     )
+    if guard is not None:
+        # only after BOTH writes succeeded — a crash in between must
+        # leave the increment unrecorded so the replay re-decides the
+        # batch and completes the member write (crash convergence)
+        guard.record(spark, batch_id, decisions_pin.df.select("vec_id"))
 
 
 def semantic_dedup_on_ingest(

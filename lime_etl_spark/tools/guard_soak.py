@@ -1,0 +1,143 @@
+"""Per-batch cost of the re-delivery guard vs state size (round-9).
+
+VERDICT r8 task #4's done-bar: "soak line showing per-batch cost flat
+with state 10× larger". This isolates the GUARD's per-batch marginal
+cost — the thing the round-9 amortization changed — from the
+maintainers' other per-batch work (the band-index/member reads are
+O(state) by design of candidate generation and unchanged this round).
+
+Protocol, per (mode, state size):
+
+1. seed a decisions dir with ``n_state`` decided ids across 8
+   ingest_batch partitions (plain parquet, same layout the sinks
+   write);
+2. run ``n_batches`` guarded batches: build prior_ids (cached:
+   DecisionIdGuard; disk: the round-8 full read), anti-join a fresh
+   500-row batch, force execution with a count, then record the
+   batch's ids into the guard (cached mode) — i.e. exactly the guard
+   work process_batch does, nothing else;
+3. report per-batch wall times; the flatness line is the mean of the
+   steady batches (first batch excluded — it pays the one-time
+   snapshot read the amortization exists to amortize).
+
+    python -m lime_etl_spark.tools.guard_soak --out SOAK_guard_scale.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+
+def _seed_state(spark, path: str, n_state: int) -> None:
+    (
+        spark.range(n_state)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.lit(False).alias("is_dup"),
+            F.lit(None).cast("bigint").alias("dup_of"),
+            F.lit(None).cast("double").alias("best_jaccard"),
+            (F.col("id") % 8).alias("ingest_batch"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(path)
+    )
+
+
+def _run(spark, mode: str, n_state: int, n_batches: int) -> dict:
+    from lime_etl_spark.streaming.dedup import _DECISIONS_SCHEMA
+    from lime_etl_spark.streaming.state import (
+        DecisionIdGuard,
+        read_state_or_empty,
+    )
+
+    work = tempfile.mkdtemp(prefix=f"guard_soak_{mode}_{n_state}_")
+    decisions = os.path.join(work, "decisions")
+    _seed_state(spark, decisions, n_state)
+    guard = DecisionIdGuard(decisions, "doc_id") if mode == "cached" else None
+    times = []
+    try:
+        for b in range(100, 100 + n_batches):
+            batch = spark.range(n_state, n_state + 500).select(
+                F.col("id").alias("doc_id")
+            )
+            t0 = time.perf_counter()
+            if guard is not None:
+                prior = guard.prior_ids(spark, b)
+            else:
+                prior = (
+                    read_state_or_empty(spark, decisions, _DECISIONS_SCHEMA)
+                    .filter(F.col("ingest_batch") != b)
+                    .select("doc_id")
+                )
+            survived = batch.join(prior, "doc_id", "left_anti")
+            n = survived.count()
+            assert n == 500, n
+            if guard is not None:
+                guard.record(spark, b, survived.select("doc_id"))
+            times.append(round(time.perf_counter() - t0, 4))
+    finally:
+        if guard is not None:
+            guard._release_all()
+        shutil.rmtree(work, ignore_errors=True)
+    steady = times[1:]
+    return {
+        "mode": mode,
+        "n_state": n_state,
+        "per_batch_sec": times,
+        "first_batch_sec": times[0],
+        "steady_mean_sec": round(sum(steady) / len(steady), 4),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--state", type=int, default=200_000)
+    ap.add_argument("--batches", type=int, default=12)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from lime_etl_spark.session import get_spark
+
+    spark = get_spark("guard-soak", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    runs = []
+    for mode in ("cached", "disk"):
+        for n_state in (args.state, args.state * 10):
+            runs.append(_run(spark, mode, n_state, args.batches))
+            print(json.dumps(runs[-1]), flush=True)
+    by = {(r["mode"], r["n_state"]): r for r in runs}
+    summary = {
+        "harness": "guard_soak (re-delivery guard per-batch cost vs state size)",
+        "runs": runs,
+        "cached_steady_ratio_10x": round(
+            by[("cached", args.state * 10)]["steady_mean_sec"]
+            / max(by[("cached", args.state)]["steady_mean_sec"], 1e-9),
+            3,
+        ),
+        "disk_steady_ratio_10x": round(
+            by[("disk", args.state * 10)]["steady_mean_sec"]
+            / max(by[("disk", args.state)]["steady_mean_sec"], 1e-9),
+            3,
+        ),
+        "cached_vs_disk_at_10x": round(
+            by[("cached", args.state * 10)]["steady_mean_sec"]
+            / max(by[("disk", args.state * 10)]["steady_mean_sec"], 1e-9),
+            3,
+        ),
+    }
+    print(json.dumps({k: v for k, v in summary.items() if k != "runs"}))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(summary, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -44,3 +44,47 @@ def survey_json_path(tmp_path_factory) -> str:
     path = tmp_path_factory.mktemp("survey") / "export.json"
     path.write_text(json.dumps(make_survey_payload()), encoding="utf-8")
     return str(path)
+
+
+# --- pyspark collect-socket hygiene (round-9, VERDICT r8 task #7) ---------
+# DataFrame.collect() routes rows through a driver-local TCP socket that
+# pyspark leaves to the garbage collector ("The socket will be
+# automatically closed when garbage-collected" — pyspark/util.py,
+# _load_from_socket). The first such socket the GC reaps surfaces as the
+# suite's only ResourceWarning (traced with PYTHONTRACEMALLOC to
+# pyspark's _load_from_socket, not to any repo code). Wrap it so the
+# socket pair is closed DETERMINISTICALLY when the result stream is
+# exhausted or abandoned — a test-hygiene shim over pinned pyspark
+# 4.1.2; if the private surface drifts, the shim degrades to a no-op and
+# the warning (harmless) returns.
+def _install_closing_collect_socket() -> None:
+    try:
+        import pyspark.util as _psu
+        from pyspark.sql.classic import dataframe as _cdf
+
+        _local_connect_and_auth = _psu.local_connect_and_auth
+
+        def _load_from_socket_closing(sock_info, serializer):
+            sockfile, sock = _local_connect_and_auth(sock_info[0], sock_info[1])
+            sock.settimeout(None)
+
+            def _gen():
+                try:
+                    yield from serializer.load_stream(sockfile)
+                finally:
+                    try:
+                        sockfile.close()
+                    finally:
+                        sock.close()
+
+            return _gen()
+
+        _psu._load_from_socket = _load_from_socket_closing
+        # the classic DataFrame module imported the symbol by value
+        if hasattr(_cdf, "_load_from_socket"):
+            _cdf._load_from_socket = _load_from_socket_closing
+    except Exception:
+        pass  # internals drifted: keep pyspark's GC-based behavior
+
+
+_install_closing_collect_socket()

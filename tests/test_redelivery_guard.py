@@ -1,0 +1,210 @@
+"""The amortized cross-batch re-delivery guard (round-9, VERDICT r8
+task #4 — streaming/state.DecisionIdGuard).
+
+Round 8 fixed cross-batch re-delivery with a per-micro-batch O(state)
+decisions read; SCALE.md costed it (~8 GB/batch at 1e9 accepted docs)
+and named the amortized design this round implements. Bars here:
+
+- EQUIVALENCE: multi-batch drains with cross-batch re-deliveries
+  produce byte-identical decisions/state under the cached guard and
+  under LIME_REDELIVERY_GUARD=disk (the round-8 behavior, kept as the
+  differential twin) — for both the LSH gate and the semantic gate.
+- COMPACTION: folding increments into the pinned base changes nothing.
+- STALENESS: wiping/rebuilding the state dir under a live guard is
+  detected by the per-batch partition listing (rebuild, not stale ids).
+- CRASH CONVERGENCE: a crash AFTER the decisions write but BEFORE the
+  bands/docs writes must leave the increment unrecorded, so the replay
+  re-decides the batch and completes the missing writes (recording
+  early would make the guard hide the ids and the replay skip them).
+
+The generative families (tools/llmgen.py dedup_ingest/semantic_ingest)
+run on the cached path by default and pin the same contract at volume.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lime_etl_spark.io.sources import read_table
+from lime_etl_spark.streaming import dedup as sdedup
+from lime_etl_spark.streaming import semantic as ssem
+from lime_etl_spark.streaming import state as sstate
+from lime_etl_spark.streaming.state import read_state_or_empty
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _decisions(spark, state):
+    return read_state_or_empty(
+        spark, os.path.join(state, sdedup.DECISIONS_SUBDIR), sdedup._DECISIONS_SCHEMA
+    )
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents")
+
+
+def _drain_lsh(spark, docs, state: str, *, redeliver: bool) -> None:
+    """Three batches over doc_id thirds; batch 2 re-delivers half of
+    batch 0 (cross-batch at-least-once) when ``redeliver``."""
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    if redeliver:
+        b2 = b2.union(b0.filter(F.col("doc_id") % 2 == 0))
+    sdedup.process_batch(b0, 0, state, threshold=0.5)
+    sdedup.process_batch(b1, 1, state, threshold=0.5)
+    sdedup.process_batch(b2, 2, state, threshold=0.5)
+
+
+def test_lsh_gate_cached_equals_disk_guard(spark, docs, tmp_path, monkeypatch):
+    monkeypatch.setenv("LIME_REDELIVERY_GUARD", "disk")
+    disk_state = str(tmp_path / "disk")
+    _drain_lsh(spark, docs, disk_state, redeliver=True)
+    monkeypatch.setenv("LIME_REDELIVERY_GUARD", "cached")
+    cached_state = str(tmp_path / "cached")
+    _drain_lsh(spark, docs, cached_state, redeliver=True)
+
+    assert _rows(_decisions(spark, disk_state)) == _rows(
+        _decisions(spark, cached_state)
+    )
+    for sub, schema in (
+        (sdedup.BANDS_SUBDIR, sdedup._BANDS_SCHEMA),
+        (sdedup.DOCS_SUBDIR, sdedup._DOCS_SCHEMA),
+    ):
+        assert _rows(
+            read_state_or_empty(spark, os.path.join(disk_state, sub), schema)
+        ) == _rows(
+            read_state_or_empty(spark, os.path.join(cached_state, sub), schema)
+        )
+    # the re-delivered ids were decided exactly once
+    dec = _decisions(spark, cached_state)
+    assert dec.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+def test_lsh_gate_compaction_preserves_decisions(
+    spark, docs, tmp_path, monkeypatch
+):
+    monkeypatch.setenv("LIME_REDELIVERY_GUARD", "cached")
+    monkeypatch.setattr(sstate.DecisionIdGuard, "COMPACT_EVERY", 2)
+    state = str(tmp_path / "state")
+    _drain_lsh(spark, docs, state, redeliver=True)
+    guard = sstate.decision_guard(
+        os.path.join(state, sdedup.DECISIONS_SUBDIR), "doc_id"
+    )
+    # COMPACT_EVERY=2 over 3 non-empty batches folded at least once
+    assert guard._base is not None and len(guard._base_parts) >= 2
+    dec = _decisions(spark, state)
+    assert dec.count() == docs.select("doc_id").distinct().count()
+    assert dec.groupBy("doc_id").count().filter("count > 1").count() == 0
+    # and the guard frame itself equals the decisions' id set
+    assert _rows(guard.prior_ids(spark, 99)) == _rows(dec.select("doc_id"))
+
+
+def test_guard_detects_state_dir_wipe(spark, docs, tmp_path, monkeypatch):
+    """A state dir wiped and re-ingested UNDER THE SAME PATH must not
+    serve stale decided ids — the per-batch partition listing catches
+    the disk/cache mismatch and rebuilds."""
+    import shutil
+
+    monkeypatch.setenv("LIME_REDELIVERY_GUARD", "cached")
+    state = str(tmp_path / "state")
+    _drain_lsh(spark, docs, state, redeliver=False)
+    n_first = _decisions(spark, state).count()
+    assert n_first > 0
+    shutil.rmtree(state)
+    # fresh ingest, same path: were the guard stale, every doc would be
+    # anti-joined away and decisions would come back empty
+    _drain_lsh(spark, docs, state, redeliver=False)
+    assert _decisions(spark, state).count() == n_first
+
+
+def test_crash_between_writes_replays_convergently(
+    spark, docs, tmp_path, monkeypatch
+):
+    """Crash after the decisions write, before the bands/docs writes:
+    the increment must NOT be recorded, so the replayed batch re-decides
+    (identically) and completes the missing state writes."""
+    from lime_etl_spark.io import sinks
+
+    monkeypatch.setenv("LIME_REDELIVERY_GUARD", "cached")
+    state = str(tmp_path / "state")
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    sdedup.process_batch(b0, 0, state, threshold=0.5)
+
+    real_reload = sinks.idempotent_reload
+    calls = {"n": 0}
+
+    def crashing_reload(df, path, part_col):
+        calls["n"] += 1
+        if calls["n"] == 2:  # decisions ok, then die on the bands write
+            raise RuntimeError("injected crash between state writes")
+        return real_reload(df, path, part_col)
+
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    monkeypatch.setattr(sinks, "idempotent_reload", crashing_reload)
+    monkeypatch.setattr(sdedup.sinks, "idempotent_reload", crashing_reload)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sdedup.process_batch(b1, 1, state, threshold=0.5)
+    monkeypatch.setattr(sinks, "idempotent_reload", real_reload)
+    monkeypatch.setattr(sdedup.sinks, "idempotent_reload", real_reload)
+
+    guard = sstate.decision_guard(
+        os.path.join(state, sdedup.DECISIONS_SUBDIR), "doc_id"
+    )
+    assert 1 not in guard._incs  # crash left the increment unrecorded
+
+    # the checkpoint replays batch 1; the converged state must equal a
+    # clean uninterrupted run
+    sdedup.process_batch(b1, 1, state, threshold=0.5)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    sdedup.process_batch(b2, 2, state, threshold=0.5)
+
+    clean = str(tmp_path / "clean")
+    _drain_lsh(spark, docs, clean, redeliver=False)
+    for sub, schema in (
+        (sdedup.DECISIONS_SUBDIR, sdedup._DECISIONS_SCHEMA),
+        (sdedup.BANDS_SUBDIR, sdedup._BANDS_SCHEMA),
+        (sdedup.DOCS_SUBDIR, sdedup._DOCS_SCHEMA),
+    ):
+        assert _rows(
+            read_state_or_empty(spark, os.path.join(state, sub), schema)
+        ) == _rows(read_state_or_empty(spark, os.path.join(clean, sub), schema))
+
+
+def test_semantic_gate_cached_equals_disk_guard(spark, tmp_path, monkeypatch):
+    from lime_etl_spark.ops import similarity
+
+    emb = read_table(spark, os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                                           "/root/testdata/sf0.001"), "embeddings")
+    cents = similarity.kmeans_centroids_embeddings(emb, dim=64, k=16, n_iter=5)
+
+    def drain(state):
+        b0 = emb.filter(F.col("vec_id") % 2 == 0)
+        b1 = emb.filter(F.col("vec_id") % 2 == 1).union(
+            b0.filter(F.col("vec_id") % 4 == 0)  # cross-batch re-delivery
+        )
+        ssem.process_batch(b0, 0, state, cents, threshold=0.3)
+        ssem.process_batch(b1, 1, state, cents, threshold=0.3)
+
+    monkeypatch.setenv("LIME_REDELIVERY_GUARD", "disk")
+    disk_state = str(tmp_path / "disk")
+    drain(disk_state)
+    monkeypatch.setenv("LIME_REDELIVERY_GUARD", "cached")
+    cached_state = str(tmp_path / "cached")
+    drain(cached_state)
+    for sub, schema in (
+        (ssem.DECISIONS_SUBDIR, ssem._DECISIONS_SCHEMA),
+        (ssem.MEMBERS_SUBDIR, ssem._MEMBERS_SCHEMA),
+    ):
+        assert _rows(
+            read_state_or_empty(spark, os.path.join(disk_state, sub), schema)
+        ) == _rows(
+            read_state_or_empty(spark, os.path.join(cached_state, sub), schema)
+        )
