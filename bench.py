@@ -208,6 +208,13 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_of(SF_DIR),
                 "exec_only_total_sec": round(exec_total, 3),
+                # carried in the DRIVER-RECORDED line (r8 verdict #5) so
+                # cross-round normalization is arithmetic on BENCH_r{N}
+                # artifacts alone: divide totals by the round-over-round
+                # ratio of these two fixed microbenches
+                "host_calibration": {
+                    k: v for k, v in host_calibration.items() if k != "note"
+                },
                 "detail": "BENCH_detail.json",
             }
         )

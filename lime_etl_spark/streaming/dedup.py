@@ -147,9 +147,12 @@ def process_batch(
             .filter(F.col("ingest_batch") != batch_id)
             .select("doc_id")
         )
+        guarded = new_docs.join(prior_ids, "doc_id", "left_anti")
     else:
+        # amortized: broadcast sorted-id probe + tiny increment joins
+        # (state.DecisionIdGuard) — no per-batch O(state) read
         guard = decision_guard(decisions_path, "doc_id")
-        prior_ids = guard.prior_ids(spark, batch_id)
+        guarded = guard.filter_prior(new_docs, batch_id)
     # eager localCheckpoint, NOT cache(): in disk mode this frame embeds
     # a scan of the decisions dir that this very batch then OVERWRITES —
     # a cached plan stays registered with the CacheManager, and the
@@ -158,9 +161,10 @@ def process_batch(
     # on the part files being swapped; found by the empty-batch test the
     # moment the prior-ids guard landed). The checkpoint snapshots the
     # batch-sized rows once, severing the decisions scan from every
-    # later plan. (In cached-guard mode the scan is already severed —
-    # the pin still buys the one-materialization-for-three-writes.)
-    new_docs_pin = _Pin(new_docs.join(prior_ids, "doc_id", "left_anti"))
+    # later plan. (In cached-guard mode the pin buys the
+    # one-materialization-for-three-writes and runs the guard's Arrow
+    # probe exactly once.)
+    new_docs_pin = _Pin(guarded)
     new_docs = new_docs_pin.df
     new_bands = dedup.minhash_bands(new_docs).cache()
 

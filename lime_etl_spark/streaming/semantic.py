@@ -202,10 +202,12 @@ def _process_batch_inner(spark, ranked, batch_id, state_dir, threshold) -> None:
             .filter(F.col("ingest_batch") != batch_id)
             .select("vec_id")
         )
+        ranked = ranked.join(prior_ids, "vec_id", "left_anti")
     else:
+        # amortized: broadcast sorted-id probe + tiny increment joins
+        # (state.DecisionIdGuard) — no per-batch O(state) read
         guard = decision_guard(decisions_path, "vec_id")
-        prior_ids = guard.prior_ids(spark, batch_id)
-    ranked = ranked.join(prior_ids, "vec_id", "left_anti")
+        ranked = guard.filter_prior(ranked, batch_id)
 
     pair_cos = F.round(
         _dot(F.col("ea"), F.col("eb")) / (_gnorm(F.col("ea")) * _gnorm(F.col("eb"))),

@@ -96,26 +96,86 @@ class _Pin:
         self._rdd_id = None
 
 
+def _unseen_filter(bc, id_col: str):
+    """Arrow kernel factory for the broadcast decided-id probe. Captures
+    ONLY the (picklable) Broadcast handle and the column name — never
+    the guard object (py4j refs don't pickle)."""
+
+    def fn(batches):
+        import numpy as np
+
+        ids_sorted = bc.value
+        for pdf in batches:
+            if len(ids_sorted) == 0 or len(pdf) == 0:
+                yield pdf
+                continue
+            col = pdf[id_col]
+            null_mask = col.isna().to_numpy()
+            vals = col.fillna(0).astype("int64").to_numpy()
+            pos = np.searchsorted(ids_sorted, vals)
+            pos_c = np.minimum(pos, len(ids_sorted) - 1)
+            # NULL ids never match an equality anti-join; mirror that
+            hit = (
+                (pos < len(ids_sorted))
+                & (ids_sorted[pos_c] == vals)
+                & ~null_mask
+            )
+            yield pdf.loc[~hit]
+
+    return fn
+
+
+def _ids_to_numpy(df, id_col: str):
+    """Collect a single BIGINT column to a sorted int64 numpy array via
+    Arrow (one columnar transfer — this is the once-per-epoch read the
+    guard amortizes; bounded by contract at one 8-byte column of the
+    decided-id state)."""
+    import numpy as np
+
+    tbl = df.select(id_col).toArrow()
+    if tbl.num_rows == 0:
+        return np.empty(0, dtype=np.int64)
+    arr = tbl.column(0).combine_chunks().to_numpy(zero_copy_only=False)
+    # Arrow hands back a read-only view — copy before the in-place sort
+    out = np.array(arr, dtype=np.int64, copy=True)
+    out.sort()
+    return out
+
+
 class DecisionIdGuard:
     """Amortized cross-batch decided-id guard for the ingest maintainers.
 
-    Round 8 fixed cross-batch re-delivery (one decision per id EVER) with
-    a per-micro-batch anti-join against the decisions state read FROM
-    DISK — an O(state) id-column scan every batch, honestly costed in
-    SCALE.md (~8 GB/batch at 1e9 accepted docs) with this exact
-    mitigation named. The guard reads the decided-id set from disk ONCE
-    per (process, session, state dir), pins it in storage blocks
-    (localCheckpoint), and extends it IN MEMORY with each batch's
-    decided ids; the recurring per-batch disk cost drops to one
-    partition LISTING (metadata, O(#batches)) used to detect
-    out-of-band state changes.
+    Round 8 fixed cross-batch re-delivery (one decision per id EVER)
+    with a per-micro-batch anti-join against the decisions state read
+    FROM DISK — an O(state) id-column scan every batch, honestly costed
+    in SCALE.md (~8 GB/batch at 1e9 accepted docs) with this exact
+    mitigation named: "read once per N batches into a broadcast-able
+    filter". Implementation:
 
-    Correctness contract — identical output to the disk read, pinned by
-    the generative dedup_ingest/semantic_ingest families running green
-    on both paths (LIME_REDELIVERY_GUARD) plus the focused equivalence
-    tests: ``prior_ids(spark, b)`` returns exactly the ids holding a
-    decision row in any ingest_batch partition != b. Staleness is
-    prevented by construction, not assumption:
+    - the decided-id set is read from disk ONCE per (process, session,
+      state dir) epoch as a single Arrow column, sorted, and shipped to
+      executors as ONE reusable ``sc.broadcast`` (re-broadcast only on
+      rebuild/compaction — never per batch);
+    - per batch, new ids are screened by an Arrow kernel doing a binary
+      search against the broadcast array — O(batch x log state), no
+      disk, no shuffle, no per-batch broadcast build (measured: the
+      naive alternative, an anti-join against a pinned DataFrame,
+      re-broadcasts or re-shuffles the O(state) side every batch and
+      was SLOWER than the disk read it replaced);
+    - each batch's decided ids are kept as a small pinned increment
+      (exact anti-join — AQE broadcasts these tiny frames) and folded
+      into the broadcast array every COMPACT_EVERY batches;
+    - the recurring per-batch disk cost is one partition LISTING
+      (metadata, O(#batches)) used to detect out-of-band changes.
+
+    Correctness contract — identical output to the per-batch disk read,
+    pinned by the generative dedup_ingest/semantic_ingest families
+    running green on both paths (LIME_REDELIVERY_GUARD) plus the
+    focused equivalence tests: ``filter_prior(df, b)`` removes exactly
+    the ids holding a decision row in any ingest_batch partition != b
+    (the sorted-array probe is exact membership — no false positives or
+    negatives, unlike a bloom sidecar). Staleness is prevented by
+    construction, not assumption:
 
     - every call lists the decisions dir's partitions and compares them
       with the cache's coverage; any mismatch (state dir wiped between
@@ -125,14 +185,24 @@ class DecisionIdGuard:
       succeed — a crash in between leaves the increment unrecorded, the
       replay re-decides the batch, and the partition overwrites make
       that convergent (the pre-existing replay contract);
-    - a new SparkSession (different applicationId) rebuilds, since
-      pinned blocks die with their context.
+    - a new SparkSession (different applicationId) rebuilds, since the
+      broadcast and pinned blocks die with their context.
 
-    Scale posture: per-batch marginal work is the anti-join against the
-    pinned frame — in-memory scan, no disk. The residual O(state)
-    in-memory term at 1e9 ids is the next knob (a bloom sidecar
-    prefilter with exact confirmation of positives); named in SCALE.md,
-    not needed at any measured scale.
+    Scale posture: per-batch marginal work is O(batch x log state) CPU
+    plus the increment joins — independent of how the state grows
+    (SOAK_guard_scale.json). The epoch costs are the once-per-rebuild
+    Arrow collect (8 GB driver transit at 1e9 ids — the documented
+    ceiling of the driver-held array; beyond it, shard the array or
+    swap the probe for a bloom+exact-confirm two-phase, both O(batch)
+    per batch) and the once-per-compaction merge.
+
+    Executor-loss caveat (also in SCALE.md): the increments use
+    localCheckpoint, whose blocks are not recomputable after executor
+    loss — a dead executor fails the consuming micro-batch and recovery
+    is the foreachBatch replay (partition overwrites converge; the
+    guard rebuilds itself from disk on the next coverage mismatch or
+    session restart). Broadcasts, by contrast, re-fetch from the driver
+    transparently.
     """
 
     COMPACT_EVERY = 32
@@ -142,9 +212,10 @@ class DecisionIdGuard:
         self.id_col = id_col
         self._lock = threading.RLock()
         self._app_id: str | None = None
-        self._base: _Pin | None = None  # (id_col, ingest_batch)
+        self._base_ids = None  # sorted int64 numpy array (driver copy)
+        self._bc = None  # sc.broadcast of _base_ids
         self._base_parts: set[int] = set()
-        self._incs: dict[int, _Pin] = {}  # batch_id -> (id_col)
+        self._incs: dict[int, _Pin] = {}  # batch_id -> (id_col) frame
 
     # -- plumbing ------------------------------------------------------
 
@@ -164,57 +235,85 @@ class DecisionIdGuard:
                     pass
         return parts
 
+    def _destroy_bc(self) -> None:
+        if self._bc is not None:
+            try:
+                self._bc.destroy()
+            except Exception:
+                pass  # context already stopped: it died with the JVM
+        self._bc = None
+        self._base_ids = None
+
     def _release_all(self) -> None:
-        if self._base is not None:
-            self._base.release()
+        self._destroy_bc()
         for pin in self._incs.values():
             pin.release()
-        self._base = None
         self._base_parts = set()
         self._incs = {}
 
-    def _rebuild(self, spark: SparkSession, disk_parts: set[int]) -> None:
+    def _publish(self, spark: SparkSession, ids) -> None:
+        self._destroy_bc()
+        self._base_ids = ids
+        self._bc = spark.sparkContext.broadcast(ids)
+
+    def _rebuild(self, spark: SparkSession, disk_parts: set[int], batch_id: int) -> None:
+        import numpy as np
+
         self._release_all()
-        if disk_parts:
+        parts = disk_parts - {batch_id}
+        if parts:
             df = (
-                spark.read.schema(
-                    f"{self.id_col} bigint, ingest_batch bigint"
-                )
+                spark.read.schema(f"{self.id_col} bigint, ingest_batch bigint")
                 .parquet(self.path)
-                .select(self.id_col, "ingest_batch")
+                .filter(F.col("ingest_batch") != F.lit(batch_id))
             )
-            self._base = _Pin(df)
-        self._base_parts = set(disk_parts)
+            ids = _ids_to_numpy(df, self.id_col)
+        else:
+            ids = np.empty(0, dtype=np.int64)
+        self._publish(spark, ids)
+        self._base_parts = set(parts)
         self._app_id = spark.sparkContext.applicationId
 
-    # -- the two calls the maintainers make ------------------------------
+    def _validate(self, spark: SparkSession, batch_id: int) -> None:
+        disk = self._disk_parts(spark)
+        covered = self._base_parts | set(self._incs)
+        if (
+            spark.sparkContext.applicationId != self._app_id
+            or (disk - {batch_id}) != (covered - {batch_id})
+        ):
+            self._rebuild(spark, disk, batch_id)
+
+    # -- the three calls the maintainers and tests make ------------------
+
+    def filter_prior(self, df: DataFrame, batch_id: int) -> DataFrame:
+        """``df`` minus every id decided in a batch other than
+        ``batch_id`` — the guard's replacement for the per-batch
+        disk-read anti-join."""
+        spark = df.sparkSession
+        with self._lock:
+            self._validate(spark, batch_id)
+            out = df
+            if self._base_ids is not None and len(self._base_ids):
+                out = out.mapInPandas(
+                    _unseen_filter(self._bc, self.id_col), df.schema
+                )
+            for bid, pin in self._incs.items():
+                if bid != batch_id:
+                    out = out.join(pin.df, self.id_col, "left_anti")
+            return out
 
     def prior_ids(self, spark: SparkSession, batch_id: int) -> DataFrame:
-        """Ids decided in any batch other than ``batch_id`` (one frame,
-        single ``id_col`` column) — the anti-join right side."""
+        """The decided-id set as a DataFrame (inspection/testing; the
+        hot path is filter_prior — this ships the driver array back out
+        through createDataFrame)."""
         with self._lock:
-            disk = self._disk_parts(spark)
-            covered = self._base_parts | set(self._incs)
-            if (
-                spark.sparkContext.applicationId != self._app_id
-                or (disk - {batch_id}) != (covered - {batch_id})
-            ):
-                self._rebuild(spark, disk)
-            frames = []
-            if self._base is not None:
-                frames.append(
-                    self._base.df.filter(
-                        F.col("ingest_batch") != F.lit(batch_id)
-                    ).select(self.id_col)
-                )
-            frames.extend(
-                pin.df for bid, pin in self._incs.items() if bid != batch_id
-            )
-            if not frames:
-                return spark.createDataFrame([], f"{self.id_col} bigint")
-            out = frames[0]
-            for f in frames[1:]:
-                out = out.union(f)
+            self._validate(spark, batch_id)
+            base = self._base_ids
+            rows = [(int(i),) for i in (base if base is not None else [])]
+            out = spark.createDataFrame(rows, f"{self.id_col} bigint")
+            for bid, pin in self._incs.items():
+                if bid != batch_id:
+                    out = out.union(pin.df)
             return out
 
     def record(self, spark: SparkSession, batch_id: int, ids: DataFrame) -> None:
@@ -223,7 +322,7 @@ class DecisionIdGuard:
         docstring for why recording earlier breaks crash convergence)."""
         with self._lock:
             if spark.sparkContext.applicationId != self._app_id:
-                return  # next prior_ids rebuilds from disk anyway
+                return  # next filter_prior rebuilds from disk anyway
             pin = _Pin(ids.select(self.id_col))
             if pin.df.isEmpty():
                 # an all-re-delivery or empty batch writes NO decisions
@@ -239,26 +338,25 @@ class DecisionIdGuard:
                 self._compact(spark)
 
     def _compact(self, spark: SparkSession) -> None:
-        """Fold the per-batch increments into one pinned base — the
-        once-per-N-batches O(state) pass that amortizes the disk read
-        away entirely (it runs over the already-pinned frames, not the
-        dir)."""
-        frames = []
-        if self._base is not None:
-            frames.append(self._base.df)
-        for bid, pin in self._incs.items():
-            frames.append(pin.df.withColumn("ingest_batch", F.lit(bid)))
-        merged = frames[0]
-        for f in frames[1:]:
-            merged = merged.union(f)
-        new_base = _Pin(merged)
-        if self._base is not None:
-            self._base.release()
+        """Fold the per-batch increments into the broadcast array — the
+        once-per-N-batches pass that amortizes the epoch read away
+        entirely (it collects only the increments, not the dir)."""
+        import numpy as np
+
+        chunks = [self._base_ids] if self._base_ids is not None else []
+        for pin in self._incs.values():
+            chunks.append(_ids_to_numpy(pin.df, self.id_col))
+        merged = (
+            np.unique(np.concatenate(chunks))
+            if chunks
+            else np.empty(0, dtype=np.int64)
+        )
+        folded_parts = set(self._incs)
         for pin in self._incs.values():
             pin.release()
-        self._base = new_base
-        self._base_parts |= set(self._incs)
         self._incs = {}
+        self._publish(spark, merged)
+        self._base_parts |= folded_parts
 
 
 _GUARDS: dict = {}

@@ -157,21 +157,95 @@ def run_sweep(spark, sf_dir: str, seeds, progress_every: int = 200) -> dict:
     }
 
 
+# The full op-label vocabulary qgen can emit (extracted from the
+# 3,000-seed round-8 sf0.1 artifact, which saturates the draw space) —
+# the --min-op target set, so a "run until every family is covered"
+# sweep cannot be satisfied vacuously by never drawing a rare op.
+QGEN_OPS = [
+    "asof", "base", "cube", "dense_rank", "derive", "distinct", "dropna",
+    "except_all", "except_distinct", "filter", "first_last", "group",
+    "having", "inner", "intersect", "keep_latest", "lag_lead", "left",
+    "left_anti", "left_semi", "moving", "ntile", "part_sum", "project",
+    "rank", "rename", "rollup", "row_number", "running", "salted",
+    "self_outer", "sort_limit", "topk", "union_all", "union_distinct",
+]
+
+
+def run_sweep_min_ops(
+    spark, sf_dir: str, start: int, min_seeds: int, min_per_op: int,
+    cap: int = 50000, progress_every: int = 50,
+) -> dict:
+    """Round-9 (r8 verdict task #3): run at least ``min_seeds`` seeds
+    AND until every QGEN_OPS label has >= ``min_per_op`` draws — the r8
+    sf1 block left asof/except_distinct at 1 draw each."""
+    duck = duck_connect(sf_dir)
+    t0 = time.time()
+    results, failures = [], []
+    op_hist: Counter = Counter()
+    rows_total = 0
+    seed = start
+    while seed < start + cap:
+        rec = check_seed(spark, duck, seed, sf_dir)
+        if "error" in rec or "mismatch" in rec:
+            failures.append(rec)
+        else:
+            rows_total += rec["rows"]
+        for op in rec.get("ops", []):
+            op_hist[op.split(":")[0]] += 1
+        results.append(rec)
+        seed += 1
+        if progress_every and len(results) % progress_every == 0:
+            short = min(op_hist.get(t, 0) for t in QGEN_OPS)
+            print(
+                f"# {len(results)} seeds, {len(failures)} failures, "
+                f"min-op={short}, {time.time() - t0:.0f}s",
+                flush=True,
+            )
+        if len(results) >= min_seeds and all(
+            op_hist.get(t, 0) >= min_per_op for t in QGEN_OPS
+        ):
+            break
+    duck.close()
+    return {
+        "sf_dir": sf_dir,
+        "min_per_op": min_per_op,
+        "ops_floor_met": all(op_hist.get(t, 0) >= min_per_op for t in QGEN_OPS),
+        "seeds_run": len(results),
+        "seed_min": start,
+        "seed_max": seed - 1,
+        "failures": failures,
+        "failure_count": len(failures),
+        "rows_compared_total": rows_total,
+        "op_histogram": dict(sorted(op_hist.items())),
+        "elapsed_sec": round(time.time() - t0, 1),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--seeds", type=int, default=2000)
     ap.add_argument("--start", type=int, default=0)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--min-op", type=int, default=None,
+        help="run at least --seeds seeds and until every qgen op label "
+        "has this many draws",
+    )
     args = ap.parse_args()
 
     from lime_etl_spark.session import get_spark
 
     spark = get_spark("gencheck", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
-    report = run_sweep(
-        spark, args.sf_dir, range(args.start, args.start + args.seeds)
-    )
+    if args.min_op:
+        report = run_sweep_min_ops(
+            spark, args.sf_dir, args.start, args.seeds, args.min_op
+        )
+    else:
+        report = run_sweep(
+            spark, args.sf_dir, range(args.start, args.start + args.seeds)
+        )
     line = json.dumps(
         {k: v for k, v in report.items() if k != "failures"}
         | {"failure_count": report["failure_count"]}

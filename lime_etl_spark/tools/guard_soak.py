@@ -70,14 +70,14 @@ def _run(spark, mode: str, n_state: int, n_batches: int) -> dict:
             )
             t0 = time.perf_counter()
             if guard is not None:
-                prior = guard.prior_ids(spark, b)
+                survived = guard.filter_prior(batch, b)
             else:
                 prior = (
                     read_state_or_empty(spark, decisions, _DECISIONS_SCHEMA)
                     .filter(F.col("ingest_batch") != b)
                     .select("doc_id")
                 )
-            survived = batch.join(prior, "doc_id", "left_anti")
+                survived = batch.join(prior, "doc_id", "left_anti")
             n = survived.count()
             assert n == 500, n
             if guard is not None:

@@ -625,18 +625,94 @@ def run_sweep(spark, seeds, progress_every: int = 50) -> dict:
     }
 
 
+def run_sweep_min_variants(
+    spark, start: int, min_per_variant: int, cap: int = 20000
+) -> dict:
+    """Round-9 (r8 verdict task #6): keep drawing seeds until EVERY
+    streaming variant — (tumbling|sliding|session|dedup) x (no prefilter
+    |pre_type|pre_value|pre_user) plus scd2/funnel/quality — has at
+    least ``min_per_variant`` draws; the r8 final block left several
+    fam+prefilter cells at 2-6 draws. ``cap`` bounds the walk (the
+    rarest cell is ~1/32 of draws, so min=20 needs ~2% x 32 x 20 x
+    slack seeds)."""
+    targets = {
+        f"{fam}{pre}"
+        for fam in ("tumbling", "sliding", "session", "dedup")
+        for pre in ("", "+pre_type", "+pre_value", "+pre_user")
+    } | {"scd2", "funnel", "quality"}
+    t0 = time.time()
+    results, failures = [], []
+    op_hist: Counter = Counter()
+    rows_total = 0
+    workroot = tempfile.mkdtemp(prefix="streamgen_mv_")
+    seed = start
+    try:
+        while seed < start + cap:
+            rec = check_seed(spark, seed, workroot)
+            if "error" in rec or "mismatch" in rec:
+                failures.append(rec)
+            else:
+                rows_total += rec["rows"]
+            for op in rec.get("ops", []):
+                op_hist[op.split(":")[0]] += 1
+            results.append(rec)
+            seed += 1
+            if len(results) % 50 == 0:
+                short = min(
+                    (op_hist.get(t, 0) for t in targets), default=0
+                )
+                print(
+                    f"# {len(results)} seeds, {len(failures)} failures, "
+                    f"min-variant={short}, {time.time() - t0:.0f}s",
+                    flush=True,
+                )
+            if all(op_hist.get(t, 0) >= min_per_variant for t in targets):
+                break
+    finally:
+        shutil.rmtree(workroot, ignore_errors=True)
+    return {
+        "harness": (
+            "streamgen --min-variant (random file splits/order/trigger "
+            "bounds + resume vs batch twin; sweep runs until every "
+            "variant has the floor)"
+        ),
+        "min_per_variant": min_per_variant,
+        "variants_floor_met": all(
+            op_hist.get(t, 0) >= min_per_variant for t in targets
+        ),
+        "seeds_run": len(results),
+        "seed_min": start,
+        "seed_max": seed - 1,
+        "failures": failures,
+        "failure_count": len(failures),
+        "rows_compared_total": rows_total,
+        "op_histogram": dict(sorted(op_hist.items())),
+        "elapsed_sec": round(time.time() - t0, 1),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--seeds", type=int, default=500)
     ap.add_argument("--start", type=int, default=0)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--min-variant", type=int, default=None,
+        help="run until every streaming variant has at least this many "
+        "draws (ignores --seeds except as the walk cap)",
+    )
     args = ap.parse_args()
 
     from lime_etl_spark.session import get_spark
 
     spark = get_spark("streamgen", shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
-    report = run_sweep(spark, range(args.start, args.start + args.seeds))
+    if args.min_variant:
+        report = run_sweep_min_variants(
+            spark, args.start, args.min_variant, cap=max(args.seeds, 5000)
+        )
+    else:
+        report = run_sweep(spark, range(args.start, args.start + args.seeds))
     print(json.dumps({k: v for k, v in report.items() if k != "failures"}))
     if report["failures"]:
         for f in report["failures"][:10]:

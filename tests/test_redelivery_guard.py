@@ -99,7 +99,7 @@ def test_lsh_gate_compaction_preserves_decisions(
         os.path.join(state, sdedup.DECISIONS_SUBDIR), "doc_id"
     )
     # COMPACT_EVERY=2 over 3 non-empty batches folded at least once
-    assert guard._base is not None and len(guard._base_parts) >= 2
+    assert guard._base_ids is not None and len(guard._base_parts) >= 2
     dec = _decisions(spark, state)
     assert dec.count() == docs.select("doc_id").distinct().count()
     assert dec.groupBy("doc_id").count().filter("count > 1").count() == 0
