@@ -173,7 +173,7 @@ QGEN_OPS = [
 
 def run_sweep_min_ops(
     spark, sf_dir: str, start: int, min_seeds: int, min_per_op: int,
-    cap: int = 50000, progress_every: int = 50,
+    cap: int = 50000, progress_every: int = 50, seed_timeout: float = 180.0,
 ) -> dict:
     """Round-9 (r8 verdict task #3): run at least ``min_seeds`` seeds
     AND until every QGEN_OPS label has >= ``min_per_op`` draws — the r8
@@ -181,11 +181,43 @@ def run_sweep_min_ops(
     duck = duck_connect(sf_dir)
     t0 = time.time()
     results, failures = [], []
+    timeouts: list[int] = []
     op_hist: Counter = Counter()
     rows_total = 0
     seed = start
     while seed < start + cap:
-        rec = check_seed(spark, duck, seed, sf_dir)
+        # Per-seed wall budget: a drawn pipeline's DuckDB oracle can
+        # explode at sf>=1 (e.g. a self-outer join whose intermediate is
+        # ~rows^2 on a hot key) — one such seed otherwise wedges the
+        # whole sweep for hours at tens of GB. Timed-out seeds are NOT
+        # silently dropped: they're listed in the artifact and excluded
+        # from the op floor, so coverage claims stay honest. This is a
+        # compute bound, not a correctness filter — the same seed passes
+        # at smaller SF (both engines, same data, same plan).
+        box: dict = {}
+
+        def _one(s=seed, d=duck):
+            box["rec"] = check_seed(spark, d, s, sf_dir)
+
+        import threading
+
+        th = threading.Thread(target=_one, daemon=True)
+        th.start()
+        th.join(timeout=seed_timeout)
+        if th.is_alive():
+            try:
+                duck.interrupt()
+            except Exception:
+                pass
+            spark.sparkContext.cancelAllJobs()
+            th.join(timeout=60)
+            timeouts.append(seed)
+            print(f"# seed {seed}: exceeded {seed_timeout}s budget, skipped", flush=True)
+            duck.close()
+            duck = duck_connect(sf_dir)  # a fresh connection; the old one may be poisoned
+            seed += 1
+            continue
+        rec = box["rec"]
         if "error" in rec or "mismatch" in rec:
             failures.append(rec)
         else:
@@ -209,6 +241,8 @@ def run_sweep_min_ops(
     return {
         "sf_dir": sf_dir,
         "min_per_op": min_per_op,
+        "seed_timeout_sec": seed_timeout,
+        "timed_out_seeds": timeouts,
         "ops_floor_met": all(op_hist.get(t, 0) >= min_per_op for t in QGEN_OPS),
         "seeds_run": len(results),
         "seed_min": start,

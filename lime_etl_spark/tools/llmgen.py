@@ -23,7 +23,12 @@ strings; a collision among ≤ a few hundred shingles per seed has
 probability ~1e-16 per seed and would surface as a loud mismatch.
 Where the engine path is Arrow/numpy (semantic-dedup assignment), the
 oracle calls THE SAME numpy expressions, so the float semantics are
-identical by construction, not by tolerance.
+identical by construction, not by tolerance — and since round 9 the
+shared-expression gap itself is closed by the --independent-math sweep
+(run_independent_math_sweep): every returned cosine/cent_cos is
+re-derived with mpmath at 60 significant digits and the engine's pinned
+half-away rounding replicated in arbitrary precision, exact except
+within 1e-12 of a rounding boundary (counted, never silently passed).
 
 Invariants checked per family (all full-tuple equality, no tolerance):
 
