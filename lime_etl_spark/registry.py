@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from lime_etl_spark.io.sources import read_table
 from lime_etl_spark.ops import analytics, core, dedup, multimodal, similarity, text
+from lime_etl_spark.plans import auto_broadcast
 from lime_etl_spark.ops.dedup import (
     LSH_BANDS,
     LSH_ROWS,
@@ -282,7 +283,10 @@ def q5_region_revenue(spark, sf_dir):
 
     nation/region are broadcast (schemas.BROADCAST_TABLES — fixed-size
     at any SF); supplier broadcasts here via AQE's size estimate at
-    fixture SFs but GROWS with SF, so it is deliberately not hinted.
+    fixture SFs but GROWS with SF, so it is deliberately not hinted —
+    every hint routes through plans.auto_broadcast, which refuses
+    SF-growing tables (tests/test_plans.py asserts AQE still picks
+    BroadcastHashJoin for supplier at fixture SFs without the hint).
     Only customer⋈orders⋈lineitem shuffle. Catalyst folds the region
     filter into the broadcast build side.
     """
@@ -299,12 +303,12 @@ def q5_region_revenue(spark, sf_dir):
         cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(supp),
+            auto_broadcast(supp, table="supplier"),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(auto_broadcast(nation, table="nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(auto_broadcast(region, table="region"), F.col("n_regionkey") == F.col("r_regionkey"))
     )
     return df.groupBy("n_name").agg(_rev_sum().alias("revenue"))
 
@@ -367,7 +371,7 @@ def q10_returned_items(spark, sf_dir):
     agg = (
         cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(auto_broadcast(nation, table="nation"), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(_rev_sum().alias("revenue"))
     )
@@ -423,7 +427,7 @@ def join_anti_customers_without_orders(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation")
     idle = analytics.join(cust, orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
     return (
-        idle.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        idle.join(auto_broadcast(nation, table="nation"), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
@@ -503,8 +507,8 @@ def agg_rollup_region_nation(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
-    joined = cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")).join(
-        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    joined = cust.join(auto_broadcast(nation, table="nation"), F.col("c_nationkey") == F.col("n_nationkey")).join(
+        auto_broadcast(region, table="region"), F.col("n_regionkey") == F.col("r_regionkey")
     )
     return analytics.rollup_agg(
         joined,
@@ -1524,7 +1528,9 @@ def q18_large_volume_customers(spark, sf_dir):
     """,
 )
 def q14_promo_revenue(spark, sf_dir):
-    """TPC-H Q14 shape: conditional aggregation over a broadcast join.
+    """TPC-H Q14 shape: conditional aggregation over a part join —
+    part is SF-growing so it is unhinted (plans.auto_broadcast);
+    AQE picks the broadcast build at fixture SFs from measured size.
     Output keeps numerator+denominator instead of their ratio — a
     decimal division's scale rules differ across engines, the two exact
     sums do not."""
@@ -1535,7 +1541,7 @@ def q14_promo_revenue(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
     rev = _dec2("l_extendedprice") * (_one() - _dec4("l_discount"))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(auto_broadcast(part, table="part"), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(12,2)"))), 2
@@ -2201,7 +2207,9 @@ def dedup_embedding_cosine_bucketed(spark, sf_dir):
 )
 def q7_nation_volume(spark, sf_dir):
     """TPC-H Q7 shape: cross-nation trade volume — the same dimension
-    table joined twice under different roles (broadcast both)."""
+    table joined twice under different roles (nation is fixed-size,
+    hinted both times via plans.auto_broadcast; supplier grows with SF
+    and is unhinted — AQE broadcasts it at fixture SFs)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
         & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
@@ -2219,9 +2227,9 @@ def q7_nation_volume(spark, sf_dir):
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(auto_broadcast(supp, table="supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(auto_broadcast(cn, table="nation"), F.col("c_nationkey") == F.col("cn_key"))
+        .join(auto_broadcast(sn, table="nation"), F.col("s_nationkey") == F.col("sn_key"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
         .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("bigint").alias("ship_year"))
         .agg(_rev_sum().alias("volume"))
@@ -2373,7 +2381,7 @@ def q19_bracketed_revenue(spark, sf_dir):
     pushes them below the join — the classic CNF-extraction test."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    j = li.join(auto_broadcast(part, table="part"), F.col("p_partkey") == F.col("l_partkey"))
     bracket = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -2436,7 +2444,9 @@ def q2_min_cost_supplier(spark, sf_dir):
     shuffle on (partkey, suppkey) — the only full-table exchange. The
     window min adds an exchange on partkey but over the already
     aggregated ps (|parts x suppliers-with-sales| rows, orders of
-    magnitude smaller than lineitem). supplier/nation/region broadcast."""
+    magnitude smaller than lineitem). nation/region are hinted
+    (fixed-size); part/supplier are SF-growing and unhinted
+    (plans.auto_broadcast) — AQE broadcasts them at fixture SFs."""
     li = _t(spark, sf_dir, "lineitem")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
@@ -2444,7 +2454,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     wmin = Window.partitionBy("l_partkey")
     eligible = (
-        ps.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        ps.join(auto_broadcast(part, table="part"), F.col("l_partkey") == F.col("p_partkey"))
         .withColumn("min_cost", F.min("unit_cost").over(wmin))
         .filter(F.col("unit_cost") == F.col("min_cost"))
     )
@@ -2452,9 +2462,9 @@ def q2_min_cost_supplier(spark, sf_dir):
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     out = (
-        eligible.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
-        .join(F.broadcast(reg), F.col("r_regionkey") == F.col("n_regionkey"))
+        eligible.join(auto_broadcast(sup, table="supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(auto_broadcast(nat, table="nation"), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(auto_broadcast(reg, table="region"), F.col("r_regionkey") == F.col("n_regionkey"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
             F.round("unit_cost", 6).alias("min_unit_cost"),
@@ -2487,7 +2497,9 @@ def q9_profit_by_nation_year(spark, sf_dir):
     over parts matching a name pattern.
 
     All money math in exact DECIMAL (cross-engine sum-order safety),
-    rounded once at the end. part/supplier/nation broadcast; lineitem
+    rounded once at the end. nation is hinted (fixed-size);
+    part/supplier are SF-growing and unhinted (plans.auto_broadcast,
+    AQE broadcasts them at fixture SFs); lineitem
     shuffles once to join orders on l_orderkey, then the groupBy
     aggregates map-side first (low-cardinality keys)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -2500,9 +2512,9 @@ def q9_profit_by_nation_year(spark, sf_dir):
         - F.lit(0.1).cast("decimal(2,1)") * _dec2("p_retailprice") * _dec2("l_quantity")
     )
     j = (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        li.join(auto_broadcast(part, table="part"), F.col("p_partkey") == F.col("l_partkey"))
+        .join(auto_broadcast(sup, table="supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(auto_broadcast(nat, table="nation"), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
     )
     out = (
@@ -2550,7 +2562,7 @@ def join_semi_anti_customers(spark, sf_dir):
 
     def per_nation(joined, kind):
         return (
-            joined.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+            joined.join(auto_broadcast(nation, table="nation"), F.col("c_nationkey") == F.col("n_nationkey"))
             .groupBy("n_name")
             .agg(F.count(F.lit(1)).alias("n_customers"))
             .select("n_name", F.lit(kind).alias("kind"), "n_customers")
@@ -3275,8 +3287,10 @@ def q16_supplier_count_by_part(spark, sf_dir):
     """TPC-H Q16 shape (adapted: supplier exclusion by negative acctbal
     instead of the absent s_comment complaints filter): distinct
     supplier count per part attribute group, with a NOT IN subquery
-    (left anti against a broadcast exclusion list — the list is empty
-    of NULLs by construction, so anti join == NOT IN)."""
+    (left anti against an exclusion list — empty of NULLs by
+    construction, so anti join == NOT IN; the list derives from
+    SF-growing supplier so it is unhinted and AQE picks the broadcast
+    anti-join at fixture SFs)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
@@ -3287,9 +3301,9 @@ def q16_supplier_count_by_part(spark, sf_dir):
         "s_suppkey"
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(auto_broadcast(part, table="part"), F.col("p_partkey") == F.col("l_partkey"))
         .join(
-            F.broadcast(bad_supp),
+            auto_broadcast(bad_supp, table="supplier"),
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -3371,8 +3385,8 @@ def q8_market_share(spark, sf_dir):
     )
     return (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(auto_broadcast(sup, table="supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(auto_broadcast(nat, table="nation"), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
             F.round(
@@ -3449,7 +3463,8 @@ def q20_dominant_suppliers(spark, sf_dir):
 
     Scale: both aggregates partial-combine map-side off the same scan;
     the (part,supp)⋈(part) join shuffles pre-aggregated rows only;
-    supplier/nation broadcast."""
+    nation is hinted (fixed-size), supplier is SF-growing and unhinted
+    (plans.auto_broadcast — AQE broadcasts it at fixture SFs)."""
     li = _t(spark, sf_dir, "lineitem")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(_dec2("l_quantity")).alias("supp_qty")
@@ -3462,8 +3477,8 @@ def q20_dominant_suppliers(spark, sf_dir):
     return (
         ps.join(pt, F.col("l_partkey") == F.col("pk"))
         .filter(F.lit(2) * F.col("supp_qty") > F.col("part_qty"))
-        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(auto_broadcast(sup, table="supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(auto_broadcast(nat, table="nation"), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy("s_suppkey", "s_name", "n_name")
         .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
         .orderBy("s_suppkey")

@@ -349,3 +349,64 @@ def test_union_output_partitioning_unsound(spark, sf_dir):
         "Spark's unionOutputPartitioning now appears sound on this "
         "build — consider re-enabling it after a full generative sweep"
     )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-hint policy (plans.auto_broadcast): hints only on
+# contract-bounded relations; SF-growing tables must broadcast via
+# Spark's own size checks so 100 TB SFs degrade to shuffle, not OOM.
+# ---------------------------------------------------------------------------
+
+
+def test_auto_broadcast_hint_gating(spark, sf_dir):
+    from lime_etl_spark.plans import auto_broadcast
+
+    def logical(df):
+        return df._jdf.queryExecution().logical().toString()
+
+    nation = read_table(spark, sf_dir, "nation")
+    supp = read_table(spark, sf_dir, "supplier")
+    # fixed-size dims get the hint
+    assert "UnresolvedHint" in logical(auto_broadcast(nation, table="nation"))
+    # SF-growing tables are refused, filtered or not
+    assert "UnresolvedHint" not in logical(auto_broadcast(supp, table="supplier"))
+    assert "UnresolvedHint" not in logical(
+        auto_broadcast(supp.filter(F.col("s_acctbal") < 0), table="supplier")
+    )
+    # caller-declared contract bounds get the hint
+    assert "UnresolvedHint" in logical(auto_broadcast(supp.limit(3), bounded=True))
+    # no provenance, no bound -> no hint
+    assert "UnresolvedHint" not in logical(auto_broadcast(supp))
+
+
+def test_sf_growing_tables_unhinted_still_broadcast(spark, sf_dir):
+    """The r9 verdict's q5 contradiction, pinned: every TPC-H-shape
+    registry query hints ONLY its fixed-size dims (nation/region —
+    counted as resolved broadcast-hint strategies in the optimized
+    logical plan), yet the physical plan still contains MORE
+    BroadcastHashJoins than hints — i.e. Spark's size-based planning
+    (static parquet stats + AQE) picks the supplier/part broadcast on
+    its own at fixture SFs, and at 100 TB SFs the same plan falls back
+    to a shuffle join instead of broadcasting a multi-GB table."""
+    expected_hints = {
+        "q5_region_revenue": 2,   # nation, region
+        "q7_nation_volume": 2,    # nation x2 (cust/supp roles)
+        "q9_profit_by_nation_year": 1,  # nation
+        "q14_promo_revenue": 0,   # part unhinted
+        "q19_bracketed_revenue": 0,  # part unhinted
+        "q2_min_cost_supplier": 2,   # nation, region
+        "q16_supplier_count_by_part": 0,  # part + supplier exclusion list
+        "q20_dominant_suppliers": 1,  # nation
+        "q8_market_share": 1,     # nation
+    }
+    for name, hints in expected_hints.items():
+        df = REGISTRY[name].spark_fn(spark, sf_dir)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        phys = _plan(df)
+        got_hints = opt.count("strategy=broadcast")
+        assert got_hints == hints, f"{name}: {got_hints} hints, want {hints}"
+        bhj = phys.count("BroadcastHashJoin")
+        assert bhj > hints, (
+            f"{name}: only {bhj} BroadcastHashJoin for {hints} hints — "
+            "size-based planning stopped broadcasting the SF-growing side"
+        )
