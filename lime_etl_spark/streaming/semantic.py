@@ -209,6 +209,16 @@ def _process_batch_inner(spark, ranked, batch_id, state_dir, threshold) -> None:
         guard = decision_guard(decisions_path, "vec_id")
         ranked = guard.filter_prior(ranked, batch_id)
 
+    # pin the guarded batch ONCE (round-10 advice): the two pair joins,
+    # the decisions build, and the member append all consume `ranked` —
+    # unpinned, each re-executes the guard's Arrow probe and the
+    # per-increment anti-joins (~4x per micro-batch), and in disk mode
+    # re-scans the decisions dir this very batch overwrites. Mirrors
+    # dedup.py's _Pin(guarded); batch-sized, released in the finally.
+    ranked_pin = _Pin(ranked)
+    ranked = ranked_pin.df
+    pins = [ranked_pin]
+
     pair_cos = F.round(
         _dot(F.col("ea"), F.col("eb")) / (_gnorm(F.col("ea")) * _gnorm(F.col("eb"))),
         6,
@@ -273,7 +283,7 @@ def _process_batch_inner(spark, ranked, batch_id, state_dir, threshold) -> None:
         )
         .withColumn("ingest_batch", F.lit(batch_id))
     )
-    pins = [decisions_pin]
+    pins.append(decisions_pin)
     try:
         _write_state(spark, decisions_pin, ranked, batch_id, state_dir, guard, pins)
     finally:

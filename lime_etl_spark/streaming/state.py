@@ -99,19 +99,31 @@ class _Pin:
 def _unseen_filter(bc, id_col: str):
     """Arrow kernel factory for the broadcast decided-id probe. Captures
     ONLY the (picklable) Broadcast handle and the column name — never
-    the guard object (py4j refs don't pickle)."""
+    the guard object (py4j refs don't pickle).
+
+    Runs under ``mapInArrow``, NOT ``mapInPandas``: the Arrow→pandas
+    bridge converts a bigint column containing any NULL to float64 for
+    the whole chunk, silently corrupting ids with \\|id\\| > 2^53 — both
+    in the probe AND in the passed-through rows on the way back out
+    (hash-derived 64-bit ids are a documented input). Staying in Arrow
+    keeps int64 exact end-to-end and skips two pandas conversions per
+    batch. NULL ids are never dropped: an equality anti-join cannot
+    match NULL, and the disk twin must agree row-for-row."""
 
     def fn(batches):
         import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
         ids_sorted = bc.value
-        for pdf in batches:
-            if len(ids_sorted) == 0 or len(pdf) == 0:
-                yield pdf
+        for rb in batches:
+            if len(ids_sorted) == 0 or rb.num_rows == 0:
+                yield rb
                 continue
-            col = pdf[id_col]
-            null_mask = col.isna().to_numpy()
-            vals = col.fillna(0).astype("int64").to_numpy()
+            col = rb.column(rb.schema.get_field_index(id_col))
+            null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+            # fill_null keeps the int64 type (no float64 transit)
+            vals = col.fill_null(0).to_numpy(zero_copy_only=False)
             pos = np.searchsorted(ids_sorted, vals)
             pos_c = np.minimum(pos, len(ids_sorted) - 1)
             # NULL ids never match an equality anti-join; mirror that
@@ -120,7 +132,7 @@ def _unseen_filter(bc, id_col: str):
                 & (ids_sorted[pos_c] == vals)
                 & ~null_mask
             )
-            yield pdf.loc[~hit]
+            yield rb.filter(pa.array(~hit))
 
     return fn
 
@@ -135,9 +147,16 @@ def _ids_to_numpy(df, id_col: str):
     tbl = df.select(id_col).toArrow()
     if tbl.num_rows == 0:
         return np.empty(0, dtype=np.int64)
-    arr = tbl.column(0).combine_chunks().to_numpy(zero_copy_only=False)
+    # drop_null BEFORE to_numpy: decided-id state never holds NULL by
+    # construction, but if one ever landed, to_numpy on a null-bearing
+    # int64 array goes through float64 and corrupts every |id| > 2^53
+    # in the column; dropping keeps the typed path exact and matches
+    # the anti-join semantics (NULL matches nothing, so it never
+    # belongs in the guard set anyway).
+    arr = tbl.column(0).combine_chunks().drop_null()
+    raw = arr.to_numpy(zero_copy_only=False)
     # Arrow hands back a read-only view — copy before the in-place sort
-    out = np.array(arr, dtype=np.int64, copy=True)
+    out = np.array(raw, dtype=np.int64, copy=True)
     out.sort()
     return out
 
@@ -181,6 +200,17 @@ class DecisionIdGuard:
       with the cache's coverage; any mismatch (state dir wiped between
       runs, written by another process, a crash that landed partitions
       the cache never saw) triggers a full rebuild from disk;
+
+    PRECONDITION — single writer per state dir: the coverage check
+    compares the partition NAME set only, so it detects added/removed
+    partitions but NOT an out-of-band writer that rewrites an existing
+    ``ingest_batch=N`` partition in place with different ids — that
+    leaves the guard serving stale decided ids until the next rebuild.
+    This is the same single-writer contract the maintainers' dynamic
+    partition overwrite already requires (two concurrent writers to one
+    state dir corrupt the state with or without the guard — see
+    SCALE.md); it is stated here because the guard turns the violation
+    from "last write wins" into "stale reads until restart".
     - ``record`` is called only after ALL of a batch's state writes
       succeed — a crash in between leaves the increment unrecorded, the
       replay re-decides the batch, and the partition overwrites make
@@ -238,7 +268,16 @@ class DecisionIdGuard:
     def _destroy_bc(self) -> None:
         if self._bc is not None:
             try:
-                self._bc.destroy()
+                # unpersist, NOT destroy: a still-lazy filter_prior plan
+                # built against the superseded broadcast may legally run
+                # after a compaction/rebuild publishes its replacement.
+                # unpersist drops the executor copies but keeps the
+                # driver value re-fetchable, so the straggler plan
+                # succeeds; destroy() would fail it with a
+                # destroyed-broadcast error. The driver copy is
+                # reclaimed by the ContextCleaner once the last plan
+                # reference dies.
+                self._bc.unpersist()
             except Exception:
                 pass  # context already stopped: it died with the JVM
         self._bc = None
@@ -294,7 +333,7 @@ class DecisionIdGuard:
             self._validate(spark, batch_id)
             out = df
             if self._base_ids is not None and len(self._base_ids):
-                out = out.mapInPandas(
+                out = out.mapInArrow(
                     _unseen_filter(self._bc, self.id_col), df.schema
                 )
             for bid, pin in self._incs.items():

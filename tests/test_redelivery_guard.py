@@ -208,3 +208,57 @@ def test_semantic_gate_cached_equals_disk_guard(spark, tmp_path, monkeypatch):
         ) == _rows(
             read_state_or_empty(spark, os.path.join(cached_state, sub), schema)
         )
+
+
+def test_guard_exact_on_int64_ids_beyond_2e53_with_nulls(spark, tmp_path):
+    """Round-10 advice (medium): the probe must not transit float64.
+
+    The old mapInPandas kernel saw a bigint column containing any NULL
+    as float64 for the whole chunk, so ids with |id| > 2^53 were
+    rounded — adjacent huge ids collapsed and the cached guard silently
+    diverged from the exact disk anti-join (false drops AND false
+    re-decisions). Hash-derived 64-bit ids make this a real input. The
+    mapInArrow kernel keeps int64 exact; NULL ids pass through (an
+    equality anti-join can never match NULL — disk-twin parity)."""
+    base = 2**62 + 11  # far beyond float64's 2^53 integer range
+    decided = [base, base + 2, -(2**61) - 7]
+    state = str(tmp_path / "decisions")
+    spark.createDataFrame(
+        [(i, 0) for i in decided], "doc_id bigint, ingest_batch bigint"
+    ).write.partitionBy("ingest_batch").parquet(state)
+
+    guard = sstate.DecisionIdGuard(state, "doc_id")
+    batch = spark.createDataFrame(
+        [
+            (base, "dup-exact"),          # decided -> dropped
+            (base + 1, "neighbor"),       # float64 would collapse onto base
+            (base + 2, "dup-exact-2"),    # decided -> dropped
+            (base + 3, "neighbor-2"),
+            (-(2**61) - 7, "neg-dup"),    # decided -> dropped
+            (-(2**61) - 6, "neg-neighbor"),
+            (None, "null-id"),            # NULL never matches -> kept
+        ],
+        "doc_id bigint, payload string",
+    )
+    out = guard.filter_prior(batch, batch_id=1)
+    got = sorted(
+        (r.payload, r.doc_id) for r in out.collect()
+    )
+    assert got == [
+        ("neg-neighbor", -(2**61) - 6),
+        ("neighbor", base + 1),
+        ("neighbor-2", base + 3),
+        ("null-id", None),
+    ]
+    # the exact disk-mode anti-join agrees row-for-row
+    prior = (
+        spark.read.schema("doc_id bigint, ingest_batch bigint")
+        .parquet(state)
+        .filter(F.col("ingest_batch") != 1)
+        .select("doc_id")
+    )
+    disk = sorted(
+        (r.payload, r.doc_id)
+        for r in batch.join(prior, "doc_id", "left_anti").collect()
+    )
+    assert got == disk
