@@ -70,6 +70,119 @@ def compare(spark_rows, spark_cols, duck_rows, duck_cols) -> list[str]:
     return errs
 
 
+# ---------------------------------------------------------------------------
+# Collect-free compare (round-10, r9 verdict task #2): per-partition
+# hash fold on the Spark side, streaming Arrow-reader fold on the
+# DuckDB side — the driver's own hash_match design applied to the
+# generative sweep, so sf10+ whole-result checks never materialize
+# either engine's full result in driver memory.
+# ---------------------------------------------------------------------------
+
+_HASH_MOD = 1 << 64
+
+
+def _canon_cell(v):
+    """canon() extended to the types the Arrow path surfaces (tz-aware
+    timestamps, dates, nested lists/structs), rendered deterministic.
+    Both engines run THIS function over their own Arrow output, so the
+    only shared code is the canonicalization — exactly like the
+    collect-based compare's canon()."""
+    import datetime as dt
+
+    if isinstance(v, dt.datetime):
+        # Spark's Arrow batches carry the session timezone (UTC);
+        # DuckDB's timestamps are naive (UTC by the session contract) —
+        # normalize both to naive-UTC ISO text
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return "ts:" + v.isoformat()
+    if isinstance(v, dt.date):
+        return "d:" + v.isoformat()
+    if isinstance(v, bool):
+        return v  # before int: bool is an int subclass
+    if isinstance(v, (int, Decimal)):
+        # one rendering for ALL exact numerics: DuckDB's Arrow reader
+        # surfaces HUGEINT (sum(bigint)) as decimal128(38,0) where
+        # fetchall() coerces it to python int — Spark's stays int64.
+        # The full compare never sees this (fetchall's coercion hides
+        # it); the Arrow path must unify int and integral Decimal or
+        # every sum(bigint) aggregate false-mismatches. format(...,'f')
+        # avoids normalize()'s exponent form (1.69244E+5) and strips
+        # trailing zeros via normalize() first, so dec(38,2) '7.50',
+        # dec(12,1) '7.5' and int 7.5x10 all land on the same text.
+        if isinstance(v, Decimal):
+            return "num:" + format(v.normalize(), "f")
+        return "num:" + str(v)
+    if isinstance(v, list):
+        return "[" + ",".join(str(_canon_cell(x)) for x in v) + "]"
+    if isinstance(v, dict):
+        return (
+            "{"
+            + ",".join(f"{k}={_canon_cell(x)}" for k, x in sorted(v.items()))
+            + "}"
+        )
+    return canon(v)
+
+
+def _fold_record_batches(batches, cols_sorted):
+    """Order-insensitive ``(count, sum-of-row-hashes mod 2^64)`` fold
+    over an iterable of pyarrow RecordBatches — one batch resident at a
+    time. Row hash = sha1 over the repr of the name-sorted canonical
+    cell tuple (the same cell canonicalization the full compare uses)."""
+    import hashlib
+
+    cnt, acc = 0, 0
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        idx = [rb.schema.get_field_index(c) for c in cols_sorted]
+        cols = [rb.column(i).to_pylist() for i in idx]
+        for row in zip(*cols):
+            s = repr(tuple(_canon_cell(v) for v in row)).encode()
+            acc = (
+                acc + int.from_bytes(hashlib.sha1(s).digest()[:8], "big")
+            ) % _HASH_MOD
+            cnt += 1
+    return cnt, acc
+
+
+def _spark_hash_fold(sdf):
+    """Distributed fold: per-partition (count, hash-sum) partials via
+    mapInArrow; ONE tiny row per partition reaches the driver. The sum
+    is commutative, so partition order (and any shuffle nondeterminism)
+    cannot affect the aggregate."""
+    cols_sorted = sorted(sdf.columns)
+
+    def fold(batches):
+        import pyarrow as pa
+
+        cnt, acc = _fold_record_batches(batches, cols_sorted)
+        # acc as text: 2^64-1 overflows Arrow's int64
+        yield pa.RecordBatch.from_pydict({"cnt": [cnt], "acc": [str(acc)]})
+
+    parts = sdf.mapInArrow(fold, "cnt bigint, acc string").collect()
+    cnt = sum(r.cnt for r in parts)
+    acc = sum(int(r.acc) for r in parts) % _HASH_MOD
+    return cnt, acc, list(sdf.columns)
+
+
+def _duck_hash_fold(drel, batch_size: int = 65536):
+    """Streaming fold over DuckDB's Arrow record-batch reader —
+    constant memory, never a full fetchall."""
+    cols = list(drel.columns)
+    reader = drel.fetch_arrow_reader(batch_size)
+
+    def gen():
+        while True:
+            try:
+                yield reader.read_next_batch()
+            except StopIteration:
+                return
+
+    cnt, acc = _fold_record_batches(gen(), sorted(cols))
+    return cnt, acc, cols
+
+
 def duck_connect(sf_dir: str):
     import os
 
@@ -93,9 +206,16 @@ def duck_connect(sf_dir: str):
     return con
 
 
-def check_seed(spark, duck, seed: int, sf_dir: str) -> dict:
+def check_seed(
+    spark, duck, seed: int, sf_dir: str, compare_mode: str = "full"
+) -> dict:
     """Run one seed both ways. Returns a result record (never raises on
-    comparison failure; build/execute errors are captured too)."""
+    comparison failure; build/execute errors are captured too).
+
+    ``compare_mode='hash'`` swaps the full-result collect for the
+    collect-free fold above — same columns/rowcount/value bar, with the
+    value check as an order-insensitive row-hash sum instead of a
+    sorted row-by-row diff (so a mismatch reports no sample rows)."""
     from lime_etl_spark.tools.qgen import generate_query
 
     rec: dict = {"seed": seed}
@@ -105,6 +225,8 @@ def check_seed(spark, duck, seed: int, sf_dir: str) -> dict:
         rec["error"] = f"generate: {type(exc).__name__}: {exc}"
         return rec
     rec["ops"] = rel.ops
+    if compare_mode == "hash":
+        return _check_seed_hash(rec, rel, duck)
     try:
         sdf = rel.df
         spark_rows = [tuple(r) for r in sdf.collect()]
@@ -127,6 +249,34 @@ def check_seed(spark, duck, seed: int, sf_dir: str) -> dict:
         rec["sql"] = rel.sql
     else:
         rec["rows"] = len(spark_rows)
+    return rec
+
+
+def _check_seed_hash(rec: dict, rel, duck) -> dict:
+    try:
+        s_cnt, s_acc, spark_cols = _spark_hash_fold(rel.df)
+    except Exception as exc:
+        rec["error"] = f"spark: {type(exc).__name__}: {exc}"
+        rec["sql"] = rel.sql
+        return rec
+    try:
+        d_cnt, d_acc, duck_cols = _duck_hash_fold(duck.sql(rel.sql))
+    except Exception as exc:
+        rec["error"] = f"duckdb: {type(exc).__name__}: {exc}"
+        rec["sql"] = rel.sql
+        return rec
+    errs: list[str] = []
+    if sorted(spark_cols) != sorted(duck_cols):
+        errs.append(f"columns: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+    elif s_cnt != d_cnt:
+        errs.append(f"rowcount: spark={s_cnt} duck={d_cnt}")
+    elif s_acc != d_acc:
+        errs.append(f"valuehash: spark={s_acc} duck={d_acc} over {s_cnt} rows")
+    if errs:
+        rec["mismatch"] = errs
+        rec["sql"] = rel.sql
+    else:
+        rec["rows"] = s_cnt
     return rec
 
 
@@ -182,6 +332,7 @@ QGEN_OPS = [
 def run_sweep_min_ops(
     spark, sf_dir: str, start: int, min_seeds: int, min_per_op: int,
     cap: int = 50000, progress_every: int = 50, seed_timeout: float = 180.0,
+    compare_mode: str = "full",
 ) -> dict:
     """Round-9 (r8 verdict task #3): run ``min_seeds`` random seeds,
     then TARGET the ops still under the ``min_per_op`` floor — the r8
@@ -240,7 +391,7 @@ def run_sweep_min_ops(
         box: dict = {}
 
         def _one(s=this_seed, d=duck):
-            box["rec"] = check_seed(spark, d, s, sf_dir)
+            box["rec"] = check_seed(spark, d, s, sf_dir, compare_mode)
 
         import threading
 
@@ -256,7 +407,15 @@ def run_sweep_min_ops(
             th.join(timeout=60)
             timeouts.append(this_seed)
             print(f"# seed {this_seed}: exceeded {seed_timeout}s budget, skipped", flush=True)
-            duck.close()
+            # close the old connection ONLY once the worker thread is
+            # confirmed dead: interrupt() is best-effort and the join
+            # can expire with the query still running — DuckDB
+            # connections are not safe to close during concurrent use
+            # (close-while-querying can crash the whole sweep). If the
+            # zombie survives the join, LEAK the connection to it and
+            # just open a fresh one.
+            if not th.is_alive():
+                duck.close()
             duck = duck_connect(sf_dir)  # a fresh connection; the old one may be poisoned
             continue
         rec = box["rec"]
@@ -281,6 +440,7 @@ def run_sweep_min_ops(
     duck.close()
     return {
         "sf_dir": sf_dir,
+        "compare_mode": compare_mode,
         "min_per_op": min_per_op,
         "seed_timeout_sec": seed_timeout,
         "timed_out_seeds": timeouts,
@@ -308,6 +468,15 @@ def main() -> None:
         help="run at least --seeds seeds and until every qgen op label "
         "has this many draws",
     )
+    ap.add_argument(
+        "--compare-mode", choices=["full", "hash"], default="full",
+        help="full: collect both engines' results and diff row-by-row; "
+        "hash: collect-free order-insensitive row-hash fold (sf10+)",
+    )
+    ap.add_argument(
+        "--seed-timeout", type=float, default=180.0,
+        help="per-seed wall budget (min-op mode only)",
+    )
     args = ap.parse_args()
 
     from lime_etl_spark.session import get_spark
@@ -316,7 +485,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     if args.min_op:
         report = run_sweep_min_ops(
-            spark, args.sf_dir, args.start, args.seeds, args.min_op
+            spark, args.sf_dir, args.start, args.seeds, args.min_op,
+            seed_timeout=args.seed_timeout, compare_mode=args.compare_mode,
         )
     else:
         report = run_sweep(

@@ -193,3 +193,56 @@ def test_gencheck_canon_and_compare_primitives():
     assert compare(
         [("x", 1)], ["s", "i"], [(1, "x")], ["i", "s"]
     ) == []
+
+
+def test_gencheck_hash_mode_matches_full_mode(spark, sf_dir, oracle_sf_dir):
+    """The collect-free hash compare (r9 verdict task #2) must deliver
+    the SAME verdicts as the full row-by-row compare: identical
+    pass/fail and row counts over a seed block, and a planted
+    single-cell diff must flip the hash while leaving the count."""
+    from lime_etl_spark.tools import gencheck as gc
+
+    duck = gc.duck_connect(oracle_sf_dir)
+    try:
+        for seed in (0, 1, 2, 7, 11, 13):
+            full = gc.check_seed(spark, duck, seed, oracle_sf_dir, "full")
+            hsh = gc.check_seed(spark, duck, seed, oracle_sf_dir, "hash")
+            assert ("rows" in full) == ("rows" in hsh), (seed, full, hsh)
+            assert full.get("rows") == hsh.get("rows"), (seed, full, hsh)
+            assert "error" not in full and "error" not in hsh, (full, hsh)
+    finally:
+        duck.close()
+
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    c1, a1, cols1 = gc._spark_hash_fold(base)
+    c2, a2, _ = gc._spark_hash_fold(
+        base.withColumn(
+            "v", F.when(F.col("k") == 37, F.lit(-1)).otherwise(F.col("v"))
+        )
+    )
+    assert (c1, cols1) == (100, ["k", "v"])
+    assert c2 == c1 and a2 != a1  # value diff caught, count unchanged
+
+
+def test_gencheck_hash_canon_unifies_exact_numerics():
+    """DuckDB's Arrow reader surfaces HUGEINT aggregates as
+    decimal128(38,0) where fetchall() coerces to int — the hash canon
+    must land int 7, Decimal('7'), and Decimal('7.00') on one text,
+    while keeping bools, floats, and non-integral decimals distinct."""
+    from decimal import Decimal
+
+    from lime_etl_spark.tools.gencheck import _canon_cell
+
+    assert _canon_cell(7) == _canon_cell(Decimal("7")) == _canon_cell(Decimal("7.00"))
+    assert _canon_cell(Decimal("7.5")) == _canon_cell(Decimal("7.50"))
+    assert _canon_cell(7) != _canon_cell(Decimal("7.5"))
+    assert _canon_cell(True) != _canon_cell(1)
+    assert _canon_cell(7.0) != _canon_cell(7)  # float stays IEEE-hex
+    assert _canon_cell(None) is None
+    import datetime as dt
+
+    naive = dt.datetime(2026, 1, 2, 3, 4, 5)
+    aware = dt.datetime(2026, 1, 2, 3, 4, 5, tzinfo=dt.timezone.utc)
+    assert _canon_cell(naive) == _canon_cell(aware)
