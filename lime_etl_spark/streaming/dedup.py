@@ -61,7 +61,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from lime_etl_spark.io import sinks
-from lime_etl_spark.streaming.state import _Pin, decision_guard, guard_mode
+from lime_etl_spark.streaming.state import _Pin, decision_guard
 from lime_etl_spark.streaming.state import read_state_or_empty as _read_or_empty
 from lime_etl_spark.ops import dedup
 
@@ -138,21 +138,14 @@ def process_batch(
     # The current batch's own partition is excluded, so a REPLAYED batch
     # re-decides identically (partition overwrite converges).
     decisions_path = os.path.join(state_dir, DECISIONS_SUBDIR)
-    if guard_mode() == "disk":
-        # round-8 behavior: full decisions read per batch (differential
-        # twin for the amortized guard; see state.guard_mode)
-        guard = None
-        prior_ids = (
-            _read_or_empty(spark, decisions_path, _DECISIONS_SCHEMA)
-            .filter(F.col("ingest_batch") != batch_id)
-            .select("doc_id")
-        )
-        guarded = new_docs.join(prior_ids, "doc_id", "left_anti")
-    else:
-        # amortized: broadcast sorted-id probe + tiny increment joins
-        # (state.DecisionIdGuard) — no per-batch O(state) read
-        guard = decision_guard(decisions_path, "doc_id")
-        guarded = guard.filter_prior(new_docs, batch_id)
+    # every mode routes through DecisionIdGuard (round-10): disk — and
+    # auto before its measured crossover — reproduces the round-8
+    # per-batch read INSIDE the guard (state._disk_prior_ids builds the
+    # identical plan); cached/sharded (and auto past crossover) use the
+    # amortized broadcast probe + tiny increment joins. record() is a
+    # no-op on the disk path, so the call below is mode-agnostic.
+    guard = decision_guard(decisions_path, "doc_id")
+    guarded = guard.filter_prior(new_docs, batch_id)
     # eager localCheckpoint, NOT cache(): in disk mode this frame embeds
     # a scan of the decisions dir that this very batch then OVERWRITES —
     # a cached plan stays registered with the CacheManager, and the
@@ -309,13 +302,13 @@ def _write_state(
     sinks.idempotent_reload(
         docs_pin.df, os.path.join(state_dir, DOCS_SUBDIR), "ingest_batch"
     )
-    if guard is not None:
-        # ONLY after every write above succeeded: a crash between the
-        # decisions write and here leaves the increment unrecorded, so
-        # the replay re-decides the batch (instead of the guard hiding
-        # the ids and the replay skipping the bands/docs writes that
-        # never happened — the crash-convergence contract)
-        guard.record(spark, batch_id, decisions_pin.df.select("doc_id"))
+    # ONLY after every write above succeeded: a crash between the
+    # decisions write and here leaves the increment unrecorded, so
+    # the replay re-decides the batch (instead of the guard hiding
+    # the ids and the replay skipping the bands/docs writes that
+    # never happened — the crash-convergence contract). record() is a
+    # no-op on the disk path, so the call is mode-agnostic.
+    guard.record(spark, batch_id, decisions_pin.df.select("doc_id"))
 
 
 def dedup_on_ingest(

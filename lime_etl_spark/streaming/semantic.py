@@ -75,7 +75,7 @@ from lime_etl_spark.ops.similarity import (
     _gnorm,
     _to_double,
 )
-from lime_etl_spark.streaming.state import _Pin, decision_guard, guard_mode
+from lime_etl_spark.streaming.state import _Pin, decision_guard
 from lime_etl_spark.streaming.state import read_state_or_empty as _read_or_empty
 
 MEMBERS_SUBDIR = "members"
@@ -195,19 +195,12 @@ def _process_batch_inner(spark, ranked, batch_id, state_dir, threshold) -> None:
     # (module docstring); LIME_REDELIVERY_GUARD=disk keeps the round-8
     # per-batch read as the differential twin.
     decisions_path = os.path.join(state_dir, DECISIONS_SUBDIR)
-    if guard_mode() == "disk":
-        guard = None
-        prior_ids = (
-            _read_or_empty(spark, decisions_path, _DECISIONS_SCHEMA)
-            .filter(F.col("ingest_batch") != batch_id)
-            .select("vec_id")
-        )
-        ranked = ranked.join(prior_ids, "vec_id", "left_anti")
-    else:
-        # amortized: broadcast sorted-id probe + tiny increment joins
-        # (state.DecisionIdGuard) — no per-batch O(state) read
-        guard = decision_guard(decisions_path, "vec_id")
-        ranked = guard.filter_prior(ranked, batch_id)
+    # every mode routes through DecisionIdGuard (round-10): disk — and
+    # auto before its measured crossover — reproduces the round-8
+    # per-batch read INSIDE the guard; cached/sharded (and auto past
+    # crossover) use the amortized broadcast probe + increment joins.
+    guard = decision_guard(decisions_path, "vec_id")
+    ranked = guard.filter_prior(ranked, batch_id)
 
     # pin the guarded batch ONCE (round-10 advice): the two pair joins,
     # the decisions build, and the member append all consume `ranked` —
@@ -328,11 +321,12 @@ def _write_state(spark, decisions_pin, ranked, batch_id, state_dir, guard, pins)
     sinks.idempotent_reload(
         members_pin.df, os.path.join(state_dir, MEMBERS_SUBDIR), "ingest_batch"
     )
-    if guard is not None:
-        # only after BOTH writes succeeded — a crash in between must
-        # leave the increment unrecorded so the replay re-decides the
-        # batch and completes the member write (crash convergence)
-        guard.record(spark, batch_id, decisions_pin.df.select("vec_id"))
+    # only after BOTH writes succeeded — a crash in between must
+    # leave the increment unrecorded so the replay re-decides the
+    # batch and completes the member write (crash convergence).
+    # record() is a no-op on the disk path, so the call is
+    # mode-agnostic.
+    guard.record(spark, batch_id, decisions_pin.df.select("vec_id"))
 
 
 def semantic_dedup_on_ingest(

@@ -41,13 +41,27 @@ def read_state_or_empty(spark: SparkSession, path: str, schema: str) -> DataFram
 
 
 def guard_mode() -> str:
-    """``cached`` (default): amortized in-memory decided-id guard below.
-    ``disk`` (env LIME_REDELIVERY_GUARD=disk): the round-8 behavior — a
-    full O(state) decisions read per micro-batch. Kept as the
-    differential-testing twin: the generative ingest families run green
-    on both, pinning their equivalence."""
-    mode = os.environ.get("LIME_REDELIVERY_GUARD", "cached").strip().lower()
-    return "disk" if mode == "disk" else "cached"
+    """Re-delivery guard mode (env ``LIME_REDELIVERY_GUARD``):
+
+    - ``auto`` (default, round-10): start on the per-batch disk
+      anti-join (cheapest for small/fixed corpora — the r9-measured
+      pessimization) and FLIP to the broadcast guard when the measured
+      disk-read cost crosses the measured fixed probe cost. The
+      crossover is derived from two on-host measurements per epoch, not
+      a hardcoded id count (SCALE.md round-9 measured ~2M ids on that
+      host; another host lands elsewhere).
+    - ``cached``: always the broadcast guard (round-9 behavior).
+    - ``sharded``: the broadcast guard with the epoch array split into
+      bounded consecutive shards, each its own broadcast — lifts the
+      single-broadcast ~2 GB pickle/transport ceiling toward the
+      1e9-id regime (the driver still holds the full array once per
+      epoch; that transit is the next documented ceiling).
+    - ``disk``: the round-8 behavior — a full O(state) decisions read
+      per micro-batch. Kept as the differential-testing twin: the
+      generative ingest families run green on every mode against it.
+    """
+    mode = os.environ.get("LIME_REDELIVERY_GUARD", "auto").strip().lower()
+    return mode if mode in ("disk", "cached", "sharded", "auto") else "auto"
 
 
 class _Pin:
@@ -96,10 +110,17 @@ class _Pin:
         self._rdd_id = None
 
 
-def _unseen_filter(bc, id_col: str):
+def _unseen_filter(bcs, shard_maxes, id_col: str):
     """Arrow kernel factory for the broadcast decided-id probe. Captures
-    ONLY the (picklable) Broadcast handle and the column name — never
-    the guard object (py4j refs don't pickle).
+    ONLY the (picklable) Broadcast handles, the shard upper bounds, and
+    the column name — never the guard object (py4j refs don't pickle).
+
+    ``bcs`` is a list of broadcasts of consecutive slices of the global
+    sorted id array; ``shard_maxes[k]`` is shard k's last element, so
+    ``searchsorted(shard_maxes, v)`` names the ONLY shard that can
+    contain ``v`` (values past the global max map to index len(bcs) —
+    a miss without touching any shard). One shard (cached mode) makes
+    this exactly the round-9 single-broadcast probe.
 
     Runs under ``mapInArrow``, NOT ``mapInPandas``: the Arrow→pandas
     bridge converts a bigint column containing any NULL to float64 for
@@ -115,26 +136,62 @@ def _unseen_filter(bc, id_col: str):
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        ids_sorted = bc.value
+        shards = None
         for rb in batches:
-            if len(ids_sorted) == 0 or rb.num_rows == 0:
+            if rb.num_rows == 0:
                 yield rb
                 continue
+            if shards is None:  # lazy: an empty task never fetches
+                shards = [b.value for b in bcs]
             col = rb.column(rb.schema.get_field_index(id_col))
             null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
             # fill_null keeps the int64 type (no float64 transit)
             vals = col.fill_null(0).to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(ids_sorted, vals)
-            pos_c = np.minimum(pos, len(ids_sorted) - 1)
+            si = np.searchsorted(shard_maxes, vals)
+            hit = np.zeros(len(vals), dtype=bool)
+            for k, arr in enumerate(shards):
+                m = si == k
+                if not m.any():
+                    continue
+                v = vals[m]
+                pos = np.searchsorted(arr, v)
+                pos_c = np.minimum(pos, len(arr) - 1)
+                hit[m] = (pos < len(arr)) & (arr[pos_c] == v)
             # NULL ids never match an equality anti-join; mirror that
-            hit = (
-                (pos < len(ids_sorted))
-                & (ids_sorted[pos_c] == vals)
-                & ~null_mask
-            )
+            hit &= ~null_mask
             yield rb.filter(pa.array(~hit))
 
     return fn
+
+
+def _measure_probe_fixed_cost(spark: SparkSession) -> float:
+    """The broadcast guard's per-batch FIXED cost on THIS host/session:
+    wall time of a minimal mapInArrow job of the same shape (one
+    python-worker stage plus job scheduling). Two runs, min taken — the
+    first pays python-worker spawn, which a long-lived stream pays once,
+    not per batch. This is auto mode's crossover calibration: the disk
+    twin's per-batch cost GROWS with state while this stays flat, so
+    the flip point is 'measured disk read > this', not a hardcoded id
+    count."""
+    import time as _time
+
+    import numpy as np
+
+    bc = spark.sparkContext.broadcast(np.array([0], dtype=np.int64))
+    maxes = np.array([0], dtype=np.int64)
+    df = spark.createDataFrame([(1,)], "x bigint")
+    best = float("inf")
+    try:
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            df.mapInArrow(_unseen_filter([bc], maxes, "x"), "x bigint").count()
+            best = min(best, _time.perf_counter() - t0)
+    finally:
+        try:
+            bc.unpersist()
+        except Exception:
+            pass
+    return best
 
 
 def _ids_to_numpy(df, id_col: str):
@@ -233,19 +290,50 @@ class DecisionIdGuard:
     guard rebuilds itself from disk on the next coverage mismatch or
     session restart). Broadcasts, by contrast, re-fetch from the driver
     transparently.
+
+    Round-10 modes (see guard_mode):
+
+    - ``auto`` (default) starts on the DISK phase — filter_prior builds
+      the round-8 per-batch anti-join plan verbatim — and flips to the
+      broadcast phase when the measured decisions read at the current
+      size exceeds the measured fixed probe cost
+      (_measure_probe_fixed_cost); the crossover is an on-host
+      measurement, never a hardcoded id count, and the flip reuses the
+      measuring read as the epoch read. Small fixed corpora therefore
+      never pay the ~1 s/batch probe overhead the r9 verdict called a
+      pessimization, and unbounded corpora flip exactly when disk
+      starts losing.
+    - ``sharded`` splits the epoch array into consecutive
+      LIME_GUARD_SHARD_ROWS-id slices, each its own broadcast, probed
+      via a shard-max searchsorted dispatch — lifting the single
+      -broadcast ~2 GB pickle/transport ceiling (the next ceiling, the
+      once-per-epoch driver transit of the full array, stays documented
+      in SCALE.md with bloom+exact-confirm as the following rung).
     """
 
     COMPACT_EVERY = 32
+    # auto mode: re-measure the disk read every N batches while on the
+    # disk path (the measurement IS the potential epoch read — on a
+    # flip it is reused, on a stay it costs one extra read per N)
+    CHECK_EVERY = 8
 
-    def __init__(self, path: str, id_col: str):
+    def __init__(self, path: str, id_col: str, mode: str | None = None):
         self.path = path
         self.id_col = id_col
+        self.mode = mode if mode is not None else guard_mode()
+        # disk/auto start on the per-batch disk anti-join; cached and
+        # sharded go straight to the broadcast guard
+        self.phase = "disk" if self.mode in ("disk", "auto") else "bc"
         self._lock = threading.RLock()
         self._app_id: str | None = None
         self._base_ids = None  # sorted int64 numpy array (driver copy)
-        self._bc = None  # sc.broadcast of _base_ids
+        self._bcs: list = []  # broadcasts of consecutive shards of it
+        self._shard_maxes = None  # int64 array of each shard's last id
         self._base_parts: set[int] = set()
         self._incs: dict[int, _Pin] = {}  # batch_id -> (id_col) frame
+        self._batches = 0  # auto: filter_prior calls while on disk
+        self._checked_at = 0
+        self._fixed_cost: float | None = None
 
     # -- plumbing ------------------------------------------------------
 
@@ -266,7 +354,7 @@ class DecisionIdGuard:
         return parts
 
     def _destroy_bc(self) -> None:
-        if self._bc is not None:
+        for bc in self._bcs:
             try:
                 # unpersist, NOT destroy: a still-lazy filter_prior plan
                 # built against the superseded broadcast may legally run
@@ -277,10 +365,11 @@ class DecisionIdGuard:
                 # destroyed-broadcast error. The driver copy is
                 # reclaimed by the ContextCleaner once the last plan
                 # reference dies.
-                self._bc.unpersist()
+                bc.unpersist()
             except Exception:
                 pass  # context already stopped: it died with the JVM
-        self._bc = None
+        self._bcs = []
+        self._shard_maxes = None
         self._base_ids = None
 
     def _release_all(self) -> None:
@@ -290,10 +379,29 @@ class DecisionIdGuard:
         self._base_parts = set()
         self._incs = {}
 
+    def _shard_rows(self) -> int:
+        """Max ids per broadcast shard (sharded mode). Default 32M ids
+        = 256 MB per shard — far below the single-broadcast ~2 GB
+        pickle ceiling; 1e9 ids become ~32 shards."""
+        try:
+            return int(os.environ.get("LIME_GUARD_SHARD_ROWS", "32000000"))
+        except ValueError:
+            return 32_000_000
+
     def _publish(self, spark: SparkSession, ids) -> None:
+        import numpy as np
+
         self._destroy_bc()
         self._base_ids = ids
-        self._bc = spark.sparkContext.broadcast(ids)
+        if len(ids) == 0:
+            return
+        rows = self._shard_rows()
+        if self.mode == "sharded" and len(ids) > rows:
+            shards = [ids[i : i + rows] for i in range(0, len(ids), rows)]
+        else:
+            shards = [ids]
+        self._bcs = [spark.sparkContext.broadcast(s) for s in shards]
+        self._shard_maxes = np.array([s[-1] for s in shards], dtype=np.int64)
 
     def _rebuild(self, spark: SparkSession, disk_parts: set[int], batch_id: int) -> None:
         import numpy as np
@@ -324,17 +432,71 @@ class DecisionIdGuard:
 
     # -- the three calls the maintainers and tests make ------------------
 
+    def _disk_prior_ids(self, spark: SparkSession, batch_id: int) -> DataFrame:
+        """The round-8 per-batch plan, verbatim: a schema'd (pruned)
+        read of the decisions dir minus the current batch's partition."""
+        return (
+            read_state_or_empty(
+                spark, self.path, f"{self.id_col} bigint, ingest_batch bigint"
+            )
+            .filter(F.col("ingest_batch") != F.lit(batch_id))
+            .select(self.id_col)
+        )
+
+    def _maybe_flip(self, spark: SparkSession, batch_id: int) -> None:
+        """auto mode, disk phase: every CHECK_EVERY batches (and on the
+        epoch's first batch, so a restart over a large existing state
+        flips immediately) measure the actual decisions read at the
+        CURRENT size against the measured fixed probe cost. On a flip
+        the measurement IS the epoch read — published, not wasted."""
+        import time as _time
+
+        self._batches += 1
+        # _checked_at == 0 until a measurement actually ran, so the
+        # first REAL check happens on the first batch that sees any
+        # existing state (not consumed by the empty-dir first batch)
+        if self._checked_at and self._batches - self._checked_at < self.CHECK_EVERY:
+            return
+        disk_parts = self._disk_parts(spark)
+        parts = disk_parts - {batch_id}
+        if not parts:
+            return  # nothing decided yet — nothing to measure or flip for
+        self._checked_at = self._batches
+        if self._fixed_cost is None:
+            self._fixed_cost = _measure_probe_fixed_cost(spark)
+        t0 = _time.perf_counter()
+        ids = _ids_to_numpy(self._disk_prior_ids(spark, batch_id), self.id_col)
+        t_read = _time.perf_counter() - t0
+        if t_read > self._fixed_cost:
+            self._release_all()
+            self._publish(spark, ids)
+            self._base_parts = set(parts)
+            self._app_id = spark.sparkContext.applicationId
+            self.phase = "bc"
+
     def filter_prior(self, df: DataFrame, batch_id: int) -> DataFrame:
         """``df`` minus every id decided in a batch other than
-        ``batch_id`` — the guard's replacement for the per-batch
-        disk-read anti-join."""
+        ``batch_id``. Disk phase (mode=disk, or auto before its
+        measured crossover): the round-8 per-batch anti-join against
+        the decisions read. Broadcast phase: the amortized sorted-array
+        probe plus tiny increment anti-joins."""
         spark = df.sparkSession
         with self._lock:
+            if self.phase == "disk":
+                if self.mode == "auto":
+                    self._maybe_flip(spark, batch_id)
+                if self.phase == "disk":
+                    return df.join(
+                        self._disk_prior_ids(spark, batch_id),
+                        self.id_col,
+                        "left_anti",
+                    )
             self._validate(spark, batch_id)
             out = df
             if self._base_ids is not None and len(self._base_ids):
                 out = out.mapInArrow(
-                    _unseen_filter(self._bc, self.id_col), df.schema
+                    _unseen_filter(self._bcs, self._shard_maxes, self.id_col),
+                    df.schema,
                 )
             for bid, pin in self._incs.items():
                 if bid != batch_id:
@@ -346,6 +508,8 @@ class DecisionIdGuard:
         hot path is filter_prior — this ships the driver array back out
         through createDataFrame)."""
         with self._lock:
+            if self.phase == "disk":
+                return self._disk_prior_ids(spark, batch_id)
             self._validate(spark, batch_id)
             base = self._base_ids
             rows = [(int(i),) for i in (base if base is not None else [])]
@@ -360,6 +524,8 @@ class DecisionIdGuard:
         after every state write of the batch has succeeded (see class
         docstring for why recording earlier breaks crash convergence)."""
         with self._lock:
+            if self.phase == "disk":
+                return  # every batch re-reads disk; nothing to extend
             if spark.sparkContext.applicationId != self._app_id:
                 return  # next filter_prior rebuilds from disk anyway
             pin = _Pin(ids.select(self.id_col))

@@ -61,7 +61,11 @@ def _run(spark, mode: str, n_state: int, n_batches: int) -> dict:
     work = tempfile.mkdtemp(prefix=f"guard_soak_{mode}_{n_state}_")
     decisions = os.path.join(work, "decisions")
     _seed_state(spark, decisions, n_state)
-    guard = DecisionIdGuard(decisions, "doc_id") if mode == "cached" else None
+    guard = (
+        DecisionIdGuard(decisions, "doc_id", mode=mode)
+        if mode in ("cached", "sharded", "auto")
+        else None
+    )
     times = []
     try:
         for b in range(100, 100 + n_batches):
@@ -101,6 +105,7 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--state", type=int, default=200_000)
     ap.add_argument("--batches", type=int, default=12)
+    ap.add_argument("--modes", default="cached,disk")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -109,7 +114,8 @@ def main() -> None:
     spark = get_spark("guard-soak", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     runs = []
-    for mode in ("cached", "disk"):
+    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
+    for mode in modes:
         for n_state in (args.state, args.state * 10):
             runs.append(_run(spark, mode, n_state, args.batches))
             print(json.dumps(runs[-1]), flush=True)
@@ -117,22 +123,20 @@ def main() -> None:
     summary = {
         "harness": "guard_soak (re-delivery guard per-batch cost vs state size)",
         "runs": runs,
-        "cached_steady_ratio_10x": round(
-            by[("cached", args.state * 10)]["steady_mean_sec"]
-            / max(by[("cached", args.state)]["steady_mean_sec"], 1e-9),
-            3,
-        ),
-        "disk_steady_ratio_10x": round(
-            by[("disk", args.state * 10)]["steady_mean_sec"]
-            / max(by[("disk", args.state)]["steady_mean_sec"], 1e-9),
-            3,
-        ),
-        "cached_vs_disk_at_10x": round(
-            by[("cached", args.state * 10)]["steady_mean_sec"]
-            / max(by[("disk", args.state * 10)]["steady_mean_sec"], 1e-9),
-            3,
-        ),
     }
+    for mode in modes:
+        summary[f"{mode}_steady_ratio_10x"] = round(
+            by[(mode, args.state * 10)]["steady_mean_sec"]
+            / max(by[(mode, args.state)]["steady_mean_sec"], 1e-9),
+            3,
+        )
+    for mode in modes:
+        if mode != modes[-1]:
+            summary[f"{mode}_vs_{modes[-1]}_at_10x"] = round(
+                by[(mode, args.state * 10)]["steady_mean_sec"]
+                / max(by[(modes[-1], args.state * 10)]["steady_mean_sec"], 1e-9),
+                3,
+            )
     print(json.dumps({k: v for k, v in summary.items() if k != "runs"}))
     if args.out:
         with open(args.out, "w") as fh:

@@ -227,7 +227,7 @@ def test_guard_exact_on_int64_ids_beyond_2e53_with_nulls(spark, tmp_path):
         [(i, 0) for i in decided], "doc_id bigint, ingest_batch bigint"
     ).write.partitionBy("ingest_batch").parquet(state)
 
-    guard = sstate.DecisionIdGuard(state, "doc_id")
+    guard = sstate.DecisionIdGuard(state, "doc_id", mode="cached")
     batch = spark.createDataFrame(
         [
             (base, "dup-exact"),          # decided -> dropped
@@ -262,3 +262,92 @@ def test_guard_exact_on_int64_ids_beyond_2e53_with_nulls(spark, tmp_path):
         for r in batch.join(prior, "doc_id", "left_anti").collect()
     )
     assert got == disk
+
+
+def test_sharded_guard_equals_disk_and_actually_shards(
+    spark, docs, tmp_path, monkeypatch
+):
+    """Round-10 (r9 verdict task #5): the sharded broadcast rung.
+    Forced tiny shards so a fixture-sized drain exercises the
+    multi-shard dispatch path; state must match the disk twin
+    byte-for-byte and the guard must really hold >1 shard."""
+    monkeypatch.setenv("LIME_REDELIVERY_GUARD", "disk")
+    disk_state = str(tmp_path / "disk")
+    _drain_lsh(spark, docs, disk_state, redeliver=True)
+    monkeypatch.setenv("LIME_REDELIVERY_GUARD", "sharded")
+    monkeypatch.setenv("LIME_GUARD_SHARD_ROWS", "64")
+    sharded_state = str(tmp_path / "sharded")
+    _drain_lsh(spark, docs, sharded_state, redeliver=True)
+
+    for sub, schema in (
+        (sdedup.DECISIONS_SUBDIR, sdedup._DECISIONS_SCHEMA),
+        (sdedup.BANDS_SUBDIR, sdedup._BANDS_SCHEMA),
+        (sdedup.DOCS_SUBDIR, sdedup._DOCS_SCHEMA),
+    ):
+        assert _rows(
+            read_state_or_empty(spark, os.path.join(disk_state, sub), schema)
+        ) == _rows(
+            read_state_or_empty(spark, os.path.join(sharded_state, sub), schema)
+        )
+    guard = sstate.decision_guard(
+        os.path.join(sharded_state, sdedup.DECISIONS_SUBDIR), "doc_id"
+    )
+    # drive a compaction so the published base reflects all batches,
+    # then check the shard split actually engaged
+    guard._compact(spark)
+    assert len(guard._bcs) > 1, "shard split never engaged"
+    assert len(guard._base_ids) > 64
+
+
+def test_sharded_probe_exact_across_shard_boundaries(spark, tmp_path, monkeypatch):
+    """Boundary ids (shard max, max+1, the gap between shards, beyond
+    the global max) must resolve to the right shard — the searchsorted
+    dispatch edge cases."""
+    monkeypatch.setenv("LIME_GUARD_SHARD_ROWS", "3")
+    decided = [10, 20, 30, 40, 50, 60, 70]  # 3 shards: [10..30][40..60][70]
+    state = str(tmp_path / "dec")
+    spark.createDataFrame(
+        [(i, 0) for i in decided], "doc_id bigint, ingest_batch bigint"
+    ).write.partitionBy("ingest_batch").parquet(state)
+    guard = sstate.DecisionIdGuard(state, "doc_id", mode="sharded")
+    probe = [5, 10, 15, 30, 31, 40, 60, 65, 70, 71, 10**9]
+    batch = spark.createDataFrame([(i,) for i in probe], "doc_id bigint")
+    out = sorted(r.doc_id for r in guard.filter_prior(batch, 1).collect())
+    assert out == [5, 15, 31, 65, 71, 10**9]
+    assert len(guard._bcs) == 3
+
+
+def test_auto_guard_flips_on_measured_crossover(spark, docs, tmp_path, monkeypatch):
+    """Round-10 (r9 verdict task #6): auto mode starts on the disk
+    path and flips exactly when the measured decisions read exceeds
+    the measured fixed probe cost — pinned by forcing the calibration
+    both ways. Results must equal the disk twin in BOTH regimes."""
+    monkeypatch.setenv("LIME_REDELIVERY_GUARD", "disk")
+    disk_state = str(tmp_path / "disk")
+    _drain_lsh(spark, docs, disk_state, redeliver=True)
+
+    # fixed cost 'infinite' -> auto must never flip
+    monkeypatch.setattr(
+        sstate, "_measure_probe_fixed_cost", lambda _s: float("inf")
+    )
+    monkeypatch.setenv("LIME_REDELIVERY_GUARD", "auto")
+    stay_state = str(tmp_path / "auto_stay")
+    _drain_lsh(spark, docs, stay_state, redeliver=True)
+    g_stay = sstate.decision_guard(
+        os.path.join(stay_state, sdedup.DECISIONS_SUBDIR), "doc_id"
+    )
+    assert g_stay.mode == "auto" and g_stay.phase == "disk"
+
+    # fixed cost zero -> any real read exceeds it -> flips at the first
+    # check (the epoch's first guarded batch with existing state)
+    monkeypatch.setattr(sstate, "_measure_probe_fixed_cost", lambda _s: 0.0)
+    flip_state = str(tmp_path / "auto_flip")
+    _drain_lsh(spark, docs, flip_state, redeliver=True)
+    g_flip = sstate.decision_guard(
+        os.path.join(flip_state, sdedup.DECISIONS_SUBDIR), "doc_id"
+    )
+    assert g_flip.phase == "bc", "auto never flipped despite zero fixed cost"
+
+    want = _rows(_decisions(spark, disk_state))
+    assert _rows(_decisions(spark, stay_state)) == want
+    assert _rows(_decisions(spark, flip_state)) == want
