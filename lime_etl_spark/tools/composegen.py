@@ -46,6 +46,7 @@ Artifact runner (same shape as tools/llmgen.py):
 from __future__ import annotations
 
 import argparse
+import datetime as _dt
 import itertools
 import json
 import random
@@ -509,6 +510,308 @@ def _fam_ingest_chain(spark, rng):
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Round-10 families (r9 verdict task #3): the streaming WINDOW surface
+# and the behavior maintainers (funnel / SCD2) composed DOWNSTREAM of
+# dedup/ingest stages — the seams the r9 families did not cover.
+# ---------------------------------------------------------------------------
+
+_EPOCH = _dt.datetime(1970, 1, 1)
+
+
+def _py_dedup_events(rows):
+    """Exact-dedup stage oracle over event rows: the generators plant
+    only FULL-ROW duplicates (same event_id, same content), so keep the
+    first occurrence per event_id."""
+    seen: dict = {}
+    for r in rows:
+        seen.setdefault(r[0], r)
+    return list(seen.values())
+
+
+def _dec2(v):
+    """Mirror Spark's cast(double AS decimal(12,2)): exact binary
+    expansion of the double, quantized half-up to cents."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(v).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+
+
+def _win_floor(ts, width_s: int):
+    off = int((ts - _EPOCH).total_seconds())
+    return _EPOCH + _dt.timedelta(seconds=off - (off % width_s))
+
+
+def _py_tumbling(ded, width_s: int):
+    from decimal import Decimal
+
+    agg: dict = {}
+    for _eid, ts, _uid, ty, val, _props in ded:
+        b = _win_floor(ts, width_s)
+        n, sm = agg.get((ty, b), (0, Decimal(0)))
+        agg[(ty, b)] = (n + 1, sm + _dec2(val))
+    return [(ty, b, n, float(sm)) for (ty, b), (n, sm) in agg.items()]
+
+
+def _py_sliding(ded, width_s: int, slide_s: int):
+    agg: dict = {}
+    for _eid, ts, _uid, ty, _val, _props in ded:
+        off = int((ts - _EPOCH).total_seconds())
+        first = off - (off % slide_s)
+        s = first
+        while s > off - width_s:
+            ws = _EPOCH + _dt.timedelta(seconds=s)
+            agg[(ty, ws)] = agg.get((ty, ws), 0) + 1
+            s -= slide_s
+    return [
+        (ty, ws, ws + _dt.timedelta(seconds=width_s), n)
+        for (ty, ws), n in agg.items()
+    ]
+
+
+def _py_sessions(ded, gap_s: int):
+    """session_window merge rule (verified against Spark 4.1 on the
+    exact-boundary case): an event joins the open session iff its time
+    is <= the session end — touching intervals DO merge (an event at
+    exactly start+gap extends the session)."""
+    from decimal import Decimal
+
+    by_u: dict = {}
+    for r in ded:
+        by_u.setdefault(r[2], []).append(r)
+    out = []
+    gap = _dt.timedelta(seconds=gap_s)
+    for u, evs in by_u.items():
+        evs.sort(key=lambda r: (r[1], r[0]))
+        start = end = None
+        n, sm = 0, Decimal(0)
+        for _eid, ts, _uid, _ty, val, _props in evs:
+            if start is not None and ts <= end:
+                end = ts + gap
+                n += 1
+                sm += _dec2(val)
+            else:
+                if start is not None:
+                    out.append((u, start, end, n, float(sm)))
+                start, end, n, sm = ts, ts + gap, 1, _dec2(val)
+        if start is not None:
+            out.append((u, start, end, n, float(sm)))
+    return out
+
+
+def _fam_window_chain(spark, rng):
+    """Streaming dedup -> parquet handoff -> streaming window aggregate
+    (tumbling/sliding/session), TWO chained streaming queries over a
+    file seam, vs the composed pure-Python oracle (dedup by event_id,
+    then epoch-aligned window math). Covers the stream->sink->stream
+    composition and the window surface downstream of an ingest-dedup
+    stage — neither existed in the r9 families."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from lime_etl_spark.streaming import events as sevents
+    from lime_etl_spark.tools.streamgen import gen_events, stage_files
+
+    rows, span_min = gen_events(rng)
+    wm = f"{span_min + 1440} minutes"
+    fam = rng.choice(["tumbling", "sliding", "session"])
+    mfpt1 = rng.choice([1, 2, 3, None])
+    mfpt2 = rng.choice([1, 2, None])
+    work = tempfile.mkdtemp(prefix="composegen_window_")
+    try:
+        events_dir = stage_files(spark, rng, rows, work)
+        deduped_dir = _os.path.join(work, "deduped")
+        q = (
+            sevents.dedup_within_watermark(
+                sevents.read_events_stream(
+                    spark, events_dir, max_files_per_trigger=mfpt1
+                ),
+                watermark=wm,
+            )
+            .writeStream.format("parquet")
+            .option("path", deduped_dir)
+            .option("checkpointLocation", _os.path.join(work, "ck1"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        stream2 = sevents.read_events_stream(
+            spark, deduped_dir, max_files_per_trigger=mfpt2
+        )
+        if fam == "tumbling":
+            mins = rng.choice([1, 5, 17])
+            agg = sevents.tumbling_counts(stream2, window=f"{mins} minutes", watermark=wm)
+            want = _py_tumbling(_py_dedup_events(rows), mins * 60)
+        elif fam == "sliding":
+            slide = rng.choice([1, 2, 5])
+            width = slide * rng.randint(1, 4)
+            agg = sevents.sliding_counts(
+                stream2, window=f"{width} minutes", slide=f"{slide} minutes", watermark=wm
+            )
+            want = _py_sliding(_py_dedup_events(rows), width * 60, slide * 60)
+        else:
+            gmin = rng.choice([2, 10, 45])
+            agg = sevents.session_windows(stream2, gap=f"{gmin} minutes", watermark=wm)
+            want = _py_sessions(_py_dedup_events(rows), gmin * 60)
+        got = [
+            tuple(r)
+            for r in sevents.run_to_memory(
+                agg,
+                checkpoint_dir=_os.path.join(work, "ck2"),
+                output_mode="complete",
+            ).collect()
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return (
+        [f"window_chain:{fam}:mfpt={mfpt1}/{mfpt2}"],
+        compare_sets(got, want),
+        len(got),
+    )
+
+
+def _py_funnel(ded, steps, window_days):
+    """ops/behavior.funnel oracle: per user, step i counts on the
+    earliest occurrence strictly after step i-1's time (and within
+    window_days of the step-1 anchor); rates are one IEEE division
+    rounded half-up to 6 (NULL on a dead denominator)."""
+    by_u: dict = {}
+    for _eid, ts, uid, ty, _val, _props in ded:
+        by_u.setdefault(uid, []).append((ts, ty))
+    counts = [0] * len(steps)
+    for _u, evs in by_u.items():
+        t_prev = t0 = None
+        for i, s in enumerate(steps):
+            cand = [
+                t
+                for t, ty in evs
+                if ty == s
+                and (i == 0 or t > t_prev)
+                and (
+                    i == 0
+                    or window_days is None
+                    or t <= t0 + _dt.timedelta(days=window_days)
+                )
+            ]
+            if not cand:
+                break
+            t = min(cand)
+            if i == 0:
+                t0 = t
+            t_prev = t
+            counts[i] += 1
+    def rate(n, d):
+        return round_half_up(n / d, 6) if d else None
+    return [
+        (i + 1, s, counts[i], rate(counts[i], counts[0]),
+         rate(counts[i], counts[i - 1]) if i > 0 else None)
+        for i, s in enumerate(steps)
+    ]
+
+
+def _py_scd2(ded):
+    """ops/behavior.scd2_from_change_stream oracle: per user ordered by
+    (ts, event_id), collapse consecutive equal states into versions."""
+    by_u: dict = {}
+    for eid, ts, uid, ty, _val, _props in ded:
+        by_u.setdefault(uid, []).append((ts, eid, ty))
+    out = []
+    for u, evs in by_u.items():
+        evs.sort()
+        versions = []
+        prev_state = object()
+        for ts, _eid, ty in evs:
+            if ty != prev_state:
+                versions.append([ty, ts])
+                prev_state = ty
+        for i, (state, vfrom) in enumerate(versions):
+            vto = versions[i + 1][1] if i + 1 < len(versions) else None
+            out.append((u, state, vfrom, vto, i + 1, vto is None))
+    return out
+
+
+def _fam_dedup_behavior_chain(spark, rng):
+    """Engine exact dedup (core.dedup_latest on event_id) -> the
+    deduped rows staged as time-ordered micro-batch files -> the funnel
+    or SCD2 MAINTAINER -> report/history, vs the composed pure-Python
+    oracle (dedup by event_id, then the python funnel/scd2 math). The
+    behavior maintainers downstream of a dedup stage — previously only
+    exercised standalone against the batch twin (streamgen)."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from lime_etl_spark.ops import core
+    from lime_etl_spark.streaming import events as sevents
+    from lime_etl_spark.tools.streamgen import (
+        _gen_scd2_events,
+        _stage_files_time_ordered,
+    )
+
+    base_rows = _gen_scd2_events(rng)
+    rows = list(base_rows)
+    for _ in range(rng.randint(0, max(1, len(base_rows) // 4))):
+        rows.append(rows[rng.randrange(len(rows))])  # full-row dups
+    rng.shuffle(rows)
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    ded_df = core.dedup_latest(
+        spark.createDataFrame(rows, schema), "event_id", "ts", "event_id"
+    )
+    ded = [
+        (r.event_id, r.ts, r.user_id, r.event_type, r.value, r.props)
+        for r in ded_df.collect()
+    ]
+    kind = rng.choice(["funnel", "scd2"])
+    mfpt = rng.choice([1, 2, 3, None])
+    work = tempfile.mkdtemp(prefix="composegen_behavior_")
+    try:
+        events_dir = _stage_files_time_ordered(rng, ded, work)
+        state = _os.path.join(work, "state")
+        ck = _os.path.join(work, "ck")
+        stream = sevents.read_events_stream(
+            spark, events_dir, max_files_per_trigger=mfpt
+        )
+        if kind == "funnel":
+            from lime_etl_spark.streaming.funnel import funnel_report, maintain_funnel
+
+            types_present = sorted({r[3] for r in ded})
+            k = rng.randint(2, min(4, max(2, len(types_present))))
+            steps = rng.sample(types_present, min(k, len(types_present)))
+            window_days = rng.choice([None, 1, 7])
+            q = maintain_funnel(stream, state, ck, steps, window_days=window_days)
+            q.awaitTermination()
+            got = [tuple(r) for r in funnel_report(spark, state, steps).collect()]
+            want = _py_funnel(_py_dedup_events(rows), steps, window_days)
+            label = f"behavior_chain:funnel:k={len(steps)}:w={window_days}"
+        else:
+            from lime_etl_spark.streaming.scd2 import history, maintain_scd2
+
+            q = maintain_scd2(stream, state, ck)
+            q.awaitTermination()
+            got = [tuple(r) for r in history(spark, state).collect()]
+            want = _py_scd2(_py_dedup_events(rows))
+            label = f"behavior_chain:scd2:mfpt={mfpt}"
+        errs = compare_sets(got, want)
+        # legal monotone input must quarantine nothing (streamgen bar)
+        qdirs = _glob.glob(_os.path.join(state, "**", "quarantine*"), recursive=True)
+        for qd in qdirs:
+            if _glob.glob(_os.path.join(qd, "**", "*.parquet"), recursive=True):
+                nq = spark.read.parquet(qd).count()
+                if nq:
+                    errs.append(f"quarantined {nq} rows on legal input")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return ([label], errs, len(got))
+
+
 # NOTE (same precedent as tools/qgen.py and tools/llmgen.py): adding a
 # family changes the seed -> family mapping; pinned regression seeds
 # must be re-derived if the list changes.
@@ -518,6 +821,10 @@ FAMILIES = [
     (_fam_dedup_dedup_chain, 1.5),
     (_fam_semantic_chain, 2.0),
     (_fam_ingest_chain, 2.0),
+    # round-10 (r9 verdict task #3): the streaming-window surface and
+    # the behavior maintainers downstream of dedup/ingest stages
+    (_fam_window_chain, 2.0),
+    (_fam_dedup_behavior_chain, 2.0),
 ]
 
 
