@@ -69,7 +69,7 @@ def _run(spark, mode: str, n_state: int, n_batches: int) -> dict:
     times = []
     try:
         for b in range(100, 100 + n_batches):
-            batch = spark.range(n_state, n_state + 500).select(
+            batch = spark.range(n_state + (b - 100) * 500, n_state + (b - 99) * 500).select(
                 F.col("id").alias("doc_id")
             )
             t0 = time.perf_counter()
@@ -84,9 +84,32 @@ def _run(spark, mode: str, n_state: int, n_batches: int) -> dict:
                 survived = batch.join(prior, "doc_id", "left_anti")
             n = survived.count()
             assert n == 500, n
+            elapsed = time.perf_counter() - t0
+            # WRITE the batch's decisions partition before record() — the
+            # maintainers' contract (record only after all state writes).
+            # The round-10 20M-id soak caught the harness skipping this:
+            # recorded increments had no matching disk partition, so the
+            # guard's coverage check conservatively REBUILT from disk
+            # every batch — the 'cached' lines were measuring
+            # rebuild-per-batch (O(state)), not the amortized steady
+            # state. The write itself is maintainer work and stays
+            # OUTSIDE the timed window; batches draw DISTINCT ids so the
+            # n==500 assertion still holds once writes persist.
+            (
+                survived.select("doc_id")
+                .withColumn("is_dup", F.lit(False))
+                .withColumn("dup_of", F.lit(None).cast("bigint"))
+                .withColumn("best_jaccard", F.lit(None).cast("double"))
+                .withColumn("ingest_batch", F.lit(b))
+                .write.mode("append")
+                .partitionBy("ingest_batch")
+                .parquet(decisions)
+            )
             if guard is not None:
+                t1 = time.perf_counter()
                 guard.record(spark, b, survived.select("doc_id"))
-            times.append(round(time.perf_counter() - t0, 4))
+                elapsed += time.perf_counter() - t1
+            times.append(round(elapsed, 4))
     finally:
         if guard is not None:
             guard._release_all()
