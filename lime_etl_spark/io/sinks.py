@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lime_etl_spark.plans import auto_broadcast
+
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = False) -> None:
     """Header CSV (K2/K3 parity). ``single_file`` coalesces to 1 part —
@@ -142,7 +144,7 @@ def write_parquet_zordered(
         zorder_bucket(c, f"__lo_{i}", f"__hi_{i}", bits)
         for i, c in enumerate(cluster_by)
     ]
-    keyed = df.crossJoin(F.broadcast(stats)).withColumn(
+    keyed = df.crossJoin(auto_broadcast(stats, bounded=True)).withColumn(  # 1 row
         "__z", zorder_key(buckets, bits)
     )
     out = (

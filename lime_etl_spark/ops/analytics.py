@@ -26,6 +26,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from lime_etl_spark.plans import auto_broadcast
+
 # ---------------------------------------------------------------------------
 # Joins
 # ---------------------------------------------------------------------------
@@ -51,7 +53,9 @@ def join(
     if how not in JOIN_TYPES:
         raise ValueError(f"unknown join type {how!r}")
     if broadcast_right:
-        right = F.broadcast(right)
+        # the knob IS the caller's bounded-by-contract declaration —
+        # never set it on an SF-growing side (plans.auto_broadcast)
+        right = auto_broadcast(right, bounded=True)
     return left.join(right, on, how)
 
 

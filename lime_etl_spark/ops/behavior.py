@@ -29,6 +29,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from lime_etl_spark.plans import auto_broadcast
+
 # ---------------------------------------------------------------------------
 # Cohort retention
 # ---------------------------------------------------------------------------
@@ -74,7 +76,8 @@ def cohort_retention(
         "cohort_week", F.col("n_active").alias("n_cohort")
     )
     return (
-        active.join(F.broadcast(sizes), "cohort_week")
+        # bounded by the calendar, not by volume: one row per cohort week
+        active.join(auto_broadcast(sizes, bounded=True), "cohort_week")
         .select(
             "cohort_week",
             "week_offset",

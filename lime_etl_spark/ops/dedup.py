@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from lime_etl_spark.plans import auto_broadcast
+
 from lime_etl_spark.ops.text import tokens
 
 MINHASH_PERMS = 16
@@ -684,8 +686,11 @@ def ngram_overlap(
         .filter(F.size("__sh") > 0)
     )
     tr = base.select("id", F.explode("__sh").alias("shingle"))
-    ev = F.broadcast(
-        shingle_index(eval_df, id_col, text_col, n).select("shingle").distinct()
+    # bounded by contract (docstring above): eval = benchmark suites,
+    # MBs by construction while train is the 100 TB side
+    ev = auto_broadcast(
+        shingle_index(eval_df, id_col, text_col, n).select("shingle").distinct(),
+        bounded=True,
     )
     sizes = base.select("id", F.size("__sh").cast("bigint").alias("n_shingles"))
     hits = (

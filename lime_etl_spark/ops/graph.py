@@ -33,6 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from lime_etl_spark.plans import auto_broadcast
+
 SCALE = 10**12
 
 
@@ -87,7 +89,7 @@ def pagerank(
     # zorder stats)
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     pr = (
-        nodes.crossJoin(F.broadcast(n_nodes))
+        nodes.crossJoin(auto_broadcast(n_nodes, bounded=True))  # 1-row count
         .select("node", F.expr(f"CAST({SCALE} AS BIGINT) DIV n_nodes").alias("pr"))
     )
     for i in range(n_iter):
@@ -99,7 +101,7 @@ def pagerank(
         )
         pr = (
             nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
-            .crossJoin(F.broadcast(n_nodes))
+            .crossJoin(auto_broadcast(n_nodes, bounded=True))  # 1-row count
             .select(
                 "node",
                 (

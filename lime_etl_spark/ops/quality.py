@@ -25,6 +25,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from lime_etl_spark.plans import auto_broadcast
+
 
 @dataclass(frozen=True)
 class Rule:
@@ -64,6 +66,16 @@ def unique(column: str) -> Rule:
 def foreign_key(
     column: str, dim: DataFrame, dim_key: str, broadcast_dim: bool = True
 ) -> Rule:
+    """Referential-integrity rule: rows whose ``column`` is non-NULL but
+    absent from ``dim[dim_key]`` count as violations (left-anti probe).
+
+    ``broadcast_dim`` is the caller's bounded-by-contract declaration
+    (plans.auto_broadcast): the default True suits fixed-cardinality
+    dimensions (currencies, countries, enum tables). Pass ``False`` for
+    a dim that GROWS with data volume — e.g. checking orders against
+    customer, whose distinct key set is multi-GB at a 100 TB scale
+    factor — so size-based planning can degrade the probe to a shuffle
+    anti-join instead of OOMing on a forced broadcast."""
     return Rule(
         "foreign_key", column, dim=dim, dim_key=dim_key, broadcast_dim=broadcast_dim
     )
@@ -151,7 +163,9 @@ def validate(
         elif r.kind == "foreign_key":
             dim_keys = r.dim.select(F.col(r.dim_key).alias(r.column)).distinct()
             if r.broadcast_dim:
-                dim_keys = F.broadcast(dim_keys)
+                # the knob IS the caller's bounded-by-contract declaration
+                # (see foreign_key's docstring: False for SF-growing dims)
+                dim_keys = auto_broadcast(dim_keys, bounded=True)
             orphans = (
                 df.filter(F.col(r.column).isNotNull())
                 .join(dim_keys, r.column, "left_anti")
@@ -272,7 +286,7 @@ def drift_report(
         )
         return (
             df.filter(F.col(column).isNotNull())
-            .crossJoin(F.broadcast(stats))
+            .crossJoin(auto_broadcast(stats, bounded=True))  # 1-row min/max
             .select(b.cast("bigint").alias("bin"))
             .groupBy("bin")
             .agg(F.count(F.lit(1)).cast("bigint").alias(f"n_{side}"))
@@ -293,7 +307,7 @@ def drift_report(
         F.sum("n_cur").cast("decimal(38,0)").alias("__tc"),
     )
     totals = (
-        joined.crossJoin(F.broadcast(tot))
+        joined.crossJoin(auto_broadcast(tot, bounded=True))  # 1-row totals
         .agg(
             F.sum(
                 F.abs(
@@ -305,7 +319,7 @@ def drift_report(
             F.first("__tc").alias("__tc"),
         )
     )
-    return joined.crossJoin(F.broadcast(totals)).select(
+    return joined.crossJoin(auto_broadcast(totals, bounded=True)).select(  # 1 row
         "bin",
         "n_ref",
         "n_cur",

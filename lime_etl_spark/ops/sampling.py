@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lime_etl_spark.plans import auto_broadcast
+
 
 def _key_hash(key_col: str, salt: str = "") -> Column:
     """Portable 60-bit content hash of (key, salt): first 15 md5 hex
@@ -227,8 +229,10 @@ def _two_phase_rank(
     for row in sorted(counts, key=lambda r: r["__pid"]):
         offsets.append((row["__pid"], acc))
         acc += row["__n"]
-    off_df = F.broadcast(
-        df.sparkSession.createDataFrame(offsets, "__pid int, __off bigint")
+    # bounded by contract: one row per partition (nparts rows)
+    off_df = auto_broadcast(
+        df.sparkSession.createDataFrame(offsets, "__pid int, __off bigint"),
+        bounded=True,
     )
     from pyspark.sql import Window
 

@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from lime_etl_spark.plans import auto_broadcast
+
 
 def _to_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -69,10 +71,12 @@ def cosine_topk(
     """
     from lime_etl_spark.ops.util import ensure_parallelism
 
-    q = F.broadcast(
+    # bounded by contract: the probe/query set is the API's small side
+    q = auto_broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
-        )
+        ),
+        bounded=True,
     )
     # per-pair dot products are the CPU-heavy step → spread candidates
     c = ensure_parallelism(
@@ -1615,7 +1619,8 @@ def _semantic_ranked(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
         "cluster int, ce array<double>",
     )
-    j = assigned.join(F.broadcast(cdf), "cluster", "left")
+    # bounded by contract: one row per cluster (n_clusters API arg)
+    j = assigned.join(auto_broadcast(cdf, bounded=True), "cluster", "left")
     cent_cos = F.round(
         _dot(F.col("e"), F.col("ce")) / (_gnorm(F.col("e")) * _gnorm(F.col("ce"))), 9
     )

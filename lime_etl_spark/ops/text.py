@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from lime_etl_spark.plans import auto_broadcast
+
 TOKEN_PATTERN = "[a-z0-9]+"
 
 # Small fixed stopword sets (kept tiny + frozen: they are part of the
@@ -620,7 +622,7 @@ def collocations(
     joined = (
         bi.join(uni.select(F.col("tok").alias("left"), F.col("n_tok").alias("n_left")), "left")
         .join(uni.select(F.col("tok").alias("right"), F.col("n_tok").alias("n_right")), "right")
-        .crossJoin(F.broadcast(total))
+        .crossJoin(auto_broadcast(total, bounded=True))  # 1-row token total
     )
     # double-cast BEFORE multiplying: n_pair*N in int64 overflows at
     # web-corpus scale (N² term); double is exact for counts < 2^53 and

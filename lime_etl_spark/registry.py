@@ -209,9 +209,14 @@ def q1_pricing_summary(spark, sf_dir):
 def q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: selective 3-way join + agg + global top-10.
 
-    customer is small relative to the facts → broadcast; orders⋈lineitem
-    stays a shuffle join on orderkey (both sides huge at scale — AQE may
-    still broadcast the filtered orders side at low SF). Top-10 via
+    customer GROWS with SF (1.5e5 rows/SF → multi-GB at a 100 TB scale
+    factor), so it is deliberately NOT hinted — "small relative to the
+    facts" is not the broadcast contract, bounded-by-contract is
+    (plans.auto_broadcast). At fixture SFs the static parquet stats and
+    AQE broadcast the filtered customer side on their own (pinned in
+    tests/test_plans.py); at huge SFs the same plan degrades to a
+    shuffle join instead of OOMing. orders⋈lineitem stays a shuffle
+    join on orderkey (both sides huge at scale). Top-10 via
     orderBy+limit = TakeOrderedAndProject, no global sort.
     """
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -222,7 +227,7 @@ def q3_shipping_priority(spark, sf_dir):
         F.col("l_shipdate") > F.to_timestamp(F.lit("1997-06-01"))
     )
     joined = analytics.join(
-        orders, cust, F.col("o_custkey") == F.col("c_custkey"), "inner", broadcast_right=True
+        orders, cust, F.col("o_custkey") == F.col("c_custkey"), "inner"
     ).join(li, F.col("l_orderkey") == F.col("o_orderkey"))
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
         _rev_sum().alias("revenue")
@@ -2100,7 +2105,11 @@ def dedup_embedding_cosine(spark, sf_dir):
     EXACT verification twin of dedup_embedding_cosine_bucketed, kept
     out of the primary window because the all-pairs join is O(n²) by
     construction; the bucketed form below is the scale path and the
-    primary-gated artifact."""
+    primary-gated artifact. The embeddings table grows with SF, so the
+    non-equi side is NOT hinted (plans.auto_broadcast refuses it):
+    size-based planning picks BroadcastNestedLoopJoin at the fixture
+    sizes this twin exists for, and a corpus too big to broadcast is
+    exactly the case where the bucketed twin is the only sane plan."""
     from lime_etl_spark.ops.similarity import _dot, _gnorm, _to_double
     from lime_etl_spark.ops.util import ensure_parallelism
 
@@ -2110,7 +2119,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     b = ensure_parallelism(
         v.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
     )
-    pairs = F.broadcast(a).join(b, F.col("id_a") < F.col("id_b"))
+    pairs = auto_broadcast(a, table="embeddings").join(b, F.col("id_a") < F.col("id_b"))
     cos = F.round(
         _dot(F.col("ea"), F.col("eb")) / (_gnorm(F.col("ea")) * _gnorm(F.col("eb"))), 6
     )
@@ -4744,7 +4753,7 @@ def zorder_key_rank_encoded(spark, sf_dir):
     b1 = analytics.zorder_bucket("cdf_rank", "r_lo", "r_hi", 8)
     b2 = analytics.zorder_bucket("doc_id", "d_lo", "d_hi", 8)
     return (
-        ranked.crossJoin(F.broadcast(stats))
+        ranked.crossJoin(auto_broadcast(stats, bounded=True))  # 1-row global min/max
         .select("doc_id", "cdf_rank", analytics.zorder_key([b1, b2], 8).alias("zkey"))
     )
 
@@ -4794,7 +4803,7 @@ def zorder_key_orders(spark, sf_dir):
     bk = analytics.zorder_bucket("o_custkey", "k_lo", "k_hi", 16)
     bc = analytics.zorder_bucket("cents", "c_lo", "c_hi", 16)
     return (
-        o.crossJoin(F.broadcast(stats))
+        o.crossJoin(auto_broadcast(stats, bounded=True))  # 1-row global min/max
         .select("o_orderkey", analytics.zorder_key([bk, bc], 16).alias("zkey"))
     )
 
@@ -5128,7 +5137,11 @@ def quality_constraint_report(spark, sf_dir):
     """Declarative constraint checks (ops/quality.validate): not-null +
     accepted-values + range share ONE aggregate scan of orders;
     uniqueness adds the minimal key-grouped pass; referential integrity
-    is a broadcast left-anti against the customer dimension. The report
+    is a left-anti against the customer key set with
+    ``broadcast_dim=False`` — customer GROWS with SF (its distinct key
+    set is ~8 GB at a 100 TB scale factor), so the broadcast decision is
+    left to size-based planning, which still picks the broadcast anti at
+    fixture SFs and degrades to a shuffle anti at huge ones. The report
     is the load gate a warehouse runs before publishing a batch."""
     from lime_etl_spark.ops import quality as Q
 
@@ -5141,7 +5154,7 @@ def quality_constraint_report(spark, sf_dir):
             Q.accepted_values("o_orderstatus", ["O", "F", "P"]),
             Q.in_range("o_totalprice", lo=0, hi=1_000_000),
             Q.unique("o_orderkey"),
-            Q.foreign_key("o_custkey", c, "c_custkey"),
+            Q.foreign_key("o_custkey", c, "c_custkey", broadcast_dim=False),
         ],
     )
 

@@ -68,6 +68,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.window import Window
 
+from lime_etl_spark.plans import auto_broadcast
+
 from lime_etl_spark.io import sinks
 from lime_etl_spark.ops.similarity import (
     _assign_cluster,
@@ -154,7 +156,8 @@ def process_batch(
         F.col("vec_id").asc(),
     ]
     ranked = (
-        assigned.join(F.broadcast(cdf), "cluster", "left")
+        # bounded by contract: one row per cluster (n_clusters arg)
+        assigned.join(auto_broadcast(cdf, bounded=True), "cluster", "left")
         .select("vec_id", "cluster", "e", cent_cos.alias("cent_cos"))
         .withColumn(
             "rk", F.row_number().over(Window.partitionBy("cluster").orderBy(*order))

@@ -23,6 +23,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
+from lime_etl_spark.plans import auto_broadcast
+
 
 def key_histogram(df: DataFrame, keys: Sequence[str], top_k: int = 20) -> DataFrame:
     """Top-k heaviest key values: (key..., n_rows, share). One groupBy
@@ -30,7 +32,7 @@ def key_histogram(df: DataFrame, keys: Sequence[str], top_k: int = 20) -> DataFr
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     total = counts.agg(F.sum("n_rows").cast("bigint").alias("__total"))
     return (
-        counts.crossJoin(F.broadcast(total))
+        counts.crossJoin(auto_broadcast(total, bounded=True))  # 1-row total
         .select(
             *keys,
             "n_rows",

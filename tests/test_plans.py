@@ -389,6 +389,9 @@ def test_sf_growing_tables_unhinted_still_broadcast(spark, sf_dir):
     its own at fixture SFs, and at 100 TB SFs the same plan falls back
     to a shuffle join instead of broadcasting a multi-GB table."""
     expected_hints = {
+        "q3_shipping_priority": 0,  # customer unhinted (r10: the knob
+        # broadcast_right=True was the same defect behind a different
+        # spelling — customer grows with SF)
         "q5_region_revenue": 2,   # nation, region
         "q7_nation_volume": 2,    # nation x2 (cust/supp roles)
         "q9_profit_by_nation_year": 1,  # nation
@@ -410,3 +413,48 @@ def test_sf_growing_tables_unhinted_still_broadcast(spark, sf_dir):
             f"{name}: only {bhj} BroadcastHashJoin for {hints} hints — "
             "size-based planning stopped broadcasting the SF-growing side"
         )
+
+
+def test_knob_and_nonequi_hint_sites_unhinted_still_broadcast(spark, sf_dir):
+    """The two r10 follow-on sites of the q5 defect class, pinned:
+
+    - quality_constraint_report's FK probe used the analytics-knob
+      spelling (``broadcast_dim`` defaulting True) to force-broadcast
+      customer's key set — SF-growing, multi-GB at 100 TB SFs. Now
+      ``broadcast_dim=False``: zero hints, and size-based planning
+      still picks a broadcast LeftAnti at fixture SFs.
+    - dedup_embedding_cosine force-broadcast the embeddings table into
+      its non-equi all-pairs join. Now unhinted: zero hints, and the
+      planner still picks BroadcastNestedLoopJoin at the fixture sizes
+      the exact twin exists for.
+    """
+    fk = REGISTRY["quality_constraint_report"].spark_fn(spark, sf_dir)
+    opt = fk._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("strategy=broadcast") == 0
+    phys = _plan(fk)
+    assert "BroadcastHashJoin" in phys and "LeftAnti" in phys, phys
+
+    ap = REGISTRY["dedup_embedding_cosine"].spark_fn(spark, sf_dir)
+    opt = ap._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("strategy=broadcast") == 0
+    assert "BroadcastNestedLoopJoin" in _plan(ap)
+
+
+def test_raw_broadcast_hint_only_in_policy_module():
+    """Structural pin of the policy module's greppability claim: a raw
+    ``F.broadcast(`` anywhere else in the package is a hint that
+    bypassed the size-class gate — every call site must route through
+    plans.auto_broadcast with either provenance (``table=``) or a
+    caller-declared contract bound (``bounded=True`` + a comment
+    stating the bound)."""
+    import pathlib
+
+    import lime_etl_spark
+
+    pkg = pathlib.Path(lime_etl_spark.__file__).parent
+    offenders = [
+        str(p.relative_to(pkg))
+        for p in sorted(pkg.rglob("*.py"))
+        if p.name != "policy.py" and "F.broadcast(" in p.read_text()
+    ]
+    assert offenders == [], offenders
