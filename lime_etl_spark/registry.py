@@ -3597,8 +3597,10 @@ def text_redacted(spark, sf_dir):
 def text_vocabulary(spark, sf_dir):
     """Corpus vocabulary (token -> term/document frequency, top 100).
     The canonical distributed word count: map-side-combined groupBy
-    per frequency kind, broadcast-joined, TakeOrdered top-k (never a
-    global sort)."""
+    per frequency kind, then a token-keyed equi-join left UNHINTED —
+    both sides are vocabulary-sized (they grow with the corpus), so
+    AQE picks the strategy from measured size — and a TakeOrdered
+    top-k (never a global sort)."""
     docs = _tp(spark, sf_dir, "documents")
     out = text.vocabulary(docs, top_k=100)
     return out.select("token", "term_freq", "doc_freq")

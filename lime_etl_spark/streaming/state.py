@@ -56,12 +56,19 @@ def guard_mode() -> str:
       single-broadcast ~2 GB pickle/transport ceiling toward the
       1e9-id regime (the driver still holds the full array once per
       epoch; that transit is the next documented ceiling).
+    - ``bloom``: bloom + exact-confirm two-phase (round-10, the rung
+      past ``sharded``): holds/broadcasts only an m-bit bitset
+      (``LIME_GUARD_BLOOM_BITS_PER_ID``, default 20 bits/id) instead
+      of the exact id array; bloom-negative rows pass with no disk
+      touch (no false negatives), bloom-positive ids are exact-
+      confirmed against a candidate-pruned disk read — output is
+      IDENTICAL to the disk twin, not probabilistic.
     - ``disk``: the round-8 behavior — a full O(state) decisions read
       per micro-batch. Kept as the differential-testing twin: the
       generative ingest families run green on every mode against it.
     """
     mode = os.environ.get("LIME_REDELIVERY_GUARD", "auto").strip().lower()
-    return mode if mode in ("disk", "cached", "sharded", "auto") else "auto"
+    return mode if mode in ("disk", "cached", "sharded", "auto", "bloom") else "auto"
 
 
 class _Pin:
@@ -120,7 +127,11 @@ def _unseen_filter(bcs, shard_maxes, id_col: str):
     ``searchsorted(shard_maxes, v)`` names the ONLY shard that can
     contain ``v`` (values past the global max map to index len(bcs) —
     a miss without touching any shard). One shard (cached mode) makes
-    this exactly the round-9 single-broadcast probe.
+    this exactly the round-9 single-broadcast probe. An entry may also
+    be a plain sorted int64 ndarray instead of a Broadcast — bloom
+    mode's per-batch confirmed set is bounded by the batch size, so it
+    rides the task closure rather than a broadcast that would need a
+    per-batch unpersist.
 
     Runs under ``mapInArrow``, NOT ``mapInPandas``: the Arrow→pandas
     bridge converts a bigint column containing any NULL to float64 for
@@ -142,7 +153,7 @@ def _unseen_filter(bcs, shard_maxes, id_col: str):
                 yield rb
                 continue
             if shards is None:  # lazy: an empty task never fetches
-                shards = [b.value for b in bcs]
+                shards = [b.value if hasattr(b, "value") else b for b in bcs]
             col = rb.column(rb.schema.get_field_index(id_col))
             null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
             # fill_null keeps the int64 type (no float64 transit)
@@ -160,6 +171,127 @@ def _unseen_filter(bcs, shard_maxes, id_col: str):
             # NULL ids never match an equality anti-join; mirror that
             hit &= ~null_mask
             yield rb.filter(pa.array(~hit))
+
+    return fn
+
+
+# -- bloom rung -------------------------------------------------------------
+#
+# The rung past `sharded` on the guard's scale ladder (SCALE.md): at
+# ~1e9 decided ids the exact sorted array is ~8 GB held on the driver
+# and shipped (sharded) to every executor. The bloom guard holds and
+# broadcasts only an m-bit bitset (LIME_GUARD_BLOOM_BITS_PER_ID bits
+# per id, default 20 → ~2.5 GB/1e9 ids at ~1e-4 fp — and the knob dials
+# it down to whatever the deployment can hold), screens each batch with
+# it, and EXACT-CONFIRMS the (rare) bloom-positive ids against a
+# candidate-pruned disk read. No false negatives exist by construction,
+# so bloom-negative rows are definitely-unseen and never touch disk;
+# false positives cost one narrow confirm read and are then filtered by
+# exact membership — output is identical to the disk twin, not
+# probabilistic. The epoch BUILD still observes every decided id once
+# (any mode must), but the driver folds ids into the bitset and
+# discards them instead of holding the array.
+
+
+def _bloom_params() -> int:
+    """Bits per decided id (env ``LIME_GUARD_BLOOM_BITS_PER_ID``,
+    default 20, floor 2). Capacity is sized with 2x headroom at build,
+    so the steady-state rate sits at >=10 effective bits/id until the
+    compaction-time resize triggers."""
+    try:
+        return max(2, int(os.environ.get("LIME_GUARD_BLOOM_BITS_PER_ID", "20")))
+    except ValueError:
+        return 20
+
+
+_BLOOM_K = 7  # optimal k for ~10 effective bits/id at full capacity
+
+
+def _bloom_positions(vals, m_bits: int):
+    """(k, n) uint64 bit positions for int64 ``vals`` via double
+    hashing: two splitmix64 finalizers (bit-reinterpreted input, so
+    negative ids hash fine), h2 forced odd so the k probes never
+    collapse. Pure vectorized numpy; wraparound is the point."""
+    import numpy as np
+
+    def mix(z):
+        z = (z + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    x = np.ascontiguousarray(vals).view(np.uint64)
+    h1 = mix(x)
+    h2 = mix(x ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    m = np.uint64(m_bits)
+    return np.stack(
+        [(h1 + np.uint64(i) * h2) % m for i in range(_BLOOM_K)]
+    )
+
+
+def _bloom_set(bitset, vals, m_bits: int) -> None:
+    """Fold ``vals`` into ``bitset`` (uint64 words) in place.
+
+    NOT ``np.bitwise_or.at``: the unbuffered scatter runs one python
+    -level dispatch per element and measured ~45 s for 20M ids × k=7 —
+    the epoch build would take ~40 min at the 1e9-id regime this rung
+    exists for. Sorting the word indices and OR-folding each run with
+    ``bitwise_or.reduceat`` is the same result at numpy vector speed
+    (~10× faster measured; the sort dominates and scales n log n)."""
+    import numpy as np
+
+    if len(vals) == 0:
+        return
+    pos = _bloom_positions(vals, m_bits).ravel()
+    w = (pos >> np.uint64(6)).astype(np.int64)
+    b = np.uint64(1) << (pos & np.uint64(63))
+    order = np.argsort(w, kind="stable")
+    w = w[order]
+    b = b[order]
+    starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+    bitset[w[starts]] |= np.bitwise_or.reduceat(b, starts)
+
+
+def _bloom_hits(bitset, vals, m_bits: int):
+    """Boolean mask: True where ALL k probe bits are set (bloom-positive
+    — decided, OR a false positive the exact confirm will clear)."""
+    import numpy as np
+
+    pos = _bloom_positions(vals, m_bits)
+    hit = np.ones(pos.shape[1], dtype=bool)
+    for i in range(_BLOOM_K):
+        p = pos[i]
+        hit &= (
+            (bitset[(p >> np.uint64(6)).astype(np.int64)] >> (p & np.uint64(63)))
+            & np.uint64(1)
+        ).astype(bool)
+    return hit
+
+
+def _bloom_candidates(bc, m_bits: int, id_col: str):
+    """Arrow kernel factory: emit only the BLOOM-POSITIVE ids of each
+    batch (one bigint column). NULL ids are never candidates — an
+    equality anti-join cannot match NULL, so the disk twin passes them
+    through and so must we."""
+
+    def fn(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        bits = None
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            if bits is None:  # lazy: an empty task never fetches
+                bits = bc.value
+            col = rb.column(rb.schema.get_field_index(id_col))
+            null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+            vals = col.fill_null(0).to_numpy(zero_copy_only=False)
+            hit = _bloom_hits(bits, vals, m_bits) & ~null_mask
+            if hit.any():
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(vals[hit], type=pa.int64())], [id_col]
+                )
 
     return fn
 
@@ -309,6 +441,26 @@ class DecisionIdGuard:
       -broadcast ~2 GB pickle/transport ceiling (the next ceiling, the
       once-per-epoch driver transit of the full array, stays documented
       in SCALE.md with bloom+exact-confirm as the following rung).
+    - ``bloom`` is that following rung, implemented: the driver folds
+      the epoch ids into an m-bit bloom bitset and DISCARDS the array
+      (steady-state driver hold and executor broadcast drop from
+      8 bytes/id to bits_per_id/8 — dialable via
+      LIME_GUARD_BLOOM_BITS_PER_ID). Per batch: bloom-negative rows
+      are definitely-unseen (a bloom has no false negatives) and never
+      touch disk; bloom-positive ids — true re-deliveries plus an
+      ~2^-k sliver of false positives — are exact-confirmed with ONE
+      narrow decisions read semi-joined to the broadcast candidate
+      set, then filtered by exact membership, so the output is
+      row-identical to the disk twin. The confirm read only runs on
+      batches that HAVE candidates; at the default sizing most batches
+      of fresh ids skip disk entirely. Compaction folds increments
+      into the bitset in place (blooms only set bits); crossing the
+      build-time capacity marks a deferred resize, and the next
+      filter_prior rebuilds from disk at the new size — correctness
+      never depends on the fp rate, only the confirm frequency does.
+      What this rung does NOT change: the epoch build still observes
+      every decided id once (any rebuild must), and record() keeps the
+      same exact pinned increments between compactions.
     """
 
     COMPACT_EVERY = 32
@@ -329,6 +481,13 @@ class DecisionIdGuard:
         self._base_ids = None  # sorted int64 numpy array (driver copy)
         self._bcs: list = []  # broadcasts of consecutive shards of it
         self._shard_maxes = None  # int64 array of each shard's last id
+        # bloom mode: driver bitset copy + sizing (the exact array is
+        # folded in at build and DISCARDED — that is the point)
+        self._bloom = None  # uint64 word array
+        self._bloom_m = 0  # m_bits
+        self._bloom_n = 0  # ids folded in so far
+        self._bloom_cap = 0  # resize threshold (2x headroom at build)
+        self._bloom_resize = False  # compaction crossed capacity
         self._base_parts: set[int] = set()
         self._incs: dict[int, _Pin] = {}  # batch_id -> (id_col) frame
         self._batches = 0  # auto: filter_prior calls while on disk
@@ -371,6 +530,10 @@ class DecisionIdGuard:
         self._bcs = []
         self._shard_maxes = None
         self._base_ids = None
+        self._bloom = None
+        self._bloom_m = 0
+        self._bloom_n = 0
+        self._bloom_cap = 0
 
     def _release_all(self) -> None:
         self._destroy_bc()
@@ -392,6 +555,21 @@ class DecisionIdGuard:
         import numpy as np
 
         self._destroy_bc()
+        if self.mode == "bloom":
+            # fold the ids into a fresh bitset and DISCARD them: the
+            # driver holds m/8 bytes, not 8 bytes/id. Sized with 2x
+            # headroom so the steady rate stays >= bits_per_id/2 until
+            # the compaction-time resize check triggers a rebuild.
+            n = max(int(len(ids)), 1)
+            self._bloom_cap = 2 * n
+            self._bloom_m = max(1 << 20, self._bloom_cap * _bloom_params())
+            self._bloom = np.zeros((self._bloom_m + 63) // 64, dtype=np.uint64)
+            _bloom_set(self._bloom, ids, self._bloom_m)
+            self._bloom_n = int(len(ids))
+            self._bloom_resize = False
+            if self._bloom_n:
+                self._bcs = [spark.sparkContext.broadcast(self._bloom)]
+            return
         self._base_ids = ids
         if len(ids) == 0:
             return
@@ -427,6 +605,7 @@ class DecisionIdGuard:
         if (
             spark.sparkContext.applicationId != self._app_id
             or (disk - {batch_id}) != (covered - {batch_id})
+            or self._bloom_resize
         ):
             self._rebuild(spark, disk, batch_id)
 
@@ -493,7 +672,9 @@ class DecisionIdGuard:
                     )
             self._validate(spark, batch_id)
             out = df
-            if self._base_ids is not None and len(self._base_ids):
+            if self.mode == "bloom" and self._bloom_n > 0:
+                out = self._bloom_filter_prior(df, batch_id)
+            elif self._base_ids is not None and len(self._base_ids):
                 out = out.mapInArrow(
                     _unseen_filter(self._bcs, self._shard_maxes, self.id_col),
                     df.schema,
@@ -503,12 +684,63 @@ class DecisionIdGuard:
                     out = out.join(pin.df, self.id_col, "left_anti")
             return out
 
+    def _bloom_filter_prior(self, df: DataFrame, batch_id: int) -> DataFrame:
+        """Bloom phase 1+2: extract the batch's bloom-positive ids (one
+        eager O(batch) job — definitely-unseen rows never touch disk),
+        and when any exist, exact-confirm them with a narrow disk read
+        semi-joined to the broadcast candidate set. The confirmed set —
+        bounded by the batch size — then drives the SAME sorted-array
+        probe kernel the exact modes use, as a plain closure array.
+        Output is row-identical to the disk twin: a bloom false
+        positive that is NOT in the decisions state fails the confirm
+        and passes through."""
+        import numpy as np
+
+        from lime_etl_spark.plans import auto_broadcast
+
+        spark = df.sparkSession
+        cand_tbl = (
+            df.select(self.id_col)
+            .mapInArrow(
+                _bloom_candidates(self._bcs[0], self._bloom_m, self.id_col),
+                f"{self.id_col} bigint",
+            )
+            .toArrow()
+        )
+        if cand_tbl.num_rows == 0:
+            return df
+        cand = np.unique(
+            cand_tbl.column(0).combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        cand_df = spark.createDataFrame(
+            [(int(v),) for v in cand], f"{self.id_col} bigint"
+        )
+        confirmed = _ids_to_numpy(
+            self._disk_prior_ids(spark, batch_id).join(
+                # bounded by contract: candidates <= batch size
+                auto_broadcast(cand_df, bounded=True),
+                self.id_col,
+                "left_semi",
+            ),
+            self.id_col,
+        )
+        if len(confirmed) == 0:
+            return df
+        maxes = np.array([confirmed[-1]], dtype=np.int64)
+        return df.mapInArrow(
+            _unseen_filter([confirmed], maxes, self.id_col), df.schema
+        )
+
     def prior_ids(self, spark: SparkSession, batch_id: int) -> DataFrame:
         """The decided-id set as a DataFrame (inspection/testing; the
         hot path is filter_prior — this ships the driver array back out
         through createDataFrame)."""
         with self._lock:
             if self.phase == "disk":
+                return self._disk_prior_ids(spark, batch_id)
+            if self.mode == "bloom":
+                # a bitset cannot enumerate its members; the exact set
+                # lives on disk (record() runs after all state writes)
                 return self._disk_prior_ids(spark, batch_id)
             self._validate(spark, batch_id)
             base = self._base_ids
@@ -543,11 +775,47 @@ class DecisionIdGuard:
                 self._compact(spark)
 
     def _compact(self, spark: SparkSession) -> None:
-        """Fold the per-batch increments into the broadcast array — the
-        once-per-N-batches pass that amortizes the epoch read away
-        entirely (it collects only the increments, not the dir)."""
+        """Fold the per-batch increments into the broadcast structure —
+        the once-per-N-batches pass that amortizes the epoch read away
+        entirely (it collects only the increments, not the dir).
+
+        Bloom mode folds the increment ids into the EXISTING bitset (a
+        bloom only ever sets more bits, so no rebuild is needed) and
+        re-broadcasts it; if the folded count crosses the capacity the
+        bitset was sized for, the guard marks itself for a resize —
+        the bloom stays CORRECT past capacity (the exact confirm never
+        lets a false positive drop a row; only the fp rate, i.e. the
+        confirm-read frequency, degrades), so the resize is deferred to
+        the next filter_prior, which rebuilds from disk at the new
+        size."""
         import numpy as np
 
+        if self.mode == "bloom":
+            folded = 0
+            for pin in self._incs.values():
+                inc = _ids_to_numpy(pin.df, self.id_col)
+                _bloom_set(self._bloom, inc, self._bloom_m)
+                folded += int(len(inc))
+            self._bloom_n += folded
+            folded_parts = set(self._incs)
+            for pin in self._incs.values():
+                pin.release()
+            self._incs = {}
+            for bc in self._bcs:
+                try:
+                    bc.unpersist()  # superseded bitset (see _destroy_bc)
+                except Exception:
+                    pass
+            self._bcs = (
+                [spark.sparkContext.broadcast(self._bloom)]
+                if self._bloom_n
+                else []
+            )
+            self._base_parts |= folded_parts
+            if self._bloom_n > self._bloom_cap:
+                # deferred: next filter_prior rebuilds at the new size
+                self._bloom_resize = True
+            return
         chunks = [self._base_ids] if self._base_ids is not None else []
         for pin in self._incs.values():
             chunks.append(_ids_to_numpy(pin.df, self.id_col))

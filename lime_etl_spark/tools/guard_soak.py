@@ -63,7 +63,7 @@ def _run(spark, mode: str, n_state: int, n_batches: int) -> dict:
     _seed_state(spark, decisions, n_state)
     guard = (
         DecisionIdGuard(decisions, "doc_id", mode=mode)
-        if mode in ("cached", "sharded", "auto")
+        if mode in ("cached", "sharded", "auto", "bloom")
         else None
     )
     times = []

@@ -351,3 +351,134 @@ def test_auto_guard_flips_on_measured_crossover(spark, docs, tmp_path, monkeypat
     want = _rows(_decisions(spark, disk_state))
     assert _rows(_decisions(spark, stay_state)) == want
     assert _rows(_decisions(spark, flip_state)) == want
+
+
+def test_bloom_guard_equals_disk_and_discards_array(
+    spark, docs, tmp_path, monkeypatch
+):
+    """Round-10 follow-on: the bloom+exact-confirm rung past sharded.
+    Full-drain state must match the disk twin byte-for-byte, and the
+    guard must hold ONLY the bitset — the exact id array is discarded
+    at build (that is the whole point of the rung)."""
+    monkeypatch.setenv("LIME_REDELIVERY_GUARD", "disk")
+    disk_state = str(tmp_path / "disk")
+    _drain_lsh(spark, docs, disk_state, redeliver=True)
+    monkeypatch.setenv("LIME_REDELIVERY_GUARD", "bloom")
+    bloom_state = str(tmp_path / "bloom")
+    _drain_lsh(spark, docs, bloom_state, redeliver=True)
+
+    for sub, schema in (
+        (sdedup.DECISIONS_SUBDIR, sdedup._DECISIONS_SCHEMA),
+        (sdedup.BANDS_SUBDIR, sdedup._BANDS_SCHEMA),
+        (sdedup.DOCS_SUBDIR, sdedup._DOCS_SCHEMA),
+    ):
+        assert _rows(
+            read_state_or_empty(spark, os.path.join(disk_state, sub), schema)
+        ) == _rows(
+            read_state_or_empty(spark, os.path.join(bloom_state, sub), schema)
+        )
+    guard = sstate.decision_guard(
+        os.path.join(bloom_state, sdedup.DECISIONS_SUBDIR), "doc_id"
+    )
+    assert guard.mode == "bloom"
+    guard._compact(spark)
+    assert guard._base_ids is None and guard._bloom is not None
+    assert guard._bloom_n > 0
+    # and re-delivered ids were decided exactly once
+    dec = _decisions(spark, bloom_state)
+    assert dec.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+def test_bloom_exact_under_forced_false_positives(spark, tmp_path, monkeypatch):
+    """With the bitset forced to its 2-bits-per-id floor nearly every
+    probe is bloom-POSITIVE — the exact-confirm pass must clear every
+    false positive, so the output still equals the disk twin row for
+    row, including |id| > 2^53 ids and NULL pass-through (a bloom is a
+    screen, never the decision)."""
+    monkeypatch.setenv("LIME_GUARD_BLOOM_BITS_PER_ID", "2")
+    base = 2**62 + 11
+    decided = [base, base + 2, -(2**61) - 7] + list(range(1000, 1400))
+    state = str(tmp_path / "decisions")
+    spark.createDataFrame(
+        [(i, 0) for i in decided], "doc_id bigint, ingest_batch bigint"
+    ).write.partitionBy("ingest_batch").parquet(state)
+
+    guard = sstate.DecisionIdGuard(state, "doc_id", mode="bloom")
+    batch = spark.createDataFrame(
+        [
+            (base, "dup-exact"),
+            (base + 1, "neighbor"),
+            (base + 2, "dup-exact-2"),
+            (base + 3, "neighbor-2"),
+            (-(2**61) - 7, "neg-dup"),
+            (-(2**61) - 6, "neg-neighbor"),
+            (None, "null-id"),
+            (1000, "dup-small"),
+            (999, "fresh-small"),
+        ],
+        "doc_id bigint, payload string",
+    )
+    got = sorted((r.payload, r.doc_id) for r in guard.filter_prior(batch, 1).collect())
+    prior = (
+        spark.read.schema("doc_id bigint, ingest_batch bigint")
+        .parquet(state)
+        .filter(F.col("ingest_batch") != 1)
+        .select("doc_id")
+    )
+    disk = sorted(
+        (r.payload, r.doc_id)
+        for r in batch.join(prior, "doc_id", "left_anti").collect()
+    )
+    assert got == disk
+    assert ("null-id", None) in got and ("dup-exact", base) not in got
+
+
+def test_bloom_all_fresh_batch_skips_confirm_entirely(spark, tmp_path):
+    """A batch with zero bloom-positive ids must come back as the SAME
+    DataFrame object — phase 2 (the candidate-pruned disk confirm)
+    never builds a plan, which is the structural form of 'definitely
+    -unseen rows never touch disk'."""
+    decided = list(range(0, 4000, 2))
+    state = str(tmp_path / "decisions")
+    spark.createDataFrame(
+        [(i, 0) for i in decided], "doc_id bigint, ingest_batch bigint"
+    ).write.partitionBy("ingest_batch").parquet(state)
+    guard = sstate.DecisionIdGuard(state, "doc_id", mode="bloom")
+    fresh = spark.createDataFrame(
+        [(10**7 + i,) for i in range(50)], "doc_id bigint"
+    )
+    out = guard.filter_prior(fresh, 1)
+    assert out is fresh, "confirm path engaged for a definitely-fresh batch"
+
+
+def test_bloom_capacity_resize_rebuilds_and_stays_exact(
+    spark, tmp_path, monkeypatch
+):
+    """Compactions that cross the build-time capacity mark a deferred
+    resize; the next filter_prior rebuilds the bitset from disk at the
+    new size. Decisions across the growth stay exact (one per id)."""
+    monkeypatch.setattr(sstate.DecisionIdGuard, "COMPACT_EVERY", 1)
+    state = str(tmp_path / "decisions")
+    spark.createDataFrame(
+        [(0, 0)], "doc_id bigint, ingest_batch bigint"
+    ).write.partitionBy("ingest_batch").parquet(state)
+    guard = sstate.DecisionIdGuard(state, "doc_id", mode="bloom")
+    # build at capacity 2 (1 id on disk, 2x headroom)
+    guard.filter_prior(spark.createDataFrame([(1,)], "doc_id bigint"), 1)
+    cap0, m0 = guard._bloom_cap, guard._bloom_m
+    assert cap0 == 2
+    # record 10 new ids -> COMPACT_EVERY=1 folds immediately -> over cap
+    ids = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id bigint")
+    ids.withColumn("ingest_batch", F.lit(1)).write.mode("append").partitionBy(
+        "ingest_batch"
+    ).parquet(state)
+    guard.record(spark, 1, ids)
+    assert guard._bloom_resize, "capacity crossing not marked"
+    # next probe rebuilds at the new size and is exact
+    probe = spark.createDataFrame(
+        [(0,), (5,), (10,), (11,), (12,)], "doc_id bigint"
+    )
+    out = sorted(r.doc_id for r in guard.filter_prior(probe, 2).collect())
+    assert out == [11, 12]
+    assert not guard._bloom_resize and guard._bloom_cap > cap0
+    assert guard._bloom_m >= m0
