@@ -229,27 +229,66 @@ def _bloom_positions(vals, m_bits: int):
     )
 
 
-def _bloom_set(bitset, vals, m_bits: int) -> None:
-    """Fold ``vals`` into ``bitset`` (uint64 words) in place.
+def _bloom_set(bitset, vals, m_bits: int, chunk: int = 4_000_000) -> None:
+    """Fold ``vals`` into ``bitset`` (uint64 words) in place — the
+    buffered, chunked twin of ``_bloom_positions`` (same splitmix64
+    double-hash recipe; membership equality is pinned end-to-end by the
+    disk-twin tests and directly by a hash-twin unit test).
 
-    NOT ``np.bitwise_or.at``: the unbuffered scatter runs one python
-    -level dispatch per element and measured ~45 s for 20M ids × k=7 —
-    the epoch build would take ~40 min at the 1e9-id regime this rung
-    exists for. Sorting the word indices and OR-folding each run with
-    ``bitwise_or.reduceat`` is the same result at numpy vector speed
-    (~10× faster measured; the sort dominates and scales n log n)."""
+    Why this shape: the naive builds are dominated by ALLOCATING the
+    (k, n) position temporaries, not by arithmetic — at 20M ids × k=7
+    on a quiet host, plain vectorized ``bitwise_or.at`` over the full
+    position stack measured 42 s and an argsort+``reduceat`` fold 82 s
+    (the 1.1 GB temporaries fault in at page-zeroing speed each step,
+    and the 140M-element sort pays n log n on top). Computing each
+    probe's positions chunk-by-chunk into PREALLOCATED buffers removes
+    the allocation cost entirely: 16 s total at 20M, linear in n, with
+    peak extra memory one chunk (~32 MB) regardless of n. The
+    remaining floor is the random scatter itself (~80 ns/element), so
+    a 1e9-id epoch build lands at ~15 min — once per epoch, not per
+    batch, and documented in SCALE.md next to the sharded-exact
+    alternative for build-time-sensitive deployments."""
     import numpy as np
 
-    if len(vals) == 0:
+    n = len(vals)
+    if n == 0:
         return
-    pos = _bloom_positions(vals, m_bits).ravel()
-    w = (pos >> np.uint64(6)).astype(np.int64)
-    b = np.uint64(1) << (pos & np.uint64(63))
-    order = np.argsort(w, kind="stable")
-    w = w[order]
-    b = b[order]
-    starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
-    bitset[w[starts]] |= np.bitwise_or.reduceat(b, starts)
+    c0 = min(chunk, n)
+    h1 = np.empty(c0, dtype=np.uint64)
+    h2 = np.empty(c0, dtype=np.uint64)
+    p = np.empty(c0, dtype=np.uint64)
+    t = np.empty(c0, dtype=np.uint64)
+    w = np.empty(c0, dtype=np.int64)
+    b = np.empty(c0, dtype=np.uint64)
+    m = np.uint64(m_bits)
+
+    def mix(x, out, tmp):
+        np.add(x, np.uint64(0x9E3779B97F4A7C15), out=out)
+        np.right_shift(out, np.uint64(30), out=tmp)
+        np.bitwise_xor(out, tmp, out=out)
+        np.multiply(out, np.uint64(0xBF58476D1CE4E5B9), out=out)
+        np.right_shift(out, np.uint64(27), out=tmp)
+        np.bitwise_xor(out, tmp, out=out)
+        np.multiply(out, np.uint64(0x94D049BB133111EB), out=out)
+        np.right_shift(out, np.uint64(31), out=tmp)
+        np.bitwise_xor(out, tmp, out=out)
+
+    for s in range(0, n, chunk):
+        x = np.ascontiguousarray(vals[s : s + chunk]).view(np.uint64)
+        c = len(x)
+        mix(x, h1[:c], t[:c])
+        np.bitwise_xor(x, np.uint64(0xA5A5A5A5A5A5A5A5), out=p[:c])
+        mix(p[:c], h2[:c], t[:c])
+        np.bitwise_or(h2[:c], np.uint64(1), out=h2[:c])
+        for i in range(_BLOOM_K):
+            np.multiply(h2[:c], np.uint64(i), out=p[:c])
+            np.add(p[:c], h1[:c], out=p[:c])
+            np.mod(p[:c], m, out=p[:c])
+            np.right_shift(p[:c], np.uint64(6), out=t[:c])
+            w[:c] = t[:c]
+            np.bitwise_and(p[:c], np.uint64(63), out=t[:c])
+            np.left_shift(np.uint64(1), t[:c], out=b[:c])
+            np.bitwise_or.at(bitset, w[:c], b[:c])
 
 
 def _bloom_hits(bitset, vals, m_bits: int):

@@ -482,3 +482,34 @@ def test_bloom_capacity_resize_rebuilds_and_stays_exact(
     assert out == [11, 12]
     assert not guard._bloom_resize and guard._bloom_cap > cap0
     assert guard._bloom_m >= m0
+
+
+def test_bloom_set_matches_reference_positions():
+    """`_bloom_set` (the buffered chunked epoch fold) and
+    `_bloom_positions` (the reference recipe the probe kernels use)
+    must compute identical bit positions — a drift between the twins
+    would surface as false NEGATIVES, the one failure mode the bloom
+    design cannot tolerate. Pure numpy, no Spark."""
+    import numpy as np
+
+    from lime_etl_spark.streaming import state as st
+
+    rng = np.random.default_rng(41)
+    ids = np.concatenate(
+        [
+            rng.integers(-(2**62), 2**62, size=50_000, dtype=np.int64),
+            np.array([0, -1, 1, 2**62, -(2**62), 2**53 + 1], dtype=np.int64),
+        ]
+    )
+    m = 997_001 * 8
+    got = np.zeros((m + 63) // 64, dtype=np.uint64)
+    st._bloom_set(got, ids, m, chunk=7_777)  # uneven chunks on purpose
+    ref = np.zeros_like(got)
+    pos = st._bloom_positions(ids, m).ravel()
+    np.bitwise_or.at(
+        ref,
+        (pos >> np.uint64(6)).astype(np.int64),
+        np.uint64(1) << (pos & np.uint64(63)),
+    )
+    assert np.array_equal(got, ref)
+    assert st._bloom_hits(got, ids, m).all()
