@@ -62,7 +62,10 @@ def guard_mode() -> str:
       of the exact id array; bloom-negative rows pass with no disk
       touch (no false negatives), bloom-positive ids are exact-
       confirmed against a candidate-pruned disk read — output is
-      IDENTICAL to the disk twin, not probabilistic.
+      IDENTICAL to the disk twin, not probabilistic. The bitset itself
+      ships as word-range broadcast shards past ~1 GiB
+      (``LIME_GUARD_BLOOM_SHARD_WORDS``), so the rung's own broadcast
+      never hits the single-pickle ceiling either.
     - ``disk``: the round-8 behavior — a full O(state) decisions read
       per micro-batch. Kept as the differential-testing twin: the
       generative ingest families run green on every mode against it.
@@ -291,23 +294,62 @@ def _bloom_set(bitset, vals, m_bits: int, chunk: int = 4_000_000) -> None:
             np.bitwise_or.at(bitset, w[:c], b[:c])
 
 
-def _bloom_hits(bitset, vals, m_bits: int):
+def _bloom_shard_words() -> int:
+    """Words per broadcast shard of the bitset (env
+    ``LIME_GUARD_BLOOM_SHARD_WORDS``, default 2^27 = 1 GiB of uint64
+    words, floor 1). The probe hashes span the WHOLE bit space, so
+    every executor needs every shard either way — sharding changes
+    nothing about total transport, it only keeps each individual
+    broadcast pickle under the ~2 GB single-object ceiling (the same
+    limit that motivated the exact-array ``sharded`` mode). At the
+    default bitset sizing (20 bits/id, 2x headroom) a single broadcast
+    would cap the bloom rung at ~400M ids — below the 1e9 regime it
+    exists for; with 1 GiB shards the same regime ships as ~5
+    broadcasts."""
+    try:
+        return max(
+            1, int(os.environ.get("LIME_GUARD_BLOOM_SHARD_WORDS", str(1 << 27)))
+        )
+    except ValueError:
+        return 1 << 27
+
+
+def _bloom_hits_sharded(shards, wps: int, vals, m_bits: int):
     """Boolean mask: True where ALL k probe bits are set (bloom-positive
-    — decided, OR a false positive the exact confirm will clear)."""
+    — decided, OR a false positive the exact confirm will clear).
+    ``shards`` are consecutive word-range slices of one logical bitset
+    (``wps`` words each except the last); a global word index dispatches
+    arithmetically — no executor-side concatenation, so the probe never
+    holds a second copy of the bitset."""
     import numpy as np
 
     pos = _bloom_positions(vals, m_bits)
     hit = np.ones(pos.shape[1], dtype=bool)
+    wps_u = np.int64(wps)
     for i in range(_BLOOM_K):
         p = pos[i]
-        hit &= (
-            (bitset[(p >> np.uint64(6)).astype(np.int64)] >> (p & np.uint64(63)))
-            & np.uint64(1)
-        ).astype(bool)
+        w = (p >> np.uint64(6)).astype(np.int64)
+        bit = p & np.uint64(63)
+        if len(shards) == 1:
+            word = shards[0][w]
+        else:
+            s = w // wps_u
+            off = w - s * wps_u
+            word = np.empty(len(w), dtype=np.uint64)
+            for j, shard in enumerate(shards):
+                msk = s == j
+                if msk.any():
+                    word[msk] = shard[off[msk]]
+        hit &= ((word >> bit) & np.uint64(1)).astype(bool)
     return hit
 
 
-def _bloom_candidates(bc, m_bits: int, id_col: str):
+def _bloom_hits(bitset, vals, m_bits: int):
+    """Single-array convenience wrapper over ``_bloom_hits_sharded``."""
+    return _bloom_hits_sharded([bitset], len(bitset), vals, m_bits)
+
+
+def _bloom_candidates(bcs, wps: int, m_bits: int, id_col: str):
     """Arrow kernel factory: emit only the BLOOM-POSITIVE ids of each
     batch (one bigint column). NULL ids are never candidates — an
     equality anti-join cannot match NULL, so the disk twin passes them
@@ -317,16 +359,16 @@ def _bloom_candidates(bc, m_bits: int, id_col: str):
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        bits = None
+        shards = None
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            if bits is None:  # lazy: an empty task never fetches
-                bits = bc.value
+            if shards is None:  # lazy: an empty task never fetches
+                shards = [b.value for b in bcs]
             col = rb.column(rb.schema.get_field_index(id_col))
             null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
             vals = col.fill_null(0).to_numpy(zero_copy_only=False)
-            hit = _bloom_hits(bits, vals, m_bits) & ~null_mask
+            hit = _bloom_hits_sharded(shards, wps, vals, m_bits) & ~null_mask
             if hit.any():
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(vals[hit], type=pa.int64())], [id_col]
@@ -484,7 +526,9 @@ class DecisionIdGuard:
       the epoch ids into an m-bit bloom bitset and DISCARDS the array
       (steady-state driver hold and executor broadcast drop from
       8 bytes/id to bits_per_id/8 — dialable via
-      LIME_GUARD_BLOOM_BITS_PER_ID). Per batch: bloom-negative rows
+      LIME_GUARD_BLOOM_BITS_PER_ID; bitsets past ~1 GiB ship as
+      word-range broadcast shards, see _bloom_shard_words). Per batch:
+      bloom-negative rows
       are definitely-unseen (a bloom has no false negatives) and never
       touch disk; bloom-positive ids — true re-deliveries plus an
       ~2^-k sliver of false positives — are exact-confirmed with ONE
@@ -527,6 +571,7 @@ class DecisionIdGuard:
         self._bloom_n = 0  # ids folded in so far
         self._bloom_cap = 0  # resize threshold (2x headroom at build)
         self._bloom_resize = False  # compaction crossed capacity
+        self._bloom_wps = 0  # words per broadcast shard of the bitset
         self._base_parts: set[int] = set()
         self._incs: dict[int, _Pin] = {}  # batch_id -> (id_col) frame
         self._batches = 0  # auto: filter_prior calls while on disk
@@ -534,6 +579,18 @@ class DecisionIdGuard:
         self._fixed_cost: float | None = None
 
     # -- plumbing ------------------------------------------------------
+
+    def _broadcast_bloom_shards(self, spark: SparkSession) -> list:
+        """Ship the driver bitset as consecutive word-range slices, each
+        under the single-object broadcast pickle ceiling (see
+        ``_bloom_shard_words``). At test/default small sizes this is one
+        broadcast — exactly the prior behavior."""
+        wps = _bloom_shard_words()
+        self._bloom_wps = wps
+        return [
+            spark.sparkContext.broadcast(self._bloom[i : i + wps])
+            for i in range(0, len(self._bloom), wps)
+        ]
 
     def _disk_parts(self, spark: SparkSession) -> set[int]:
         from lime_etl_spark.io.fsutil import HadoopFS
@@ -607,13 +664,20 @@ class DecisionIdGuard:
             self._bloom_n = int(len(ids))
             self._bloom_resize = False
             if self._bloom_n:
-                self._bcs = [spark.sparkContext.broadcast(self._bloom)]
+                self._bcs = self._broadcast_bloom_shards(spark)
             return
         self._base_ids = ids
         if len(ids) == 0:
             return
         rows = self._shard_rows()
-        if self.mode == "sharded" and len(ids) > rows:
+        if len(ids) > rows:
+            # EVERY broadcast path shards past the row limit, not just
+            # the `sharded` mode: a cached/auto guard that outgrew
+            # ~250M ids would otherwise hit the same ~2 GB
+            # single-pickle ceiling the mode exists to lift. Below the
+            # limit this is one shard — the prior cached behavior
+            # exactly; the mode knob's remaining role is forcing the
+            # multi-shard dispatch in tests via LIME_GUARD_SHARD_ROWS.
             shards = [ids[i : i + rows] for i in range(0, len(ids), rows)]
         else:
             shards = [ids]
@@ -741,7 +805,9 @@ class DecisionIdGuard:
         cand_tbl = (
             df.select(self.id_col)
             .mapInArrow(
-                _bloom_candidates(self._bcs[0], self._bloom_m, self.id_col),
+                _bloom_candidates(
+                    self._bcs, self._bloom_wps, self._bloom_m, self.id_col
+                ),
                 f"{self.id_col} bigint",
             )
             .toArrow()
@@ -846,9 +912,7 @@ class DecisionIdGuard:
                 except Exception:
                     pass
             self._bcs = (
-                [spark.sparkContext.broadcast(self._bloom)]
-                if self._bloom_n
-                else []
+                self._broadcast_bloom_shards(spark) if self._bloom_n else []
             )
             self._base_parts |= folded_parts
             if self._bloom_n > self._bloom_cap:

@@ -513,3 +513,99 @@ def test_bloom_set_matches_reference_positions():
     )
     assert np.array_equal(got, ref)
     assert st._bloom_hits(got, ids, m).all()
+
+
+def test_bloom_bitset_shards_match_single_broadcast(
+    spark, tmp_path, monkeypatch
+):
+    """Past ~400M ids the default-sized bitset exceeds the ~2 GB
+    single-object broadcast pickle ceiling, so the bloom guard ships it
+    as consecutive word-range slices. Forced tiny shards (64 words)
+    must behave identically to one broadcast: same numpy probe verdicts
+    and the same filter_prior output as the disk twin."""
+    import numpy as np
+
+    from lime_etl_spark.streaming.state import (
+        _bloom_hits,
+        _bloom_hits_sharded,
+        _bloom_set,
+    )
+
+    # numpy level: arithmetic shard dispatch == single-array gather
+    rng = np.random.default_rng(43)
+    ids = rng.integers(-(2**62), 2**62, size=20_000, dtype=np.int64)
+    m = 1 << 20
+    bits = np.zeros((m + 63) // 64, dtype=np.uint64)
+    _bloom_set(bits, ids, m)
+    probe = np.concatenate([ids[:500], rng.integers(-(2**62), 2**62, 500)])
+    wps = 64
+    shards = [bits[i : i + wps] for i in range(0, len(bits), wps)]
+    assert len(shards) > 2
+    assert np.array_equal(
+        _bloom_hits_sharded(shards, wps, probe, m), _bloom_hits(bits, probe, m)
+    )
+
+    # engine level: forced-sharded guard == disk twin
+    monkeypatch.setenv("LIME_GUARD_BLOOM_SHARD_WORDS", "64")
+    decided = list(range(2000, 2800))
+    state = str(tmp_path / "decisions")
+    spark.createDataFrame(
+        [(i, 0) for i in decided], "doc_id bigint, ingest_batch bigint"
+    ).write.partitionBy("ingest_batch").parquet(state)
+    guard = sstate.DecisionIdGuard(state, "doc_id", mode="bloom")
+    batch = spark.createDataFrame(
+        [(i,) for i in range(1900, 2100)] + [(None,)], "doc_id bigint"
+    )
+    got = sorted(
+        (r.doc_id is None, r.doc_id or 0)
+        for r in guard.filter_prior(batch, 1).collect()
+    )
+    assert len(guard._bcs) > 2, "shard forcing did not engage"
+    prior = (
+        spark.read.schema("doc_id bigint, ingest_batch bigint")
+        .parquet(state)
+        .filter(F.col("ingest_batch") != 1)
+        .select("doc_id")
+    )
+    disk = sorted(
+        (r.doc_id is None, r.doc_id or 0)
+        for r in batch.join(prior, "doc_id", "left_anti").collect()
+    )
+    assert got == disk
+
+
+def test_cached_guard_shards_past_row_limit_and_stays_exact(
+    spark, tmp_path, monkeypatch
+):
+    """cached/auto guards that outgrow the per-broadcast row limit must
+    shard the exact array like `sharded` mode does — otherwise a
+    long-lived stream marches into the ~2 GB single-pickle broadcast
+    ceiling. Forced 100-row shards: multi-shard dispatch engages under
+    mode=cached and filter_prior still equals the disk anti-join."""
+    monkeypatch.setenv("LIME_GUARD_SHARD_ROWS", "100")
+    decided = list(range(5000, 5950))
+    state = str(tmp_path / "decisions")
+    spark.createDataFrame(
+        [(i, 0) for i in decided], "doc_id bigint, ingest_batch bigint"
+    ).write.partitionBy("ingest_batch").parquet(state)
+    guard = sstate.DecisionIdGuard(state, "doc_id", mode="cached")
+    batch = spark.createDataFrame(
+        [(i,) for i in range(4900, 5100)] + [(None,), (5949,), (6000,)],
+        "doc_id bigint",
+    )
+    got = sorted(
+        (r.doc_id is None, r.doc_id or 0)
+        for r in guard.filter_prior(batch, 1).collect()
+    )
+    assert len(guard._bcs) == 10, "row-limit sharding did not engage"
+    prior = (
+        spark.read.schema("doc_id bigint, ingest_batch bigint")
+        .parquet(state)
+        .filter(F.col("ingest_batch") != 1)
+        .select("doc_id")
+    )
+    disk = sorted(
+        (r.doc_id is None, r.doc_id or 0)
+        for r in batch.join(prior, "doc_id", "left_anti").collect()
+    )
+    assert got == disk
