@@ -196,87 +196,131 @@ def ngram_jaccard_pairs(
         # streaming gate the corpus is the whole accumulated doc store,
         # so this was O(all docs) CPU per micro-batch instead of
         # O(candidate docs).
-        cand_docs = (
-            pairs.select(F.col("id_a").alias("id"))
-            .union(pairs.select(F.col("id_b").alias("id")))
-            .distinct()
-        )
+        # one explode, not a 2-leg union: union plans the candidate
+        # pipeline once per leg, and (unlike the self-join's two
+        # identical shuffle exchanges) the legs' exchanges differ after
+        # the per-leg projection, so runtime reuse cannot merge them —
+        # the candidate generator would execute twice just to list its
+        # own endpoint ids (round 10).
+        cand_docs = pairs.select(
+            F.explode(F.array("id_a", "id_b")).alias("id")
+        ).distinct()
         src = src.join(cand_docs, "id", "left_semi")
     base = (
         ensure_parallelism(src)
         .withColumn("__toks", tokens(text_col))
         .withColumn("__sh", F.array_distinct(hashed_shingles_from_tokens(F.col("__toks"), n)))
     )
-    idx = base.select("id", F.explode("__sh").alias("sh"))
-    # The df cap exists ONLY to bound the all-pairs-per-shingle
-    # self-join (df² pair blowup). In candidate-driven mode the cost is
-    # candidates × shingles-per-doc no matter how common a shingle is —
-    # and a fixed absolute cap actively DESTROYS the similarity signal
-    # as the corpus grows, because every shingle's doc frequency rises
-    # linearly with corpus size (measured: at 100× the fixture, every
-    # distinct shingle crossed the cap, the capped universe was empty,
-    # and near-dup verification silently found nothing). So the cap is
-    # skipped whenever ``pairs`` drives the computation.
-    if max_docs_per_shingle is not None and pairs is None:
-        wsh = Window.partitionBy("sh")
-        idx = (
-            idx.withColumn("__df", F.count(F.lit(1)).over(wsh))
-            .filter(F.col("__df") <= max_docs_per_shingle)
-            .drop("__df")
-        )
     if pairs is not None:
-        # verification mode: count common shingles only for candidate
-        # pairs (the index is already restricted to candidate docs —
-        # the semi-join moved below the shingle projection above).
-        ia = idx.select(F.col("id").alias("id_a"), "sh")
-        ib = idx.select(F.col("id").alias("id_b"), "sh")
-        common = (
+        # Verification mode (round 10): join each candidate pair to the
+        # two docs' shingle-set ARRAYS and intersect per row —
+        # size(array_intersect(a, b)) on already-distinct arrays IS the
+        # common-shingle count. The previous shape (explode the index,
+        # 2-stage join per pair, groupBy(id_a, id_b) count) shuffled
+        # every (doc, shingle) row twice and re-ran the candidate-doc
+        # tokenization once per index reference PLUS twice more for the
+        # sa/sb size joins; this shape tokenizes candidate docs into
+        # `sets` whose two join references are byte-identical subtrees
+        # (one per pair endpoint) that shuffle by the same key, so the
+        # exchange is planned once and runtime-reused, and sizes ride
+        # along as size(__sh) — no explode, no groupBy, no size joins.
+        # Per-task cost is O(n_a + n_b) hash-intersect per pair in the
+        # JVM vs a corpus-index shuffle; shuffle bytes per candidate
+        # doc are its shingle array ONCE instead of one row per
+        # (shingle, referencing pair).
+        # Precondition (held by every caller — LSH candidates and the
+        # streaming gate both end in .distinct()): ``pairs`` has no
+        # duplicate rows. (The old groupBy shape would have DOUBLED
+        # n_common for a duplicated pair — inflated, not deduped — so
+        # this is not a behavior change, just the same contract stated.)
+        # The df cap is skipped here by design: in candidate-driven
+        # mode cost is candidates × shingles-per-doc no matter how
+        # common a shingle is, and a fixed absolute cap actively
+        # DESTROYS the similarity signal as the corpus grows (measured:
+        # at 100× the fixture every distinct shingle crossed the cap,
+        # the capped universe was empty, and near-dup verification
+        # silently found nothing).
+        # Deliberately NOT broadcast-hinted: sets has one row per
+        # candidate document, which scales with the corpus. AQE picks
+        # broadcast when it is actually small, shuffle join otherwise.
+        sets = base.select(
+            "id", "__sh", F.size("__sh").cast("bigint").alias("n_shingles")
+        )
+        sa = sets.select(
+            F.col("id").alias("id_a"),
+            F.col("__sh").alias("__sh_a"),
+            F.col("n_shingles").alias("n_a"),
+        )
+        sb = sets.select(
+            F.col("id").alias("id_b"),
+            F.col("__sh").alias("__sh_b"),
+            F.col("n_shingles").alias("n_b"),
+        )
+        scored = (
             pairs.select("id_a", "id_b")
-            .join(ia, "id_a")
-            .join(ib, ["id_b", "sh"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
+            .join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("__sh_a", "__sh_b"))
+                .cast("bigint")
+                .alias("n_common"),
+                "n_a",
+                "n_b",
+            )
+            # the old inner-join-on-exploded-index shape emitted a pair
+            # only when ≥1 shingle matched; keep that row set exactly
+            # (also guards the jaccard division when both sets are
+            # empty) — redundant under any threshold > 0
+            .filter(F.col("n_common") > 0)
         )
     else:
+        # Self-join (discovery) mode: the inverted index is the pair
+        # GENERATOR, so the explode + sh self-join stays — but per-doc
+        # set sizes now ride THROUGH the explode as a payload column
+        # (+8 bytes per index row) instead of joining two separate
+        # size tables afterwards. The old sa/sb joins were narrow
+        # projections off `base` with no exchange to reuse, so each one
+        # re-tokenized the whole corpus (the round-4 fix stopped sizes
+        # re-running the explode+window subtree; this removes their
+        # remaining 2 tokenization passes and 2 joins outright).
+        # Sizes are the TRUE distinct-shingle counts (computed before
+        # the df-cap filter), so the capped score stays a LOWER bound
+        # on true Jaccard: the cap can only hide pairs, never promote
+        # them. (The DuckDB oracles mirror this: sizes FROM the
+        # uncapped dsh CTE.)
+        # cast: size() is INT; the published n_a/n_b columns are BIGINT
+        # (schema-compared against the oracle by the driver)
+        idx = base.select(
+            "id",
+            F.size("__sh").cast("bigint").alias("n_shingles"),
+            F.explode("__sh").alias("sh"),
+        )
+        # df cap: bounds the all-pairs-per-shingle blowup (df² pairs).
+        # The frequency count is a window over the same sh key the
+        # self-join shuffles on, so the cap adds no extra exchange.
+        if max_docs_per_shingle is not None:
+            wsh = Window.partitionBy("sh")
+            idx = (
+                idx.withColumn("__df", F.count(F.lit(1)).over(wsh))
+                .filter(F.col("__df") <= max_docs_per_shingle)
+                .drop("__df")
+            )
         a, b = idx.alias("a"), idx.alias("b")
-        common = (
+        scored = (
             a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .agg(F.count(F.lit(1)).alias("n_common"))
+            .agg(
+                F.count(F.lit(1)).alias("n_common"),
+                # constant within the group (one size per doc): min is
+                # the deterministic way to read it back out
+                F.min(F.col("a.n_shingles")).alias("n_a"),
+                F.min(F.col("b.n_shingles")).alias("n_b"),
+            )
         )
-    # Per-doc set sizes come straight off the pre-explode base as
-    # size(__sh) — the TRUE distinct-shingle count — not a second
-    # aggregation of the exploded index. Two wins (round 4):
-    # 1. Plan: the old idx.groupBy("id") subtree re-ran tokenize +
-    #    explode + the df-cap window end to end — the sh exchange
-    #    reuses across the self-join's two sides but NOT across the
-    #    sizes aggregation (observed in the AQE final plan at sf0.1:
-    #    two full Generate+Window stages, the heaviest stages of the
-    #    query). size(__sh) is a narrow projection: no explode, no
-    #    window, no exchange.
-    # 2. Semantics: denominators over the CAPPED universe can INFLATE
-    #    similarity — two docs composed mostly of dropped stop-shingles
-    #    keep a few rare common shingles while both denominators
-    #    shrink. With true set sizes the capped score is a LOWER bound
-    #    on true Jaccard: the cap can only hide pairs, never promote
-    #    them. (The DuckDB oracles mirror this: sizes FROM the
-    #    uncapped dsh CTE.)
-    # Deliberately NOT broadcast-hinted: sizes has one row per
-    # document, which scales with the corpus — at 1e9 docs a forced
-    # broadcast is a ~16 GB OOM. AQE picks broadcast when the table is
-    # actually small and a shuffle join otherwise.
-    # (base is already candidate-restricted in verification mode)
-    # cast: size() is INT; the published n_a/n_b columns are BIGINT
-    # (schema-compared against the oracle by the driver)
-    sizes = base.select(
-        "id", F.size("__sh").cast("bigint").alias("n_shingles")
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        scored.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")
@@ -359,17 +403,40 @@ def minhash_lsh_candidates(
     This is the ~linear candidate generator; feed candidates to
     ngram_jaccard_pairs (or the estimated signature similarity) for
     verification.
-    """
+
+    Bucket-local pair generation, NOT a band self-join (round 10): the
+    self-join shape planned the whole tokenize→md5-MinHash→band
+    pipeline TWICE — one subtree per join side, and the broadcast build
+    side can never be exchange-reused against the probe side's shuffle
+    — so the corpus was fingerprinted twice per run. Grouping the band
+    index by (band, bkey) and exploding i<j pairs from the sorted
+    bucket id array computes the signature pipeline ONCE and replaces
+    the join with one groupBy on the ~40-byte band rows. Pair output is
+    identical: ids within a bucket are distinct (one band row per doc),
+    sort_array makes every emitted pair ordered id_a < id_b, and the
+    trailing distinct() dedups across bands exactly as before. A hot
+    bucket (every doc sharing a band key) materializes its id array in
+    one task — 8 bytes/doc, i.e. ~8 MB per million colliding docs —
+    while its quadratic PAIR volume is the same blowup the self-join
+    would emit; neither form caps it (callers verify + threshold)."""
     allbands = minhash_bands(df, id_col, text_col, n)
-    a, c = allbands.alias("a"), allbands.alias("c")
-    return (
-        a.join(
-            c,
-            (F.col("a.band") == F.col("c.band"))
-            & (F.col("a.bkey") == F.col("c.bkey"))
-            & (F.col("a.id") < F.col("c.id")),
+    buckets = (
+        allbands.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("c.id").alias("id_b"))
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -625,9 +692,26 @@ def connected_components(
             return spark.read.parquet(path)
         return df.localCheckpoint(eager=True)
 
-    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    edges = _ckpt(fwd.union(rev).distinct())
+    # bidirectional edges via ONE explode, not union(fwd, rev): the
+    # union's two legs are separate subplans of the ENTIRE upstream
+    # pair pipeline (for near-dup callers: LSH candidate generation +
+    # Jaccard verification), and the legs' projections differ (src/dst
+    # swapped) so no exchange reuse merges them — the checkpoint that
+    # is supposed to pay for pair generation once paid for it twice
+    # (round 10). The explode emits both directions from a single
+    # evaluation of each pair row.
+    edges = _ckpt(
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+    )
     if algorithm == "label_prop":
         labels, _rounds = _label_prop_components(edges, _ckpt, max_iter)
     elif algorithm == "two_phase_star":

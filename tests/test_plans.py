@@ -227,14 +227,23 @@ def test_ngram_single_explode_and_cap_rides_selfjoin_exchange(spark, sf_dir):
        tokenize+explode+window pipeline (AQE demonstrably did NOT
        reuse that subtree across the groupBy(id) boundary — two full
        Generate+Window stages dominated executor time, 16.9s → 11.2s
-       after the fix at sf0.1); sizes are now narrow size(__sh)
-       projections off the pre-explode base."""
+       after the fix at sf0.1).
+    3. Round 10: sizes ride THROUGH the explode as a payload column
+       and come back out of the pair groupBy as min(n_shingles), so
+       the two post-join size lookups are gone — the whole query is
+       exactly ONE join (the index self-join). Any second join means
+       the size attachment regressed to separate plan subtrees."""
     df = REGISTRY["dedup_ngram_jaccard"].spark_fn(spark, sf_dir)
     df.collect()
     plan = _plan(df)
     final = plan.split("== Initial Plan ==")[0]
-    assert final.count("ReusedExchange") >= 2, final.count("ReusedExchange")
+    assert final.count("ReusedExchange") >= 1, final.count("ReusedExchange")
     assert final.count("Generate explode") == 1, final.count("Generate explode")
+    n_joins = sum(
+        final.count(j)
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert n_joins == 1, final
 
 
 def test_pack_sequences_single_exchange(spark, sf_dir):
