@@ -10,9 +10,12 @@ SparkSession builder. Every knob here exists for 100 TB posture:
   not pickled rows.
 - Session timezone pinned to UTC: parquet timestamps compare identically
   across engines (and against the DuckDB correctness oracle).
-- Broadcast threshold left at default (10 MB) — small dims (region,
-  nation, supplier) broadcast automatically; explicit broadcast() hints
-  are still applied in the operators where the dimension is known-small.
+- Broadcast threshold left at default (10 MB) — small dims broadcast
+  automatically from parquet size stats, and AQE re-checks at runtime.
+  Explicit broadcast() hints exist only where size is bounded by
+  CONTRACT (fixed-cardinality region/nation, bounded probe sets),
+  routed through plans.auto_broadcast; SF-growing tables are never
+  hinted (round-10 policy — see lime_etl_spark/plans/policy.py).
 """
 
 from __future__ import annotations
