@@ -28,7 +28,14 @@ Design (foreachBatch over a document stream):
 4. Exactly-once: every write (decisions, bands, doc store) is a
    dynamic partition overwrite keyed on the micro-batch id
    (io/sinks.idempotent_reload), so a replayed batch rewrites its own
-   partitions instead of double-appending.
+   partitions instead of double-appending. Arrival order (the priority
+   between batches, rule 3) includes the batch decomposition, which is
+   NOT crash-stable: a driver killed between the file-source's
+   per-batch log write and the offsets-WAL write makes the restarted
+   stream merge the orphaned file set with the next batch (Spark file
+   source semantics) — decisions under the merged arrival order are
+   valid; exactly-once/no-loss hold regardless (pinned by
+   tests/test_streaming_restart.py's decomposition-aware equivalence).
 
 Scale posture: all joins are keyed ((band, bkey), ids) — no cartesian
 anywhere; the state index join shuffles the BATCH (small) against the

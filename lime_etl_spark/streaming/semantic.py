@@ -42,6 +42,13 @@ DROPPED in an earlier batch cannot veto later arrivals (only accepted
 members persist), whereas the batch rule lets any higher-priority
 vector veto. Arrival order is the priority between batches; the batch
 rule holds within each batch. Same trade as the LSH ingest gate.
+The batch decomposition itself is part of that arrival order and is
+NOT crash-stable: a driver killed between the file-source's per-batch
+log write and the engine's offsets-WAL write makes the restarted
+stream merge the orphaned file set with the next batch (Spark file
+source semantics). Decisions computed under the merged arrival order
+are valid; exactly-once and no-loss hold regardless (pinned by
+tests/test_streaming_restart.py's decomposition-aware equivalence).
 
 Scale posture: everything is keyed on cluster — the new batch (small)
 joins members (large but partitionable by cluster); in-cell cost is

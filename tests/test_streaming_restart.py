@@ -24,6 +24,23 @@ log discards uncommitted files (session windows).
 
 Equivalence clean-vs-restarted requires identical batch decomposition,
 so the clean run uses the SAME source dir and trigger bound.
+
+One kill window legitimately CHANGES the decomposition: FileStreamSource
+writes its per-batch file-set log entry (ck/sources/0/N) BEFORE the
+engine's offsets WAL entry (ck/offsets/N). A kill between the two
+leaves an orphaned source-log entry; on restart the source assigns the
+next unseen file a fresh entry and the replanned batch's offset range
+spans BOTH — two files merge into one micro-batch (observed: 11
+committed batches over 12 files, one decisions partition with 2 files'
+rows). The maintainers' exactly-once/convergence invariants still hold
+(every id decided once, no loss), but operators whose output embeds
+batch identity or cross-batch arrival priority (dedup/semantic
+decisions, the quality timeline, watermark-gated session emission)
+compute a DIFFERENT-but-valid result for the merged arrival order — so
+full-row equality vs the clean run is only asserted when the fault
+run's decomposition matches (offsets-file count equal). When the kill
+lands in that window instead, the decomposition-independent crash
+invariants are asserted and the kill is retried for the strong check.
 """
 
 from __future__ import annotations
@@ -193,6 +210,64 @@ def _rows(df):
     return sorted(map(tuple, df.collect()))
 
 
+def _n_offsets(work: str) -> int:
+    """Committed batch count of a completed drain (offsets WAL entries)."""
+    d = os.path.join(work, "ck", "offsets")
+    return len([f for f in os.listdir(d) if not f.startswith(".")])
+
+
+def _decided_ids(spark, work: str, state_rel: str, schema: str, id_col: str):
+    from lime_etl_spark.streaming.state import read_state_or_empty
+
+    df = read_state_or_empty(spark, os.path.join(work, state_rel), schema)
+    return df, sorted(r[0] for r in df.select(id_col).collect())
+
+
+def _fault_run_matching_decomposition(
+    spark, which, src, tmp_path, n_batches_clean, clean_work, attempts=4
+):
+    """Kill+restart, re-rolling the kill until the restarted run's batch
+    decomposition matches the clean run's (module docstring: a kill in
+    the source-log/offsets-WAL gap merges two files into one batch, a
+    valid but different arrival order). Each mismatched attempt still
+    asserts the decomposition-independent crash invariants for the
+    decision-log maintainers: same decided-id set, every id decided
+    exactly once."""
+    from pyspark.sql import functions as F
+
+    id_layout = {
+        "dedup": ("state/decisions", None, "doc_id"),
+        "semantic": ("state/decisions", None, "vec_id"),
+    }
+    for i in range(attempts):
+        fault_work = str(tmp_path / f"fault{i}")
+        _run_and_kill(_env(which, src, fault_work, sleep_s=0.5))
+        _run_to_completion(_env(which, src, fault_work, sleep_s=0))
+        if _n_offsets(fault_work) == n_batches_clean:
+            return fault_work
+        # merged-batch decomposition: still a completed crash recovery —
+        # pin the invariants that must hold under ANY decomposition
+        if which in id_layout:
+            rel, _, id_col = id_layout[which]
+            if which == "dedup":
+                from lime_etl_spark.streaming.dedup import _DECISIONS_SCHEMA as sch
+            else:
+                from lime_etl_spark.streaming.semantic import (
+                    _DECISIONS_SCHEMA as sch,
+                )
+            fdf, fids = _decided_ids(spark, fault_work, rel, sch, id_col)
+            _, cids = _decided_ids(spark, clean_work, rel, sch, id_col)
+            assert fids == cids  # no id lost or invented by the crash
+            assert (
+                fdf.groupBy(id_col).count().filter(F.col("count") > 1).count() == 0
+            )
+    pytest.fail(
+        f"kill landed in the source-log/offsets gap {attempts} times in a row "
+        "(merged-batch decomposition every attempt) — statistically implausible; "
+        "investigate the restart machinery"
+    )
+
+
 @pytest.fixture(scope="module")
 def split_sources(spark, sf_dir, tmp_path_factory):
     """12-file copies of the documents and events fixtures — 12
@@ -223,11 +298,11 @@ def test_kill_and_restart_equals_uninterrupted(
 ):
     src = split_sources[which]
     clean_work = str(tmp_path / "clean")
-    fault_work = str(tmp_path / "fault")
 
     _run_to_completion(_env(which, src, clean_work, sleep_s=0))
-    _run_and_kill(_env(which, src, fault_work, sleep_s=0.5))
-    _run_to_completion(_env(which, src, fault_work, sleep_s=0))
+    fault_work = _fault_run_matching_decomposition(
+        spark, which, src, tmp_path, _n_offsets(clean_work), clean_work
+    )
 
     if which.startswith("sessions"):
         # file sink: reading the output path goes through _spark_metadata,
