@@ -749,19 +749,30 @@ def ngram_overlap(
     Plan shape is the one that survives 100 TB: the EVAL shingle set is
     the small side (benchmarks are MBs while the training corpus is the
     100 TB side), so it is deduplicated and **broadcast** — the train
-    index is never shuffled for the membership probe (left-semi
-    broadcast hash join), and the only wide exchange is the per-doc
-    groupBy that was needed for set sizes anyway.
+    index is never shuffled for the membership probe (broadcast hash
+    join), the train corpus is tokenized exactly ONCE (sizes ride
+    through the explode as a payload column), and the only wide
+    exchange is the per-doc groupBy that was needed for set sizes
+    anyway.
     """
     from lime_etl_spark.ops.text import shingles_from_tokens
     from lime_etl_spark.ops.util import ensure_parallelism
 
-    # sizes come off the PRE-explode array as a narrow size() — the old
-    # tr.groupBy('id').count() re-ran tokenize+explode end to end as a
-    # second full Generate stage plus a wide exchange (the same
-    # duplicated-Generate defect ngram_jaccard_pairs fixed in round 4;
-    # decontam_prefilter pays this per ingest micro-batch). Docs with
-    # zero shingles are filtered as before (they had no exploded rows).
+    # ONE tokenization pass over train (round 10, second pass): the
+    # per-doc set size rides THROUGH the explode as a payload column
+    # (the same +8-bytes-per-index-row trick as ngram_jaccard_pairs'
+    # discovery mode), and the semi-join + count is replaced by a LEFT
+    # join against the broadcast eval set with count(__hit) — so sizes,
+    # hits, and the sizes⋈hits join all come out of a single
+    # explode + one groupBy(id). The previous shape planned `base`
+    # twice (tr explode + narrow sizes are different projections, no
+    # exchange to reuse), re-tokenizing the 100 TB side per reference —
+    # and decontam_prefilter pays that per ingest micro-batch.
+    # Equivalences: ev is distinct, so the left join never duplicates
+    # index rows and count(__hit) == the semi-join count; a doc with
+    # ≥1 shingle always has exploded rows, so no doc the old
+    # sizes-anchored left join kept can vanish (zero-shingle docs were
+    # already excluded by the size(__sh) > 0 filter).
     base = (
         ensure_parallelism(train_df.select(F.col(id_col).alias("id"), text_col))
         .withColumn(
@@ -769,31 +780,34 @@ def ngram_overlap(
         )
         .filter(F.size("__sh") > 0)
     )
-    tr = base.select("id", F.explode("__sh").alias("shingle"))
+    tr = base.select(
+        "id",
+        F.size("__sh").cast("bigint").alias("n_shingles"),
+        F.explode("__sh").alias("shingle"),
+    )
     # bounded by contract (docstring above): eval = benchmark suites,
     # MBs by construction while train is the 100 TB side
     ev = auto_broadcast(
         shingle_index(eval_df, id_col, text_col, n).select("shingle").distinct(),
         bounded=True,
     )
-    sizes = base.select("id", F.size("__sh").cast("bigint").alias("n_shingles"))
-    hits = (
-        tr.join(ev, "shingle", "left_semi")
+    per_doc = (
+        tr.join(ev.withColumn("__hit", F.lit(1)), "shingle", "left")
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    frac = F.round(
-        F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_shingles").cast("double"), 6
-    )
-    return (
-        sizes.join(hits, "id", "left")
-        .select(
-            F.col("id").alias("doc_id"),
-            F.col("n_shingles"),
-            F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
-            frac.alias("overlap_frac"),
-            (frac >= F.lit(threshold)).alias("contaminated"),
+        .agg(
+            # constant within the group (one size per doc): min is the
+            # deterministic way to read it back out
+            F.min("n_shingles").alias("n_shingles"),
+            F.count("__hit").alias("n_hit"),
         )
+    )
+    frac = F.round(F.col("n_hit") / F.col("n_shingles").cast("double"), 6)
+    return per_doc.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_shingles"),
+        F.col("n_hit").cast("bigint").alias("n_hit"),
+        frac.alias("overlap_frac"),
+        (frac >= F.lit(threshold)).alias("contaminated"),
     )
 
 
@@ -845,10 +859,16 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     """60-bit SimHash over distinct tokens, pure JVM expressions.
 
     Per (doc, bit): sum of ±1 over token hashes' bit values; bit set iff
-    sum > 0 (ties → 0, deterministic). The bit explode multiplies rows
-    ×32 before a map-side-combined groupBy — fine for wide clusters; a
-    grouped pandas_udf variant would cut the explode if profiling ever
-    shows this shuffle dominating.
+    sum > 0 (ties → 0, deterministic). One groupBy(id) with one ±1 sum
+    aggregate PER BIT (the same wide-aggregate shape as
+    minhash_signatures' 16 mins): no ×60 bit explode, no (id, bit)
+    shuffle — the previous shape multiplied every token row ×60 through
+    a Generate and paid two exchanges ((id, bit) then (id)); this one
+    pays a single map-side-combined exchange on id whose payload is 60
+    longs per doc per map partition, and the per-token CPU is the same
+    60 case-whens either way (round 10, second pass; arithmetic
+    unchanged so signatures are bit-identical — oracle + the Arrow-twin
+    equality tests pin it).
     """
     from lime_etl_spark.ops.util import ensure_parallelism
 
@@ -858,20 +878,21 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         .select("id", F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
         .withColumn("h", _hash60(F.col("tok")))
     )
-    bits = toks.select(
-        "id", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit")
-    )
-    # expr() because the PySpark shiftright/shiftleft wrappers only
-    # accept an int literal for the shift amount, not a Column
-    contrib = bits.withColumn(
-        "c", F.expr("CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END")
-    )
-    bit_sums = contrib.groupBy("id", "bit").agg(F.sum("c").alias("s"))
-    return bit_sums.groupBy("id").agg(
+    bit_aggs = [
         F.sum(
-            F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END")
-        ).alias("simhash")
-    )
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = toks.groupBy("id").agg(*bit_aggs)
+    sim: Column | None = None
+    for b in range(SIMHASH_BITS):
+        term = (
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint"))
+        )
+        sim = term if sim is None else sim + term
+    return per_doc.select("id", sim.alias("simhash"))
 
 
 SIMHASH_PAIR_BANDS = 4  # 4 bands x 15 bits over the 60-bit hash
@@ -902,6 +923,25 @@ def simhash_near_pairs(
     32-bit/8-bit-band layout this replaced saturated at 256 buckets
     (measured 60 s at sf1, quadratic onset at ~50k docs).
 
+    Bucket-local pair generation, NOT a band self-join (round 10,
+    second pass — the same transformation minhash_lsh_candidates got):
+    the self-join carried the whole tokenize→hash→SimHash pipeline
+    once PER JOIN SIDE in the plan, and executing it once depended on
+    AQE runtime stage reuse recognizing the two subtrees as
+    canonically equal — a property one stray alias breaks, and which
+    a broadcast build side forfeits whenever the probe side streams
+    without an exchange. Grouping the band index by (band, bval) and
+    exploding i<j pairs from the id-sorted member array computes the
+    signature pipeline ONCE by structure and deletes the join. Pair output is
+    identical: a doc appears at most once per bucket (one band row per
+    doc per band), sort_array on struct(id, simhash) orders by the
+    unique id, so every emitted pair is id_a < id_b, and the trailing
+    distinct() dedups across bands exactly as before. Hot-bucket
+    exposure matches the self-join's: the member array is 16
+    bytes/doc in one task, and the quadratic PAIR volume of a
+    saturated bucket is the same blowup the join emitted — neither
+    form caps it (callers verify with the hamming filter).
+
     Returns (id_a, id_b, hamming), id_a < id_b.
     """
     if max_hamming >= SIMHASH_PAIR_BANDS:
@@ -924,20 +964,28 @@ def simhash_near_pairs(
     bands = s.select("id", "simhash", F.explode(band_structs).alias("bb")).select(
         "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    buckets = (
+        bands.groupBy("band", "bval")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["simhash"].alias("sim_a"),
+                    y["simhash"].alias("sim_b"),
+                ),
+            ),
+        )
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sim_a", "p.sim_b")
         .distinct()
     )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))

@@ -342,12 +342,21 @@ def tfidf_top_terms(
     last ulp between the JVM and DuckDB — a correctness-gate hazard the
     engine's design rules out by construction (registry.py docstring).
 
-    Plan: one explode + (doc,term) count [tf], one distinct-terms count
-    [df], broadcast the df table's join? No — df is per-term over the
-    whole corpus and can be wide; both aggregations shuffle on term/doc
-    keys with map-side partial aggregation, then the per-doc top-k is a
-    window row_number (no global sort). N (corpus size) is a driver
-    scalar — one count job, the same pattern as any threshold constant.
+    Plan: one explode + (doc,term) count [tf]; doc frequency is then
+    derived FROM tf — tf has exactly one row per (doc, term), so
+    ``tf.groupBy(term).count()`` IS the number of documents containing
+    the term (round 10, second pass: the old separate
+    explode(array_distinct)+groupBy(term) leg was a second full
+    tokenization pass over the corpus; deriving df from tf makes the
+    two references to tf byte-identical subtrees shuffling on the same
+    keys, so the exchange is planned once and runtime-reused — one
+    tokenize pass, and the df-side shuffle now moves per-(doc,term)
+    partial counts it was moving anyway). Broadcast the df table's
+    join? No — df is per-term over the whole corpus and can be wide;
+    both aggregations shuffle on term/doc keys with map-side partial
+    aggregation, then the per-doc top-k is a window row_number (no
+    global sort). N (corpus size) is a driver scalar — one count job,
+    the same pattern as any threshold constant.
     """
     base = df.select(F.col(id_col).alias("doc_id"), text_col).withColumn(
         "__toks", tokens(text_col)
@@ -355,10 +364,17 @@ def tfidf_top_terms(
     n = n_docs if n_docs is not None else base.count()
     tok = base.select("doc_id", F.explode("__toks").alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = (
-        base.select(F.explode(F.array_distinct(F.col("__toks"))).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    # count(when(tf > 0, 1)), not count(1): tf >= 1 always, so the
+    # value is identical (docs where the term occurs) — but the
+    # predicate makes this branch depend on tf's VALUE, which stops
+    # the optimizer from (a) rewriting count(tf)→count(1) (tf is
+    # provably non-null) and then (b) pruning tf out of the child,
+    # turning it into a bare DISTINCT (functions=[]) — that rewrite
+    # made the two tf subtrees non-identical and silently disabled the
+    # exchange reuse this single-pass shape exists for (verified in
+    # the executed plan both ways).
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.when(F.col("tf") > 0, 1)).alias("doc_freq")
     )
     scored = tf.join(dfreq, "term").withColumn(
         "tfidf",

@@ -5414,7 +5414,8 @@ def quality_drift_price(spark, sf_dir):
     (|n_ref·N_cur − n_cur·N_ref| summed in DECIMAL(38)) — no ln() in
     the gate, so unlike PSI/KL the drift stat is bit-exact across
     engines; only the final normalization is one double division.
-    Two scans (one per snapshot), bin tables are ≤12 rows."""
+    Bin tables are ≤12 rows; the totals roll-up is a window over the
+    joined bin table, so each snapshot is binned in one pass."""
     from lime_etl_spark.ops import quality as Q
 
     o = _t(spark, sf_dir, "orders")

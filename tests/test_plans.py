@@ -122,12 +122,13 @@ def test_no_cartesian_in_registry_except_ann(spark, sf_dir):
             "graph_pagerank_copurchase": 4,
             "text_collocations": 1,
             # drift: the ref stats row broadcasts into each side's
-            # binning and the totals row into the numerator + final
-            # projection; the pre-AQE plan repeats the binned subtrees
-            # under the tot/totals aggregates (8 BNLJ nodes), all of
-            # which are the SAME one-row keys=[] broadcasts — AQE
-            # dedups them via ReusedExchange at runtime
-            "quality_drift_price": 8,
+            # binning — exactly two one-row keys=[] broadcasts since
+            # the round-10 window rewrite (the old tot/totals/final
+            # agg+crossJoin pyramid repeated the binned subtrees to 8
+            # BNLJ nodes and relied on AQE stage reuse to dedup them
+            # at runtime; the window form is single-reference by
+            # structure)
+            "quality_drift_price": 2,
         }
         if name in ONE_ROW_BNLJ:
             assert plan.count("BroadcastNestedLoopJoin") <= ONE_ROW_BNLJ[name], name
@@ -268,6 +269,52 @@ def test_tfidf_no_global_sort(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     plan = _plan(tfidf_top_terms(docs, k=3))
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_tfidf_single_tokenize_pass(spark, sf_dir):
+    """doc_freq derives FROM the tf aggregate (one row per (doc,term)
+    → count per term == docs containing the term), so the corpus is
+    tokenized exactly once: the two references to tf's groupBy are
+    byte-identical subtrees whose exchange AQE reuses at runtime (the
+    old separate explode(array_distinct) leg was a second, never
+    reusable Generate). Asserted on the EXECUTED final plan — the
+    initial plan legitimately shows both references; only AQE's stage
+    cache collapses them."""
+    from lime_etl_spark.ops.text import tfidf_top_terms
+
+    docs = read_table(spark, sf_dir, "documents")
+    df = tfidf_top_terms(docs, k=3, n_docs=1)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final
+    assert final.count("Generate") == 1
+    assert final.count("ReusedExchange") == 1
+
+
+def test_simhash_single_exchange_no_bit_explode(spark, sf_dir):
+    """SimHash = one Generate (the token explode) and one hash
+    exchange (the groupBy(id) with 60 per-bit sums). The old shape
+    exploded every token row ×60 (a second Generate) and paid a
+    second (id,bit)-keyed exchange."""
+    from lime_etl_spark.ops.dedup import simhash
+
+    docs = read_table(spark, sf_dir, "documents")
+    plan = _plan(simhash(docs))
+    assert plan.count("Generate") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_simhash_near_pairs_single_signature_pass(spark, sf_dir):
+    """Bucket-local pair generation: the tokenize→hash→SimHash→band
+    pipeline is planned once (3 Generates total — tokens, band
+    explode, pair explode) and there is NO join — the old band
+    self-join planned the whole signature pipeline once per side."""
+    from lime_etl_spark.ops.dedup import simhash_near_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    plan = _plan(simhash_near_pairs(docs))
+    assert plan.count("Generate") == 3
+    assert "Join" not in plan
 
 
 def test_span_dedup_two_linear_exchanges(spark, sf_dir):

@@ -349,9 +349,12 @@ def test_repetition_stats_known_values(spark):
 
 
 def test_ngram_overlap_broadcasts_eval_side(spark):
-    """Decontamination: eval shingles must probe via broadcast
-    left-semi hash join (the train side never shuffles for membership),
-    and a fully-contained train doc reports overlap 1.0."""
+    """Decontamination: eval shingles must probe via a broadcast hash
+    join (the train side never shuffles for membership — since round
+    10 a LEFT join whose count(__hit) equals the old semi-join count),
+    the train corpus must be tokenized exactly ONCE (one Generate for
+    train, one for the eval index — the old sizes leg re-tokenized
+    train), and a fully-contained train doc reports overlap 1.0."""
     from lime_etl_spark.ops.dedup import ngram_overlap
 
     train = spark.createDataFrame(
@@ -361,7 +364,8 @@ def test_ngram_overlap_broadcasts_eval_side(spark):
     ev = spark.createDataFrame([(100, "the quick brown fox jumps")], ["doc_id", "text"])
     out = ngram_overlap(train, ev, threshold=0.5)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert plan.count("Generate") == 2  # train tokenized once, eval once
     rows = {r["doc_id"]: r for r in out.collect()}
     assert rows[1]["overlap_frac"] == pytest.approx(1.0)
     assert rows[1]["contaminated"] is True
