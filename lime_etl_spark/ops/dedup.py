@@ -859,16 +859,18 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     """60-bit SimHash over distinct tokens, pure JVM expressions.
 
     Per (doc, bit): sum of ±1 over token hashes' bit values; bit set iff
-    sum > 0 (ties → 0, deterministic). One groupBy(id) with one ±1 sum
-    aggregate PER BIT (the same wide-aggregate shape as
-    minhash_signatures' 16 mins): no ×60 bit explode, no (id, bit)
-    shuffle — the previous shape multiplied every token row ×60 through
-    a Generate and paid two exchanges ((id, bit) then (id)); this one
-    pays a single map-side-combined exchange on id whose payload is 60
-    longs per doc per map partition, and the per-token CPU is the same
-    60 case-whens either way (round 10, second pass; arithmetic
-    unchanged so signatures are bit-identical — oracle + the Arrow-twin
-    equality tests pin it).
+    sum > 0 (ties → 0, deterministic). The bit explode multiplies rows
+    ×60 before a map-side-combined groupBy — measured, this narrow-row
+    two-exchange shape BEATS the "obvious" single-exchange alternative:
+    a groupBy(id) with one ±1 sum aggregate per bit (the
+    minhash_signatures wide-aggregate shape, 16 mins there but 60 sums
+    here) was implemented, oracle-verified, and A/B-timed at sf0.1 —
+    fresh-plan 1.25 → 3.2 s and exec-only ~1.5 → ~2.2 s SLOWER, because
+    the 60-buffer update function codegen-splits out of the hash-agg
+    fast path and the generated class takes seconds to compile per
+    fresh plan, while the explode's 60 narrow rows stay in tight
+    whole-stage loops and the post-partial-agg exchanges are small
+    (round 10, second pass; reverted — do not re-try without re-timing).
     """
     from lime_etl_spark.ops.util import ensure_parallelism
 
@@ -878,21 +880,20 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         .select("id", F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
         .withColumn("h", _hash60(F.col("tok")))
     )
-    bit_aggs = [
+    bits = toks.select(
+        "id", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit")
+    )
+    # expr() because the PySpark shiftright/shiftleft wrappers only
+    # accept an int literal for the shift amount, not a Column
+    contrib = bits.withColumn(
+        "c", F.expr("CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END")
+    )
+    bit_sums = contrib.groupBy("id", "bit").agg(F.sum("c").alias("s"))
+    return bit_sums.groupBy("id").agg(
         F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    per_doc = toks.groupBy("id").agg(*bit_aggs)
-    sim: Column | None = None
-    for b in range(SIMHASH_BITS):
-        term = (
-            F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint"))
-            .otherwise(F.lit(0).cast("bigint"))
-        )
-        sim = term if sim is None else sim + term
-    return per_doc.select("id", sim.alias("simhash"))
+            F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END")
+        ).alias("simhash")
+    )
 
 
 SIMHASH_PAIR_BANDS = 4  # 4 bands x 15 bits over the 60-bit hash
@@ -923,24 +924,19 @@ def simhash_near_pairs(
     32-bit/8-bit-band layout this replaced saturated at 256 buckets
     (measured 60 s at sf1, quadratic onset at ~50k docs).
 
-    Bucket-local pair generation, NOT a band self-join (round 10,
-    second pass — the same transformation minhash_lsh_candidates got):
-    the self-join carried the whole tokenize→hash→SimHash pipeline
-    once PER JOIN SIDE in the plan, and executing it once depended on
-    AQE runtime stage reuse recognizing the two subtrees as
-    canonically equal — a property one stray alias breaks, and which
-    a broadcast build side forfeits whenever the probe side streams
-    without an exchange. Grouping the band index by (band, bval) and
-    exploding i<j pairs from the id-sorted member array computes the
-    signature pipeline ONCE by structure and deletes the join. Pair output is
-    identical: a doc appears at most once per bucket (one band row per
-    doc per band), sort_array on struct(id, simhash) orders by the
-    unique id, so every emitted pair is id_a < id_b, and the trailing
-    distinct() dedups across bands exactly as before. Hot-bucket
-    exposure matches the self-join's: the member array is 16
-    bytes/doc in one task, and the quadratic PAIR volume of a
-    saturated bucket is the same blowup the join emitted — neither
-    form caps it (callers verify with the hamming filter).
+    Candidate generation stays a band SELF-JOIN deliberately (round
+    10, second pass — measured): the bucket-local transformation that
+    won for minhash_lsh_candidates (groupBy(band,bval) +
+    sort_array(collect_list) + i<j pair explode, deleting the join)
+    was implemented here, oracle-verified, and A/B-timed at sf0.1 —
+    1.64 → 3.3 s, 2× SLOWER. Root cause: the self-join's two
+    signature subtrees are canonically equal, so AQE stage reuse
+    already executes the tokenize→hash→SimHash pipeline ONCE at
+    runtime (verified: ReusedExchange in the executed plan) — there
+    was no duplicated work to save, and the collect_list
+    (ObjectHashAggregate, no codegen) plus the interpreted
+    slice/transform/flatten pair construction is pure added overhead.
+    Reverted; do not re-try without re-timing.
 
     Returns (id_a, id_b, hamming), id_a < id_b.
     """
@@ -964,28 +960,20 @@ def simhash_near_pairs(
     bands = s.select("id", "simhash", F.explode(band_structs).alias("bb")).select(
         "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
     )
-    buckets = (
-        bands.groupBy("band", "bval")
-        .agg(F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("ms"))
-        .filter(F.size("ms") > 1)
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    x["simhash"].alias("sim_a"),
-                    y["simhash"].alias("sim_b"),
-                ),
-            ),
-        )
-    )
+    a, b = bands.alias("a"), bands.alias("b")
     cand = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b", "p.sim_a", "p.sim_b")
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
         .distinct()
     )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))

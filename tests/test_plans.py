@@ -291,30 +291,24 @@ def test_tfidf_single_tokenize_pass(spark, sf_dir):
     assert final.count("ReusedExchange") == 1
 
 
-def test_simhash_single_exchange_no_bit_explode(spark, sf_dir):
-    """SimHash = one Generate (the token explode) and one hash
-    exchange (the groupBy(id) with 60 per-bit sums). The old shape
-    exploded every token row ×60 (a second Generate) and paid a
-    second (id,bit)-keyed exchange."""
-    from lime_etl_spark.ops.dedup import simhash
-
-    docs = read_table(spark, sf_dir, "documents")
-    plan = _plan(simhash(docs))
-    assert plan.count("Generate") == 1
-    assert plan.count("Exchange hashpartitioning") == 1
-
-
 def test_simhash_near_pairs_single_signature_pass(spark, sf_dir):
-    """Bucket-local pair generation: the tokenize→hash→SimHash→band
-    pipeline is planned once (3 Generates total — tokens, band
-    explode, pair explode) and there is NO join — the old band
-    self-join planned the whole signature pipeline once per side."""
+    """The band self-join's two signature subtrees are canonically
+    equal, so AQE stage reuse must execute the tokenize→hash→SimHash
+    pipeline exactly ONCE (one scan + a ReusedExchange in the executed
+    plan). This is the property that made the bucket-local rewrite a
+    measured pessimization (see simhash_near_pairs docstring) — if
+    this assert ever breaks (an alias change defeating
+    canonicalization), the corpus is being fingerprinted twice and the
+    self-join shape needs re-evaluation."""
     from lime_etl_spark.ops.dedup import simhash_near_pairs
 
     docs = read_table(spark, sf_dir, "documents")
-    plan = _plan(simhash_near_pairs(docs))
-    assert plan.count("Generate") == 3
-    assert "Join" not in plan
+    df = simhash_near_pairs(docs)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final
+    assert final.count("Scan parquet") == 1
+    assert final.count("ReusedExchange") >= 1
 
 
 def test_span_dedup_two_linear_exchanges(spark, sf_dir):
