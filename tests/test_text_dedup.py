@@ -530,6 +530,53 @@ def test_ngram_overlap_single_generate(spark):
 @settings(max_examples=20, deadline=None)
 @given(
     st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd", "e9"]), max_size=10),
+        min_size=1,
+        max_size=6,
+    ),
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd", "e9"]), max_size=10),
+        min_size=0,
+        max_size=3,
+    ),
+)
+def test_ngram_overlap_matches_python(spark, train_lists, eval_lists):
+    """Property: the one-pass left-join shape (round 10, second pass)
+    agrees with a direct Python set computation for arbitrary small
+    corpora — including empty eval sets, sub-n docs (excluded), and
+    fully-contained docs. Guards the semi-join→left-join equivalence
+    (ev distinct ⇒ no row duplication ⇒ count(__hit) == hits)."""
+    from lime_etl_spark.ops.dedup import ngram_overlap
+    from lime_etl_spark.tools.llmgen import py_shingles, py_tokens, round_half_up
+
+    train = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(train_lists)],
+        "doc_id bigint, text string",
+    )
+    ev_rows = [(100 + i, " ".join(toks)) for i, toks in enumerate(eval_lists)]
+    ev = spark.createDataFrame(
+        ev_rows or [(100, "")], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_hit"], r["overlap_frac"], r["contaminated"])
+        for r in ngram_overlap(train, ev, threshold=0.5).collect()
+    }
+    ev_sh: set[str] = set()
+    for _, txt in ev_rows:
+        ev_sh |= set(py_shingles(py_tokens(txt), 3))
+    want = {}
+    for i, toks in enumerate(train_lists):
+        sh = set(py_shingles(py_tokens(" ".join(toks)), 3))
+        if not sh:
+            continue  # sub-n docs are excluded, as documented
+        frac = round_half_up(len(sh & ev_sh) / len(sh), 6)
+        want[i] = (len(sh), len(sh & ev_sh), frac, frac >= 0.5)
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
         st.lists(st.sampled_from(["a", "b", "c", "dd", "e9"]), max_size=12),
         min_size=1,
         max_size=6,
