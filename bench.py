@@ -25,6 +25,31 @@ from lime_etl_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Committed quiet band for the two fixed calibration microbenches
+# (round-11, VERDICT r10 task #4): the [min, max] observed across the
+# round-10 quiet samples (BENCH_r10_quiet_samples.json,
+# BENCH_r10_final_quiet_samples.json) and this round's quiet captures.
+# The one-line artifact reports each calibration's DEVIATION from this
+# band (measured/band_max when above, measured/band_min when below,
+# 1.0 inside), so a load-contaminated official capture identifies
+# itself mechanically: jvm_dev >> 1 means the recording host's JVM was
+# that factor slower than any quiet observation of this same code, and
+# per-query "regressions" of about that factor on unchanged plans are
+# host noise, not plan changes (the r10 adjudication, now arithmetic).
+CALIBRATION_QUIET_BAND = {
+    "python_md5_2m_sec": (0.29, 0.33),
+    "spark_decimal_agg_1m_sec": (0.19, 0.28),
+}
+
+
+def band_deviation(measured: float, band: tuple[float, float]) -> float:
+    lo, hi = band
+    if measured > hi:
+        return round(measured / hi, 2)
+    if measured < lo:
+        return round(measured / lo, 2)
+    return 1.0
+
 
 def sf_of(path: str) -> float:
     base = os.path.basename(os.path.normpath(path))
@@ -192,13 +217,28 @@ def main() -> None:
         "exec_spread": exec_spread,
         "jvm": "G1, -Xms8g floor, 32g heap",
         "host_calibration": host_calibration,
+        "calibration_quiet_band": {
+            k: list(v) for k, v in CALIBRATION_QUIET_BAND.items()
+        },
+        "calibration_band_dev": {
+            k: band_deviation(host_calibration[k], band)
+            for k, band in CALIBRATION_QUIET_BAND.items()
+        },
     }
-    sidecar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"
-    )
-    with open(sidecar, "w") as f:
-        json.dump(detail, f, indent=1)
-        f.write("\n")
+    # Sidecar named by (cpus, sf) so a scaling run (the driver re-runs
+    # at a lower core count) no longer clobbers the 32-core per-query
+    # exec-only record (r10 verdict "What's wrong" #5). The legacy
+    # un-suffixed name is still written for one release so existing
+    # tooling keeps working; the one-line artifact points at the
+    # suffixed file.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf_tag = str(sf_of(SF_DIR)).replace("-1.0", "unknown")
+    sidecar_name = f"BENCH_detail_c{cpus}_sf{sf_tag}.json"
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname in (sidecar_name, "BENCH_detail.json"):
+        with open(os.path.join(here, fname), "w") as f:
+            json.dump(detail, f, indent=1)
+            f.write("\n")
     print(
         json.dumps(
             {
@@ -215,7 +255,15 @@ def main() -> None:
                 "host_calibration": {
                     k: v for k, v in host_calibration.items() if k != "note"
                 },
-                "detail": "BENCH_detail.json",
+                # deviation of each calibration from the committed quiet
+                # band (1.0 = inside; >1 = host slower than every quiet
+                # observation by that factor) — additions-only, r10
+                # verdict task #4
+                "calibration_band_dev": {
+                    k: band_deviation(host_calibration[k], band)
+                    for k, band in CALIBRATION_QUIET_BAND.items()
+                },
+                "detail": sidecar_name,
             }
         )
     )

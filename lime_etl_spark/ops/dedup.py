@@ -395,7 +395,11 @@ def minhash_bands(
 
 
 def minhash_lsh_candidates(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    hot_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over the MinHash signature.
 
@@ -411,32 +415,100 @@ def minhash_lsh_candidates(
     — so the corpus was fingerprinted twice per run. Grouping the band
     index by (band, bkey) and exploding i<j pairs from the sorted
     bucket id array computes the signature pipeline ONCE and replaces
-    the join with one groupBy on the ~40-byte band rows. Pair output is
-    identical: ids within a bucket are distinct (one band row per doc),
-    sort_array makes every emitted pair ordered id_a < id_b, and the
-    trailing distinct() dedups across bands exactly as before. A hot
-    bucket (every doc sharing a band key) materializes its id array in
-    one task — 8 bytes/doc, i.e. ~8 MB per million colliding docs —
-    while its quadratic PAIR volume is the same blowup the self-join
-    would emit; neither form caps it (callers verify + threshold)."""
+    the join with one groupBy on the ~40-byte band rows.
+
+    Two-level positional pairing for hot buckets (round 11, guide §2.5):
+    a band key shared by k docs would otherwise emit all k(k-1)/2 pairs
+    from the ONE task holding the bucket row — the engine's clearest
+    single-key skew exposure on a gated path. The bucket's SORTED id
+    array is split into S = ceil(k / hot_bucket_cap) contiguous
+    positional SLICES; one row is emitted per slice-pair CELL (g1 ≤ g2,
+    S(S+1)/2 cells carrying only their two ≤cap-id slices), the cell
+    rows are redistributed (hash of the cell identity) so each cell's
+    pairs are generated in its own task, and per-cell pairing is one
+    cross product la × rb (rb = la on the diagonal) filtered to
+    id_a < id_b. Every position pair i < j of the bucket is emitted
+    exactly once — by cell (floor(i/cap), floor(j/cap)): the diagonal
+    self-cross keeps exactly its i<j half (ids within a bucket are
+    distinct, so the sorted array is strictly increasing), and
+    off-diagonal pairs already satisfy id_a < id_b positionally. A
+    bucket at or under the cap has S = 1 — one diagonal cell whose
+    slice IS the whole id array, i.e. the round-10 i<j pair stream.
+    Per-task emission is ≤ cap² pairs and per-cell state ≤ 2·cap ids
+    instead of k² / k; the slice replication overhead (each id rides in
+    S cells ⇒ ~k²/cap id copies per hot bucket) is at most 2/cap of
+    the pair volume the bucket emits anyway. The cell exchange carries
+    only colliding buckets' id arrays (a small subset of the band
+    index, and far fewer bytes than the pair exchange the trailing
+    distinct() always paid); two rejected alternatives — a window
+    bucket-size count (loses the aggregation's map-side partials) and
+    a small/hot union (doubles plan compile) — are recorded with
+    measurements in OPTIMIZATION_r11.md. Pair OUTPUT is identical in
+    all cases; the trailing distinct() dedups across bands exactly as
+    before.
+
+    hot_bucket_cap defaults from $LIME_LSH_HOT_BUCKET_CAP (4096): at
+    that cap a pathological cell carries ~64 KB of ids and emits ≤ ~16M
+    pairs — a normal task's work — and a 1M-doc bucket that previously
+    sat in one task spreads over ~30k cells."""
+    if hot_bucket_cap is None:
+        import os
+
+        hot_bucket_cap = int(os.environ.get("LIME_LSH_HOT_BUCKET_CAP", "4096"))
+    cap = hot_bucket_cap
     allbands = minhash_bands(df, id_col, text_col, n)
     buckets = (
         allbands.groupBy("band", "bkey")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pair_structs = F.flatten(
+    nslices = F.ceil(F.size("ids") / F.lit(cap)).cast("int")
+    cell_structs = F.flatten(
         F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            F.sequence(F.lit(0), nslices - 1),
+            lambda g1: F.transform(
+                F.sequence(g1, nslices - 1),
+                lambda g2: F.struct(g1.alias("g1"), g2.alias("g2")),
+            ),
+        )
+    )
+    cells = buckets.select(
+        F.col("ids"), F.explode(cell_structs).alias("c")
+    ).select(
+        # project to just the two slices BEFORE the exchange (guide
+        # §2.3): the full ids array must not ride S(S+1)/2 times
+        F.slice(F.col("ids"), F.col("c.g1") * cap + 1, cap).alias("la"),
+        # empty on the diagonal (la would ride twice); an empty SLICE,
+        # not a cast literal, so the id element type follows id_col
+        F.when(F.col("c.g1") == F.col("c.g2"), F.slice(F.col("ids"), 1, 0))
+        .otherwise(F.slice(F.col("ids"), F.col("c.g2") * cap + 1, cap))
+        .alias("ra"),
+    )
+    # Redistribute cells so a hot bucket's cells emit from many tasks,
+    # not the one task that aggregated the bucket. Deterministic key
+    # (first id of each slice identifies the cell within its bucket).
+    # F.get (not []): ra is empty on diagonal cells and ANSI mode makes
+    # [0] throw on empty arrays; get() yields NULL, which xxhash64
+    # folds deterministically.
+    spread = cells.repartition(
+        F.xxhash64(F.get(F.col("la"), 0), F.get(F.col("ra"), 0))
+    )
+    # one cross-product expression for every cell (diagonal cells cross
+    # la with itself); the id_a < id_b filter keeps the i<j half on the
+    # diagonal and passes every off-diagonal pair untouched
+    rb = F.when(F.size("ra") == 0, F.col("la")).otherwise(F.col("ra"))
+    cross = F.flatten(
+        F.transform(
+            F.col("la"),
+            lambda x: F.transform(
+                rb, lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))
             ),
         )
     )
     return (
-        buckets.select(F.explode(pair_structs).alias("p"))
+        spread.select(F.explode(cross).alias("p"))
         .select("p.id_a", "p.id_b")
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 

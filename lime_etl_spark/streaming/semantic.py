@@ -226,10 +226,24 @@ def _process_batch_inner(spark, ranked, batch_id, state_dir, threshold) -> None:
         _dot(F.col("ea"), F.col("eb")) / (_gnorm(F.col("ea")) * _gnorm(F.col("eb"))),
         6,
     )
+    # Prune the member-state read to the batch's own cells (round-11,
+    # guide §6 predicate pushdown): a micro-batch touches at most
+    # n_clusters cells and the centroid matrix is already driver-held,
+    # so collecting the batch's distinct clusters is a contract-bounded
+    # driver transfer (≤ k ints); the IN filter pushes down to the
+    # members parquet scan, making the per-batch state read cost
+    # proportional to the touched cells instead of the whole accepted
+    # corpus. Equivalence: vs_state joins on cluster, so members of
+    # untouched cells can never pair with a batch row. (The vec_id
+    # anti-join in _write_state deliberately stays unpruned — a
+    # re-delivered id may hash to a different cell if its embedding
+    # changed, and that invariant is corpus-wide.)
+    batch_clusters = [r[0] for r in ranked.select("cluster").distinct().collect()]
     # vs accepted members of the same cell (self-pairs excluded: on a
     # batch replay the replayed vectors are already members)
     vs_state = (
-        members.select(
+        members.filter(F.col("cluster").isin(batch_clusters))
+        .select(
             "cluster", F.col("vec_id").alias("id_a"), F.col("e").alias("ea")
         )
         .join(
@@ -326,6 +340,11 @@ def _write_state(spark, decisions_pin, ranked, batch_id, state_dir, guard, pins)
         .join(survivor_ids, "vec_id", "left_semi")
         .join(members.select("vec_id"), "vec_id", "left_anti")
         .withColumn("ingest_batch", F.lit(batch_id))
+        # cluster-ordered within each write task so parquet row-group /
+        # file min-max stats stay tight and the round-11 cluster IN
+        # pushdown (above) actually skips data at scale; batch-sized
+        # in-partition sort, no exchange
+        .sortWithinPartitions("cluster")
     )
     pins.append(members_pin)
     sinks.idempotent_reload(

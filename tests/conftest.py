@@ -10,6 +10,25 @@ from lime_etl_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
+# Two-tier suite (round-11): the default run is the driver-facing fast
+# gate; `slow`-marked tests (wide generative sweeps, kill/restart
+# loops, soak scenarios — see pytest.ini) only run with
+# LIME_FULL_SUITE=1. Skipped, not deselected, so the fast gate's output
+# still shows the full collection and the tier boundary is auditable.
+RUN_FULL_SUITE = os.environ.get("LIME_FULL_SUITE") == "1"
+
+
+def pytest_collection_modifyitems(config, items):
+    if RUN_FULL_SUITE:
+        return
+    skip_slow = pytest.mark.skip(
+        reason="slow tier: set LIME_FULL_SUITE=1 (depth evidenced by the "
+        "committed GENCHECK_*/FAULT_CHECK_*/SOAK_* artifacts)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -125,6 +125,46 @@ def test_minhash_signature_shape(spark, sf_dir):
         assert 0 <= row[f"m{j}"] < dedup.MOD_P
 
 
+def test_lsh_hot_bucket_slicing_output_identical(spark):
+    # Round-11 hot-bucket cap (two-level positional pairing): forcing
+    # the cap below every bucket size routes ALL pairs through the
+    # salted slice cells; the pair set must be identical to the
+    # effectively-uncapped shape for every cap, including cap=1
+    # (maximal slicing: every cell is a 1x1 cross or empty diagonal).
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    rows = []
+    for i in range(60):
+        words = base.split()
+        if i % 3 == 0 and i > 0:
+            words[i % len(words)] = f"w{i}"
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    want = sorted(
+        tuple(r) for r in dedup.minhash_lsh_candidates(df, hot_bucket_cap=10**9).collect()
+    )
+    assert len(want) > 50  # the fixture must actually collide
+    for cap in (1, 2, 5):
+        got = sorted(
+            tuple(r)
+            for r in dedup.minhash_lsh_candidates(df, hot_bucket_cap=cap).collect()
+        )
+        assert got == want, f"cap={cap} changed the candidate set"
+
+
+def test_lsh_hot_bucket_cap_spreads_cells(spark):
+    # With a 25-doc bucket and cap=5, the sorted id array must split
+    # into S=5 slices -> 15 cells, and the pair stream must come out of
+    # the cell exchange (Exchange hashpartitioning on the cell key),
+    # not a single bucket row. Checked at the output level: one shared
+    # bucket, cap far below its size, pair count is exactly C(25,2).
+    text = "identical boilerplate text shared by every single document here"
+    df = spark.createDataFrame(
+        [(i, text) for i in range(25)], "doc_id BIGINT, text STRING"
+    )
+    got = dedup.minhash_lsh_candidates(df, hot_bucket_cap=5).count()
+    assert got == 25 * 24 // 2
+
+
 def test_simhash_similar_docs_close(spark):
     df = spark.createDataFrame(
         [
