@@ -487,11 +487,22 @@ def minhash_lsh_candidates(
     # Redistribute cells so a hot bucket's cells emit from many tasks,
     # not the one task that aggregated the bucket. Deterministic key
     # (first id of each slice identifies the cell within its bucket).
-    # F.get (not []): ra is empty on diagonal cells and ANSI mode makes
-    # [0] throw on empty arrays; get() yields NULL, which xxhash64
-    # folds deterministically.
+    # The partition count is EXPLICIT: cell rows are a few KB before
+    # explosion, so AQE's byte-based coalescing would legally fuse the
+    # whole exchange back into one partition and reinstate the single
+    # task this exchange exists to remove (measured on the skew
+    # micro-bench: 1 task × 65 s with the implicit form) — an explicit
+    # numPartitions is the documented way to opt a repartition out of
+    # coalescing, and the count follows the session's shuffle-partition
+    # setting, which the driver contract already parameterises by core
+    # count. F.get (not []): ra is empty on diagonal cells and ANSI
+    # mode makes [0] throw on empty arrays; get() yields NULL, which
+    # xxhash64 folds deterministically.
+    n_spread = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     spread = cells.repartition(
-        F.xxhash64(F.get(F.col("la"), 0), F.get(F.col("ra"), 0))
+        n_spread, F.xxhash64(F.get(F.col("la"), 0), F.get(F.col("ra"), 0))
     )
     # one cross-product expression for every cell (diagonal cells cross
     # la with itself); the id_a < id_b filter keeps the i<j half on the

@@ -4,6 +4,7 @@ the oracle differential in test_oracle.py covers the fixture-scale
 parity; these pin the edge semantics."""
 
 from __future__ import annotations
+import pytest
 
 from datetime import datetime
 
@@ -210,6 +211,7 @@ def _py_funnel(rows, steps, window_days=None):
     return counts
 
 
+@pytest.mark.slow
 @settings(max_examples=12, deadline=None)
 @given(_EV)
 def test_funnel_matches_python_reference(spark, raw):

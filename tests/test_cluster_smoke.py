@@ -15,6 +15,7 @@ reuse it instead of building the local-cluster one.
 """
 
 from __future__ import annotations
+import pytest
 
 import subprocess
 import sys
@@ -57,6 +58,7 @@ print("CLUSTER_SMOKE_OK")
 """
 
 
+@pytest.mark.slow
 def test_engine_runs_on_local_cluster(sf_dir):
     import os
 

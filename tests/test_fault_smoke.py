@@ -14,6 +14,7 @@ round 5) and the pytest session already owns a local[N] JVM.
 """
 
 from __future__ import annotations
+import pytest
 
 import os
 import subprocess
@@ -55,6 +56,7 @@ print("FAULT_SMOKE_OK")
 """
 
 
+@pytest.mark.slow
 def test_task_retries_are_deterministic(sf_dir):
     from lime_etl_spark.ops.util import package_root
 

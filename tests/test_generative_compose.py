@@ -21,14 +21,27 @@ from lime_etl_spark.tools.llmgen import independent_math_seed
 COMPOSE_SWEEP = range(0, 8)
 INDEP_SWEEP = range(0, 2)
 
+# Two-tier suite (round-11): two compose seeds stay in the driver-facing
+# fast gate (each ~15-55 s); the rest, and the mpmath third-implementation
+# sweep (~90 s), are opt-in slow — depth carried by the committed
+# GENCHECK_COMPOSE_* / GENCHECK_INDEP_MATH_* artifacts.
+COMPOSE_FAST = {0, 1}
 
-@pytest.mark.parametrize("seed", COMPOSE_SWEEP)
+
+@pytest.mark.parametrize(
+    "seed",
+    [
+        s if s in COMPOSE_FAST else pytest.param(s, marks=pytest.mark.slow)
+        for s in COMPOSE_SWEEP
+    ],
+)
 def test_composed_chain_matches_composed_oracle(spark, seed):
     rec = compose_check_seed(spark, seed)
     assert "error" not in rec, f"seed {seed}: {rec['error']} ops={rec.get('ops')}"
     assert "mismatch" not in rec, f"seed {seed}: {rec['mismatch']} ops={rec['ops']}"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", INDEP_SWEEP)
 def test_engine_cosines_match_mpmath(spark, seed):
     rec = independent_math_seed(spark, seed)

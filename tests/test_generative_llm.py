@@ -27,15 +27,30 @@ LLM_REGRESSION_SEEDS = [252]
 LLM_SWEEP = list(range(60))
 STREAM_SWEEP = list(range(12))
 
+# Two-tier suite (round-11): regression seeds plus a fast slice of each
+# sweep stay in the driver-facing gate; the rest of the sweep is `slow`
+# (LIME_FULL_SUITE=1). Depth beyond the suite is carried by the
+# committed GENCHECK_LLM_* artifacts (hundreds of seeds per mode).
+LLM_FAST = set(LLM_REGRESSION_SEEDS) | set(range(10))
+STREAM_FAST = set(range(3))
 
-@pytest.mark.parametrize("seed", sorted(set(LLM_REGRESSION_SEEDS) | set(LLM_SWEEP)))
+
+def _tiered(seeds, fast):
+    return [
+        s if s in fast else pytest.param(s, marks=pytest.mark.slow) for s in seeds
+    ]
+
+
+@pytest.mark.parametrize(
+    "seed", _tiered(sorted(set(LLM_REGRESSION_SEEDS) | set(LLM_SWEEP)), LLM_FAST)
+)
 def test_llm_operator_matches_bruteforce_oracle(spark, seed):
     rec = llm_check_seed(spark, seed)
     assert "error" not in rec, f"seed {seed}: {rec['error']} ops={rec.get('ops')}"
     assert "mismatch" not in rec, f"seed {seed}: {rec['mismatch']} ops={rec['ops']}"
 
 
-@pytest.mark.parametrize("seed", STREAM_SWEEP)
+@pytest.mark.parametrize("seed", _tiered(STREAM_SWEEP, STREAM_FAST))
 def test_stream_split_matches_batch_twin(spark, tmp_path, seed):
     rec = stream_check_seed(spark, seed, str(tmp_path))
     assert "error" not in rec, f"seed {seed}: {rec['error']} ops={rec.get('ops')}"

@@ -16,8 +16,15 @@ from lime_etl_spark.tools.opsgen import check_seed as ops_check_seed
 # pack_materialize — was an oracle-side correction, not an engine bug).
 OPS_SWEEP = list(range(40))
 
+# Two-tier suite (round-11): first 10 seeds in the driver-facing fast
+# gate, the rest opt-in slow (depth carried by GENCHECK_OPS_r08*.json).
+OPS_FAST = set(range(10))
 
-@pytest.mark.parametrize("seed", OPS_SWEEP)
+
+@pytest.mark.parametrize(
+    "seed",
+    [s if s in OPS_FAST else pytest.param(s, marks=pytest.mark.slow) for s in OPS_SWEEP],
+)
 def test_ops_operator_matches_python_oracle(spark, seed):
     rec = ops_check_seed(spark, seed)
     assert "error" not in rec, f"seed {seed}: {rec['error']} ops={rec.get('ops')}"

@@ -54,6 +54,7 @@ def clean_run(spark, sf_dir, tmp_path_factory):
     return counts, _artifacts(spark, out)
 
 
+@pytest.mark.slow
 def test_crash_before_copy_reads_not_done_and_resumes_exact(
     spark, sf_dir, tmp_path, clean_run
 ):
@@ -76,6 +77,7 @@ def test_crash_before_copy_reads_not_done_and_resumes_exact(
     assert _artifacts(spark, out) == clean_art
 
 
+@pytest.mark.slow
 def test_crash_mid_copy_torn_manifest_resumes_exact(
     spark, sf_dir, tmp_path, clean_run
 ):
@@ -133,6 +135,7 @@ def test_crash_in_later_stage_publish_reuses_upstream(
     assert _artifacts(spark, out) == clean_run[1]
 
 
+@pytest.mark.slow
 def test_delayed_listing_republish_is_idempotent(
     spark, sf_dir, tmp_path, clean_run
 ):
@@ -210,6 +213,7 @@ def test_idempotent_reload_rerun_converges_after_torn_partition(spark, tmp_path)
     assert sorted(map(tuple, spark.read.parquet(dest).collect())) == clean
 
 
+@pytest.mark.slow
 def test_out_of_band_corrupt_manifest_recomputes_not_wedges(
     spark, sf_dir, tmp_path, clean_run
 ):

@@ -6,6 +6,7 @@ deterministic fixture in conftest.make_survey_payload.
 """
 
 from __future__ import annotations
+import pytest
 
 from lime_etl_spark.io.sources import read_survey_export_json
 from lime_etl_spark.pipelines import surveys
@@ -262,6 +263,7 @@ def test_corpus_resumable_on_uri_path(spark, sf_dir, tmp_path):
     assert r2["n_total"] == r1["n_total"] and r2["n_after_filter"] == r1["n_after_filter"]
 
 
+@pytest.mark.slow
 def test_corpus_semantic_stage_oneshot_and_resumable(spark, sf_dir, tmp_path):
     """The optional SemDeDup stage: drops semantically-duplicate docs
     beyond what surface-form dedup caught, stays deterministic, and in

@@ -63,6 +63,7 @@ def _drain_lsh(spark, docs, state: str, *, redeliver: bool) -> None:
     sdedup.process_batch(b2, 2, state, threshold=0.5)
 
 
+@pytest.mark.slow
 def test_lsh_gate_cached_equals_disk_guard(spark, docs, tmp_path, monkeypatch):
     monkeypatch.setenv("LIME_REDELIVERY_GUARD", "disk")
     disk_state = str(tmp_path / "disk")
@@ -88,6 +89,7 @@ def test_lsh_gate_cached_equals_disk_guard(spark, docs, tmp_path, monkeypatch):
     assert dec.groupBy("doc_id").count().filter("count > 1").count() == 0
 
 
+@pytest.mark.slow
 def test_lsh_gate_compaction_preserves_decisions(
     spark, docs, tmp_path, monkeypatch
 ):
@@ -107,6 +109,7 @@ def test_lsh_gate_compaction_preserves_decisions(
     assert _rows(guard.prior_ids(spark, 99)) == _rows(dec.select("doc_id"))
 
 
+@pytest.mark.slow
 def test_guard_detects_state_dir_wipe(spark, docs, tmp_path, monkeypatch):
     """A state dir wiped and re-ingested UNDER THE SAME PATH must not
     serve stale decided ids — the per-batch partition listing catches
@@ -125,6 +128,7 @@ def test_guard_detects_state_dir_wipe(spark, docs, tmp_path, monkeypatch):
     assert _decisions(spark, state).count() == n_first
 
 
+@pytest.mark.slow
 def test_crash_between_writes_replays_convergently(
     spark, docs, tmp_path, monkeypatch
 ):
@@ -264,6 +268,7 @@ def test_guard_exact_on_int64_ids_beyond_2e53_with_nulls(spark, tmp_path):
     assert got == disk
 
 
+@pytest.mark.slow
 def test_sharded_guard_equals_disk_and_actually_shards(
     spark, docs, tmp_path, monkeypatch
 ):
@@ -317,6 +322,7 @@ def test_sharded_probe_exact_across_shard_boundaries(spark, tmp_path, monkeypatc
     assert len(guard._bcs) == 3
 
 
+@pytest.mark.slow
 def test_auto_guard_flips_on_measured_crossover(spark, docs, tmp_path, monkeypatch):
     """Round-10 (r9 verdict task #6): auto mode starts on the disk
     path and flips exactly when the measured decisions read exceeds
@@ -353,6 +359,7 @@ def test_auto_guard_flips_on_measured_crossover(spark, docs, tmp_path, monkeypat
     assert _rows(_decisions(spark, flip_state)) == want
 
 
+@pytest.mark.slow
 def test_bloom_guard_equals_disk_and_discards_array(
     spark, docs, tmp_path, monkeypatch
 ):

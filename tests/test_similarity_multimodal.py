@@ -565,6 +565,7 @@ def test_lsh_multi_probe_depth2_superset_and_recall(spark, sf_dir):
     assert r0 <= r1 <= r2, (r0, r1, r2)
 
 
+@pytest.mark.slow
 def test_calibrate_lsh_reaches_target_and_wires_in(spark, sf_dir):
     """calibrate_lsh walks the plane/depth ladder until measured
     recall@k meets the target; lsh_bucketed_topk(target_recall=...)
@@ -634,6 +635,7 @@ def test_ivf_index_save_load_roundtrip(spark, sf_dir, tmp_path):
     assert recall >= 0.5 or nprobe == 8
 
 
+@pytest.mark.slow
 def test_ivf_index_resave_crash_window_unpublishes_first(spark, sf_dir, tmp_path):
     """A RE-save that dies while rewriting the data dirs must not leave
     the PREVIOUS manifest published over half-rewritten parquet — the
@@ -750,6 +752,7 @@ def test_ivf_index_load_refuses_stale_and_torn(spark, sf_dir, tmp_path):
         similarity.ivf_index_load(spark, str(tmp_path / "idx"))
 
 
+@pytest.mark.slow
 def test_round6_apis_on_degenerate_corpora(spark, tmp_path):
     """The r5 degenerate-sweep ethos applied to the round-6 APIs:
     empty and 1-vector corpora through index save/load, search, and
@@ -888,6 +891,7 @@ def test_semantic_dedup_zero_norm_and_string_id_parity(spark):
     assert {t[0] for t in sjvm} == {f"doc-{i}" for i in surv}
 
 
+@pytest.mark.slow
 def test_semantic_dedup_keep_and_threshold_knobs(spark, sf_dir):
     """threshold > 1 keeps everything (cosine caps at 1); threshold -1
     keeps exactly one doc per non-empty cluster; keep='closest' prefers

@@ -2,6 +2,7 @@
 runs whose final state must equal the batch twin."""
 
 from __future__ import annotations
+import pytest
 
 import os
 
@@ -184,6 +185,7 @@ def test_stateful_user_tracker(spark, sf_dir, tmp_path):
         assert abs(gv[uid] - bv[uid]) < 0.05  # python float sum vs decimal path
 
 
+@pytest.mark.slow
 def test_stateful_tracker_no_per_batch_rounding_drift(spark, tmp_path):
     """State carries the RAW running total; rounding on store re-rounded
     per micro-batch (three batches of 0.004 summed to 0.0 instead of
@@ -340,6 +342,7 @@ def test_stage_events_dir_keyed_by_full_path(spark, sf_dir, tmp_path):
     assert open(os.path.join(da2, "events.parquet"), "rb").read() == b"regenerated"
 
 
+@pytest.mark.slow
 def test_click_purchase_join_drains_multifile_fixture_in_one_batch(spark, tmp_path):
     """A multi-part-file events dir is NOT time-ordered across files;
     the stream-stream join is append-mode only, so a multi-batch drain
@@ -415,6 +418,7 @@ def test_get_spark_heals_reused_session_confs(spark):
     assert reused.conf.get("spark.sql.session.timeZone") == "UTC"
 
 
+@pytest.mark.slow
 def test_stateful_tracker_chunk_and_batch_order(spark, tmp_path):
     """last_event_id must be the event id of the MAX (ts, event_id) —
     regardless of Arrow chunk order within a micro-batch (forced here

@@ -52,6 +52,13 @@ import time
 
 import pytest
 
+# Two-tier suite (round-11): the SIGKILL/restart loops are the suite's
+# single heaviest block (~12 min under load for the 5 scenarios) and the
+# exact "kill-restart reruns" the r10 verdict asked to move behind an
+# opt-in tier; crash-equivalence depth is carried by the committed
+# FAULT_CHECK_* artifacts and re-runnable with LIME_FULL_SUITE=1.
+pytestmark = pytest.mark.slow
+
 _RUNNER = r"""
 import os, time
 from lime_etl_spark.session import get_spark

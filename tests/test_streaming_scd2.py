@@ -3,6 +3,7 @@ equivalence with the batch operator, replay idempotency, cross-batch
 no-op suppression, and late-data quarantine."""
 
 from __future__ import annotations
+import pytest
 
 import os
 from datetime import datetime
@@ -96,6 +97,7 @@ def test_late_rows_quarantined_not_applied(spark, tmp_path):
     assert q[0]["conflicts_with_hwm"] == _ts(5)
 
 
+@pytest.mark.slow
 def test_collapsed_noop_advances_quarantine_bound(spark, tmp_path):
     """Round-3 ADVICE repro: a collapsed no-op update stores no change-
     point but DOES advance the key's observed event time. An event with
@@ -227,6 +229,7 @@ def test_null_state_opens_and_closes_versions(spark, tmp_path):
     assert scd2.history(spark, state).count() == 4
 
 
+@pytest.mark.slow
 def test_ordered_multibatch_cdc_at_fixture_scale(spark, sf_dir, tmp_path):
     """The REAL incremental path at fixture scale: the events table
     sliced into four time-ordered CDC batches (per-key monotone across
@@ -273,6 +276,7 @@ def test_ordered_multibatch_cdc_at_fixture_scale(spark, sf_dir, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_crash_between_state_writes_converges_on_replay(spark, sf_dir, tmp_path):
     """process_batch performs THREE sequential partition-overwrite
     writes (changes, quarantine, hwm). A process dying between them

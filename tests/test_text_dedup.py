@@ -567,6 +567,7 @@ def test_ngram_overlap_single_generate(spark):
     assert rows[1]["overlap_frac"] == 0.333333 and rows[1]["contaminated"]
 
 
+@pytest.mark.slow
 @settings(max_examples=20, deadline=None)
 @given(
     st.lists(
@@ -614,6 +615,7 @@ def test_ngram_overlap_matches_python(spark, train_lists, eval_lists):
     assert got == want
 
 
+@pytest.mark.slow
 @settings(max_examples=20, deadline=None)
 @given(
     st.lists(
@@ -1061,6 +1063,7 @@ def test_decontam_prefilter_gates_ingest(spark, tmp_path):
     corpus = spark.read.parquet(os.path.join(state, sdedup.DOCS_SUBDIR))
     assert sorted(r.doc_id for r in corpus.collect()) == [1, 3]
 
+@pytest.mark.slow
 @settings(max_examples=15, deadline=None)
 @given(
     st.lists(
@@ -1110,6 +1113,7 @@ def test_two_phase_star_matches_union_find(spark, edges):
     assert got == {n: (expected[n], sizes[expected[n]]) for n in nodes}
 
 
+@pytest.mark.slow
 def test_two_phase_star_logarithmic_on_chains(spark):
     """The motivating case: a 200-node path needs ~200 label_prop
     rounds (raises at max_iter=50) but only O(log n) star rounds."""
